@@ -57,6 +57,24 @@ def _simple_tokens(texts: pd.Series) -> pd.DataFrame:
 _ANALYZERS = {"code": _code_tokens, "path": _code_tokens, "simple": _simple_tokens}
 
 
+def analyze_query(text: str, analyzer: str = "code") -> list[str]:
+    """Driver-side query analysis — same token rules as the distributed
+    tokenizer (plain ``re`` on one string). Returns sorted distinct
+    terms (query term multiplicity is ignored, the Lucene default)."""
+    import re
+
+    terms: set[str] = set()
+    if analyzer == "simple":
+        terms.update(text.lower().split())
+    else:
+        for tok in re.findall(_RAW_TOKEN, text):
+            subs = re.findall(_SUBWORD, tok)
+            terms.update(s.lower() for s in subs)
+            if len(subs) > 1:
+                terms.add(tok.lower())
+    return sorted(terms)
+
+
 def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     """documents → (doc_id, field, term, tf).
 

@@ -1,0 +1,293 @@
+"""BM25 (k1=1.2, b=0.75) top-k scoring.
+
+Two rank-identical paths (SURVEY.md §7 stages 4+8):
+
+* ``score_exact`` — the oracle: pure DataFrame explode-join-aggregate
+  over uncompressed tokens. Float summation order is pinned by
+  sequentially folding contributions sorted by ``(field, term)``
+  (``F.aggregate`` over ``sort_array``), so scores are bit-stable —
+  the analog of the reference's deterministic golden-doc serialization
+  (GolrLoaderTest.java:41-51's fixture equality needs deterministic
+  output; ours needs deterministic float order).
+
+* ``search`` / ``search_batch`` — the production path over the
+  compressed block-max index: per doc-range bucket, admissible
+  block-max pruning then vectorized scoring inside ``applyInPandas``.
+  Pruning invariant: a block B of list t is skipped only if
+  ``ub_t(B) + Σ_{t'≠t} max_ub_{t'} < θ`` where θ is the k-th largest
+  *lower bound* from the strongest list's exact partial scores —
+  every doc touching a skipped block therefore has true score < θ ≤
+  true k-th best, and every doc whose accumulated score ≥ θ is
+  complete-scored, so the final ``filter(score ≥ θ) → top-k`` is
+  exactly the brute-force ranking. Same float-addition order as the
+  oracle (lists visited in ``(field, term)`` order).
+
+Tie-break everywhere: (score desc, doc_id asc) — BASELINE.md's
+rank-identity contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.functions.codec import varint_decode
+from golr_loader_spark.functions.tokenize import analyze_query
+from golr_loader_spark.plans.build_index import InvertedIndex
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """Lucene-style BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _idf_table(index: InvertedIndex, terms: list[str]) -> dict[tuple[str, str], float]:
+    """(term, field) → idf for the query terms (tiny driver-side lookup;
+    the join-shaped analog of the reference's node-by-id point lookups,
+    GolrLoader.java:691)."""
+    n = index.n_docs
+    rows = (
+        index.term_stats.filter(F.col("term").isin(terms))
+        .select("term", "field", "df")
+        .collect()
+    )
+    return {(r["term"], r["field"]): bm25_idf(n, int(r["df"])) for r in rows}
+
+
+def _avgdl(index: InvertedIndex) -> dict[str, float]:
+    return {r["field"]: float(r["avgdl"]) for r in index.stats.collect()}
+
+
+# ---------------------------------------------------------------- exact
+
+
+def score_exact(
+    tokens: DataFrame,
+    dls: DataFrame,
+    n_docs: int,
+    avgdl_by_field: dict[str, float],
+    query_terms: list[str],
+    cfg: IndexConfig | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Oracle: exact BM25 top-k from uncompressed (doc_id, field, term,
+    tf) tokens. Deterministic float order via sorted sequential fold."""
+    cfg = cfg or IndexConfig()
+    spark = tokens.sparkSession
+    terms = sorted(set(query_terms))
+
+    tstats = (
+        tokens.filter(F.col("term").isin(terms))
+        .groupBy("term", "field")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    weight_rows = []
+    for r in tstats:
+        boost = cfg.fields[r["field"]][1]
+        idf = bm25_idf(n_docs, int(r["df"]))
+        weight_rows.append((r["term"], r["field"], (boost * idf) * (cfg.k1 + 1.0)))
+    if not weight_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    weights = spark.createDataFrame(weight_rows, "term string, field string, wt double")
+    avgdl = F.create_map(
+        *[F.lit(x) for kv in avgdl_by_field.items() for x in kv]
+    )
+
+    cand = (
+        tokens.filter(F.col("term").isin(terms))
+        .join(dls, on=["doc_id", "field"])
+        .join(F.broadcast(weights), on=["term", "field"])
+        .withColumn(
+            "contrib",
+            F.col("wt")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(cfg.k1)
+                * (
+                    F.lit(1.0 - cfg.b)
+                    + F.lit(cfg.b) * F.col("dl") / F.element_at(avgdl, F.col("field"))
+                )
+            ),
+        )
+    )
+    scored = cand.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("field", "term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ------------------------------------------------------------ block-max
+
+
+def _score_bucket_factory(
+    weights: dict[tuple[str, str], float],
+    avgdl_by_field: dict[str, float],
+    cfg: IndexConfig,
+    k: int,
+    with_query_id: bool,
+):
+    """Per-(bucket[, query]) group scorer. pdf columns: term, field,
+    block_id, n, doc_id_first, doc_ids, tfs, dls, max_w."""
+    k1, b = cfg.k1, cfg.b
+
+    def decode_list(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids_parts, tf_parts, dl_parts = [], [], []
+        for first, idbuf, tfbuf, dlbuf in zip(
+            rows["doc_id_first"], rows["doc_ids"], rows["tfs"], rows["dls"]
+        ):
+            deltas = varint_decode(idbuf).astype(np.int64)
+            ids_parts.append(np.cumsum(deltas) + np.int64(first))
+            tf_parts.append(varint_decode(tfbuf).astype(np.float64))
+            dl_parts.append(varint_decode(dlbuf).astype(np.float64))
+        return (
+            np.concatenate(ids_parts),
+            np.concatenate(tf_parts),
+            np.concatenate(dl_parts),
+        )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0]) if with_query_id else None
+        lists = []  # [(field, term, rows, wt, avgdl, ubs, max_ub)]
+        for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
+            wt = weights.get((qid, term, field) if with_query_id else (term, field))
+            if wt is None:
+                continue
+            rows = rows.sort_values("block_id")
+            ubs = wt * rows["max_w"].to_numpy()
+            lists.append((field, term, rows, wt, avgdl_by_field[field], ubs))
+        if not lists:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float64}
+            )
+        lists.sort(key=lambda x: (x[0], x[1]))  # oracle's (field, term) order
+        max_ub = np.array([ubs.max() for *_x, ubs in lists])
+        sum_max_ub = max_ub.sum()
+
+        # θ from the strongest list's exact partial scores (lower bounds)
+        theta = -np.inf
+        si = int(np.argmax(max_ub))
+        s_field, s_term, s_rows, s_wt, s_avg, _ = lists[si]
+        s_ids, s_tf, s_dl = decode_list(s_rows)
+        if len(s_ids) >= k:
+            partial = s_wt * s_tf / (s_tf + k1 * ((1.0 - b) + b * s_dl / s_avg))
+            theta = np.partition(partial, len(partial) - k)[len(partial) - k]
+
+        acc: dict[int, float] = {}
+        all_ids, all_contribs = [], []
+        pruned_any = False
+        for li, (field, term, rows, wt, avg, ubs) in enumerate(lists):
+            others = sum_max_ub - max_ub[li]
+            keep = ubs + others >= theta
+            if not keep.all():
+                pruned_any = True
+                rows = rows[keep]
+            if not len(rows):
+                continue
+            if li == si and keep.all():
+                ids, tf, dl = s_ids, s_tf, s_dl
+            else:
+                ids, tf, dl = decode_list(rows)
+            contrib = wt * tf / (tf + k1 * ((1.0 - b) + b * dl / avg))
+            all_ids.append(ids)
+            all_contribs.append(contrib)
+        if not all_ids:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float64}
+            )
+        uniq = np.unique(np.concatenate(all_ids))
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        # accumulate in (field, term) list order → oracle float order
+        for ids, contrib in zip(all_ids, all_contribs):
+            scores[np.searchsorted(uniq, ids)] += contrib
+        if pruned_any and np.isfinite(theta):
+            ok = scores >= theta  # complete-scored docs only (see module doc)
+            uniq, scores = uniq[ok], scores[ok]
+        # top-k by (score desc, doc_id asc)
+        order = np.lexsort((uniq, -scores))[:k]
+        out = pd.DataFrame({"doc_id": uniq[order], "score": scores[order]})
+        if with_query_id:
+            out.insert(0, "query_id", qid)
+        return out
+
+    return score_group
+
+
+def search(
+    index: InvertedIndex,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Top-k BM25 over the compressed index for one query string."""
+    cfg = cfg or index.cfg
+    terms = analyze_query(query)
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    idf = _idf_table(index, terms)
+    weights = {
+        (t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0) for (t, f), i in idf.items()
+    }
+    avgdl = _avgdl(index)
+    cand = index.postings.filter(
+        F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
+    )
+    fn = _score_bucket_factory(weights, avgdl, cfg, k, with_query_id=False)
+    per_bucket = cand.groupBy("bucket").applyInPandas(
+        fn, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_batch(
+    index: InvertedIndex,
+    queries: dict[int, str],
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Top-k for a whole query set in one job → (query_id, rank,
+    doc_id, score). Postings join a broadcast query-term table, then
+    one applyInPandas per (query, bucket); a per-query window takes
+    global top-k (W3/W4 of SURVEY.md §2.6)."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    qterms = [(qid, t) for qid, q in queries.items() for t in analyze_query(q)]
+    if not qterms:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    all_terms = sorted({t for _, t in qterms})
+    idf = _idf_table(index, all_terms)
+    weights = {
+        (qid, t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0)
+        for qid, t in qterms
+        for (tt, f), i in idf.items()
+        if tt == t
+    }
+    avgdl = _avgdl(index)
+    qdf = spark.createDataFrame(qterms, "query_id int, term string")
+    cand = index.postings.filter(F.col("field").isin(list(cfg.fields))).join(
+        F.broadcast(qdf), on="term"
+    )
+    fn = _score_bucket_factory(weights, avgdl, cfg, k, with_query_id=True)
+    per_bucket = cand.groupBy("query_id", "bucket").applyInPandas(
+        fn, schema="query_id int, doc_id long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_bucket.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

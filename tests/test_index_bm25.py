@@ -1,0 +1,116 @@
+"""End-to-end index + rank-identity tests (SURVEY.md §5 plan items
+(b)(c): golden postings round-trip and WAND-vs-exact rank identity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.corpus import synth_corpus
+from golr_loader_spark.functions.codec import decode_block
+from golr_loader_spark.functions.tokenize import analyze_query, tokenize
+from golr_loader_spark.plans.bm25 import score_exact, search, search_batch
+from golr_loader_spark.plans.build_index import (
+    build_index,
+    build_postings,
+    corpus_stats,
+    doc_lengths,
+    read_index,
+    term_stats,
+    write_index,
+)
+from golr_loader_spark.plans.documents import flatten_documents
+
+N_DOCS = 600
+QUERIES = [
+    "def return",  # ultra-hot terms (salting / pruning stress)
+    "zq0007",  # rare identifier
+    "userData index",  # camelCase compound + mid-freq
+    "node_ctx batch import",  # snake compound + hot
+    "nonexistent_term_xyzzy",  # no hits
+    "main util scan",  # path-field heavy
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_ix(spark):
+    docs = flatten_documents(synth_corpus(spark, N_DOCS, seed=42)).cache()
+    cfg = IndexConfig()
+    tokens = tokenize(docs, cfg).cache()
+    dls = doc_lengths(tokens).cache()
+    stats = corpus_stats(docs, dls).cache()
+    ix = build_index(docs, cfg)
+    ix.postings = ix.postings.cache()
+    ix.term_stats = ix.term_stats.cache()
+    return docs, cfg, tokens, dls, stats, ix
+
+
+def test_postings_blocks_sorted_and_roundtrip(spark, corpus_ix):
+    docs, cfg, tokens, dls, stats, ix = corpus_ix
+    rows = ix.postings.filter(F.col("term") == "def").collect()
+    assert rows, "hot term must exist"
+    # decode all blocks for (term=def, field=content) → globally sorted ids
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r["field"], r["bucket"], r["block_id"])):
+        ids, tfs = decode_block(r["doc_id_first"], r["doc_ids"], r["tfs"])
+        assert len(ids) == r["n"] and r["n"] <= cfg.block_size
+        assert int(tfs.max()) == r["max_tf"]
+        by_key.setdefault(r["field"], []).append(ids)
+    all_ids = np.concatenate(by_key["content"])
+    assert np.all(np.diff(all_ids) > 0), "bucket-range layout ⇒ global doc_id order"
+    # postings match the uncompressed truth
+    truth = sorted(
+        r["doc_id"]
+        for r in tokens.filter(
+            (F.col("term") == "def") & (F.col("field") == "content")
+        ).collect()
+    )
+    assert all_ids.tolist() == truth
+
+
+def test_rank_identity_wand_vs_exact(spark, corpus_ix):
+    docs, cfg, tokens, dls, stats, ix = corpus_ix
+    n_docs = ix.n_docs
+    avgdl = {r["field"]: float(r["avgdl"]) for r in stats.collect()}
+    for q in QUERIES:
+        terms = analyze_query(q)
+        exact = score_exact(tokens, dls, n_docs, avgdl, terms, cfg, k=10).collect()
+        wand = search(ix, q, k=10, cfg=cfg).collect()
+        assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exact], q
+        for a, b in zip(wand, exact):
+            assert a["score"] == pytest.approx(b["score"], rel=1e-9), q
+
+
+def test_search_batch_matches_single(spark, corpus_ix):
+    docs, cfg, tokens, dls, stats, ix = corpus_ix
+    batch = search_batch(ix, dict(enumerate(QUERIES)), k=10, cfg=cfg).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(QUERIES):
+        single = search(ix, q, k=10, cfg=cfg).collect()
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single], q
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_write_read_index_roundtrip(spark, corpus_ix, tmp_path):
+    docs, cfg, tokens, dls, stats, ix = corpus_ix
+    root = str(tmp_path / "ix")
+    write_index(ix, root, term_partitions=4)
+    ix2 = read_index(spark, root, cfg)
+    got = search(ix2, "def return", k=5, cfg=cfg).collect()
+    want = search(ix, "def return", k=5, cfg=cfg).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_empty_query_and_no_hits(spark, corpus_ix):
+    docs, cfg, tokens, dls, stats, ix = corpus_ix
+    assert search(ix, "", k=5, cfg=cfg).count() == 0
+    assert search(ix, "%%% !!!", k=5, cfg=cfg).count() == 0
+    # all subtokens absent from the corpus vocabulary
+    assert search(ix, "xyzzyq plugh", k=5, cfg=cfg).count() == 0
