@@ -159,11 +159,14 @@ def build_postings(
     cfg = cfg or IndexConfig()
     avgdl_by_field = {r["field"]: float(r["avgdl"]) for r in stats.collect()}
 
-    dls = doc_lengths(tokens)
-    tk = tokens.join(dls, on=["doc_id", "field"])
+    tk = tokens
+    if "dl" not in tk.columns:
+        tk = tk.join(doc_lengths(tokens), on=["doc_id", "field"])
+    if "bucket" not in tk.columns:
+        tk = tk.withColumn("bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits))
 
     grouped = (
-        tk.withColumn("bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits))
+        tk
         .groupBy("term", "field", "bucket")
         .agg(
             F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("p")
