@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship: run the full fulltext engine (flatten →
+                tokenize → compressed block-max postings → BM25
+                top-k) over the sf0.001 documents table.
+``queries``   — one entry per implemented operator from SURVEY.md §2
+                and the training-data operator families (dedup,
+                similarity, text analysis, closures, windows…).
+``oracle_sql``— the DuckDB-runnable ANSI-SQL twin of each query.
 """
 
 from __future__ import annotations
@@ -12,27 +14,61 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents table onto the engine's corpus
+    schema (repo, path, commit, lang, content) — BASELINE.json
+    input_hint shape."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(
+            F.col("source"), F.lit("/doc"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full engine path
+    (code-aware tokenize → bucketed compressed postings → block-max
+    BM25 top-20)."""
+    from golr_loader_spark.plans.bm25 import search
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.documents import flatten_documents
+
+    corpus = _documents_as_corpus(spark, "/root/testdata/sf0.001")
+    ix = build_index(flatten_documents(corpus))
+    return search(ix, "data query spark", k=20)
+
+
+def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index WAND path over the documents corpus (rows-only
+    driver check — the code-aware analyzer is not SQL-expressible; its
+    rank-identity vs the exact scorer is pytest-gated instead)."""
+    from golr_loader_spark.plans.bm25 import search
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.documents import flatten_documents
+
+    ix = build_index(flatten_documents(_documents_as_corpus(spark, sf_dir)))
+    return search(ix, "data query spark", k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from golr_loader_spark.operators.relational import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in QUERIES.items()
+    }
+    out["engine_bm25_wand"] = _engine_bm25_wand
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from golr_loader_spark.operators.relational import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,188 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference operators (per the build brief): exact dedup,
+n-gram Jaccard, MinHash+LSH, SimHash. All pure DataFrame/Catalyst —
+every step is an equi-join or aggregation with map-side combine, so
+each scales by partitioning on the blocking key (hash, shingle,
+band signature) with no driver-side state.
+
+Hash function note: ``md5``-prefix → bigint is used (not xxhash64)
+because it is reproducible in ANSI SQL engines — the DuckDB oracle
+computes the identical values, making every operator here
+value-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# (a_i, b_i) parameters for 8 universal hash functions over a Mersenne
+# prime field — fixed constants so Spark and any SQL oracle agree.
+MINHASH_PARAMS = [
+    (1299721, 104729),
+    (15485863, 32452843),
+    (49979687, 86028121),
+    (67867967, 2038074743),
+    (122949823, 141650939),
+    (198491317, 256203161),
+    (295075147, 314606869),
+    (370248451, 404188577),
+]
+MERSENNE_P = (1 << 61) - 1
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in SQL:
+    bigint(first 15 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-free dedup: one hash-groupBy. → (fingerprint,
+    n_copies, canonical_id = min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (id, shingle); docs
+    shorter than n tokens yield none. Built with sequence/transform —
+    no explode-then-window, the shingling stays inside one projection
+    until the final explode."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold → (id_a, id_b,
+    jaccard). Self-join blocked on shared shingles; shingles hotter
+    than ``max_shingle_df`` are dropped first (stop-shingle removal —
+    the skew guard that keeps the join linear at corpus scale)."""
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+    sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature rows → (id, h, minhash) for h in 0..7.
+    h_i(x) = (a_i·x + b_i) mod 2^61-1 over the 32-bit shingle hash —
+    32 bits so a_i·x never overflows int64 (a_i < 2^31), keeping the
+    arithmetic bit-identical between Spark and any SQL oracle."""
+    sh = word_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "x", hash64(F.col("shingle")) % F.lit(4294967296)
+    )
+    per_hash = [
+        sh.select(
+            "id",
+            F.lit(i).alias("h"),
+            ((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias("hx"),
+        )
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    allh = per_hash[0]
+    for p in per_hash[1:]:
+        allh = allh.unionAll(p)
+    return allh.groupBy("id", "h").agg(F.min("hx").alias("minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, band_size: int = 2) -> DataFrame:
+    """Band the signatures and emit pairs sharing any band →
+    (id_a, id_b). The banded group-join is the scale path: candidate
+    generation never compares all pairs, only docs colliding in a
+    band bucket."""
+    banded = (
+        signatures.withColumn("band", (F.col("h") / band_size).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("h", "minhash"))).alias("sig"))
+        .withColumn("sig_key", F.md5(F.to_json(F.struct("band", "sig"))))
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, "sig_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (tf-weighted) →
+    (id, simhash). Cross join with a bit-position dimension (32 rows,
+    broadcast) keeps the whole computation in Catalyst."""
+    spark = df.sparkSession
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("x", hash64(F.col("tok")))
+    )
+    bitdim = spark.range(bits).select(F.col("id").cast("int").alias("b"))
+    return (
+        toks.crossJoin(F.broadcast(bitdim))
+        .withColumn(
+            "contrib",
+            (F.expr("shiftrightunsigned(x, b)") % 2 * 2 - 1) * F.col("tf"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.col("bit").cast("long") * F.expr("shiftleft(cast(1 as bigint), b)")
+            ).alias("simhash")
+        )
+    )
+
+
+def keep_canonical(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-dedup retention: keep the min-id doc per fingerprint
+    (the degenerate fast path every pipeline runs first)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

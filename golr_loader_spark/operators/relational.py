@@ -1,0 +1,826 @@
+"""Driver-facing operator inventory: every implemented operator from
+SURVEY.md §2 (+ the training-data operator families) as a named query
+over the /root/testdata tables, each paired with the ANSI-SQL oracle
+the driver runs in DuckDB.
+
+Float discipline (so Spark and DuckDB value-hashes agree):
+* money aggregates go through DECIMAL(18,2/4) so sums are exact, then
+  cast to double (deterministic) and rounded;
+* ratios of integers are single double divisions (bit-identical);
+* multi-term float sums (BM25, cosine) are rounded to 4-6 digits and
+  ranked BY the rounded value with an integer tie-break.
+
+Registry shape: QUERIES[name] = (fn(spark, sf_dir) -> DataFrame,
+oracle_sql | None).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from golr_loader_spark.operators import dedup as dd
+from golr_loader_spark.operators import similarity as sim
+from golr_loader_spark.operators import textstats as ts
+from golr_loader_spark.operators.closures import bfs_closure, closure_fields
+from golr_loader_spark.sources.testdata import load
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------- #
+# TPC-H-style relational operators (SURVEY.md §2.2/2.3/2.5/2.6/2.7)
+# --------------------------------------------------------------------- #
+
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A1-analog streaming aggregation (GolrLoader.java:376-463's
+    group-merge, restated as groupBy+agg)."""
+    l = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """W4 ranking window: top-3 orders by value per customer."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_Q02 = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """J1-analog 3-way equi-join + agg + top-k (TPC-H Q3 shape)."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    l = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q03 = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q04_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J6 existence probe decorrelated: orders having a returned line
+    (left_semi), counted per priority — the set-oriented form of
+    SimpleLoader.isPhenotypeConnected's per-row LIMIT 1 probe
+    (SimpleLoader.java:259-273)."""
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_Q04 = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q05_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """5-way join with broadcast dims + agg (TPC-H Q5 shape)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q05 = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q06_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """P3-style pushdown filter + single global agg (TPC-H Q6)."""
+    l = load(spark, sf, "lineitem")
+    rev = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q06 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q07_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS via left_anti: customers with no orders, per nation."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_lonely_customers"))
+    )
+
+
+SQL_Q07 = """
+SELECT n_name, count(*) AS n_lonely_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+def q08_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """U1/U2: UNION-distinct across branches (disease.cypher:4,8)."""
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    a = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select("n_name")
+    b = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select("n_name")
+    return a.union(b).distinct()
+
+
+SQL_Q08 = """
+SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION
+SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q09_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Set intersection at table level (SURVEY.md §2.7)."""
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    big_c = (
+        c.groupBy("c_nationkey").count().filter(F.col("count") >= 30)
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .select("n_name")
+    )
+    any_s = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select("n_name")
+    return big_c.intersect(any_s)
+
+
+SQL_Q09 = """
+SELECT n_name FROM (
+  SELECT c_nationkey FROM customer GROUP BY c_nationkey HAVING count(*) >= 30) t
+JOIN nation ON t.c_nationkey = n_nationkey
+INTERSECT
+SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q10_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (beyond-reference aggregation coverage)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+SQL_Q10 = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q11_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: linestatus columns per returnflag."""
+    l = load(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+SQL_Q11 = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus='O') AS DOUBLE) AS qty_o,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus='F') AS DOUBLE) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q12_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: lag + running-sum windows (gap > 30 min)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800.0), F.lit(1)).otherwise(F.lit(0))
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_Q12 = """
+WITH flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def q13_hourly_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window agg (batch analog of the streaming window)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_Q13 = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- #
+# Closure operators (SURVEY.md §2.4, T1/A7 analogs)
+# --------------------------------------------------------------------- #
+
+
+def _hierarchy_edges(spark: SparkSession, sf: str):
+    c = load(spark, sf, "customer").filter(F.col("c_custkey") <= 50)
+    n = load(spark, sf, "nation")
+    e1 = c.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    seeds = c.select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"))
+    return e1.union(e2), seeds
+
+
+def q14_closure_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 generic BFS closure (ClosureUtil.java:88-114) as an
+    iterative frontier join over a derived hierarchy."""
+    edges, seeds = _hierarchy_edges(spark, sf)
+    return bfs_closure(edges, seeds)
+
+
+SQL_Q14 = """
+WITH RECURSIVE edges AS (
+  SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst
+  FROM customer WHERE c_custkey <= 50
+  UNION ALL
+  SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+), r AS (
+  SELECT 'C' || c_custkey AS start, 'C' || c_custkey AS node, 0 AS depth
+  FROM customer WHERE c_custkey <= 50
+  UNION ALL
+  SELECT r.start, e.dst, r.depth + 1 FROM r JOIN edges e ON r.node = e.src
+)
+SELECT start, node, depth FROM r
+"""
+
+
+def q15_closure_fields(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 closure collectors (ClosureUtil.java:116-161): per-seed
+    id-closure and label-closure in BFS order, as joined strings."""
+    edges, seeds = _hierarchy_edges(spark, sf)
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    labels = (
+        c.select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+            F.col("c_name").alias("label"),
+        )
+        .union(
+            n.select(
+                F.concat(F.lit("N"), F.col("n_nationkey").cast("string")),
+                F.col("n_name"),
+            )
+        )
+        .union(
+            r.select(
+                F.concat(F.lit("R"), F.col("r_regionkey").cast("string")),
+                F.col("r_name"),
+            )
+        )
+    )
+    cl = closure_fields(bfs_closure(edges, seeds), labels)
+    return cl.select(
+        "start",
+        F.array_join("closure_ids", ",").alias("closure_ids_str"),
+        F.array_join("closure_labels", ",").alias("closure_labels_str"),
+    )
+
+
+SQL_Q15 = """
+WITH RECURSIVE edges AS (
+  SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst
+  FROM customer WHERE c_custkey <= 50
+  UNION ALL
+  SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+), labels AS (
+  SELECT 'C' || c_custkey AS id, c_name AS label FROM customer
+  UNION ALL SELECT 'N' || n_nationkey, n_name FROM nation
+  UNION ALL SELECT 'R' || r_regionkey, r_name FROM region
+), r AS (
+  SELECT 'C' || c_custkey AS start, 'C' || c_custkey AS node, 0 AS depth
+  FROM customer WHERE c_custkey <= 50
+  UNION ALL
+  SELECT r.start, e.dst, r.depth + 1 FROM r JOIN edges e ON r.node = e.src
+)
+SELECT r.start,
+       string_agg(r.node, ',' ORDER BY r.depth, r.node) AS closure_ids_str,
+       string_agg(l.label, ',' ORDER BY r.depth, r.node) AS closure_labels_str
+FROM r JOIN labels l ON r.node = l.id
+GROUP BY r.start
+"""
+
+
+# --------------------------------------------------------------------- #
+# Dedup / similarity / text-analysis (training-data operator families)
+# --------------------------------------------------------------------- #
+
+
+def q16_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dd.exact_dedup(d, "doc_id", "text")
+
+
+SQL_Q16 = """
+SELECT md5(text) AS fingerprint, count(*) AS n_copies, min(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q17_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.12, max_shingle_df=100
+    )
+
+
+SQL_Q17 = """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+             i -> array_to_string(string_split(lower(text),' ')[i:i+2], ' '))) AS shingle
+    FROM documents)
+), cold AS (
+  SELECT id, shingle FROM sh
+  WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100)
+), sz AS (SELECT id, count(*) AS sz FROM cold GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.12
+"""
+
+
+def q18_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return dd.minhash_signatures(d, "doc_id", "text")
+
+
+SQL_Q18 = """
+WITH params AS (
+  SELECT * FROM (VALUES
+    (0, 1299721, 104729), (1, 15485863, 32452843), (2, 49979687, 86028121),
+    (3, 67867967, 2038074743), (4, 122949823, 141650939), (5, 198491317, 256203161),
+    (6, 295075147, 314606869), (7, 370248451, 404188577)) AS p(h, a, b)
+), sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+             i -> array_to_string(string_split(lower(text),' ')[i:i+2], ' '))) AS shingle
+    FROM documents WHERE doc_id < 100)
+), hashed AS (
+  SELECT id, CAST(CONCAT('0x', SUBSTR(md5(shingle),1,15)) AS BIGINT) % 4294967296 AS x
+  FROM sh)
+SELECT id, h, min((a * x + b) % 2305843009213693951) AS minhash
+FROM hashed CROSS JOIN params
+GROUP BY id, h
+"""
+
+
+def q19_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return dd.simhash(d, "doc_id", "text")
+
+
+SQL_Q19 = """
+WITH toks AS (
+  SELECT doc_id AS id, t.tok, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+  WHERE doc_id < 100 GROUP BY doc_id, t.tok
+), hashed AS (
+  SELECT id, tf, CAST(CONCAT('0x', SUBSTR(md5(tok),1,15)) AS BIGINT) AS x FROM toks
+), bits AS (
+  SELECT id, b, sum((((x >> b) % 2) * 2 - 1) * tf) AS s
+  FROM hashed CROSS JOIN generate_series(0, 31) AS g(b)
+  GROUP BY id, b)
+SELECT id, sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+FROM bits GROUP BY id
+"""
+
+
+def q20_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.cosine_topk(e, [0, 1, 2, 3, 4], k=10)
+
+
+# The oracle folds the dot product SEQUENTIALLY (list_reduce with a
+# prepended 0.0 accumulator) over double-cast vectors — the same
+# left-to-right float-addition order as Spark's F.aggregate, so the
+# cosine values are bit-identical, not merely close.
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[{a}[i] * {b}[i] for i in generate_series(1, len({a}))]), (x,y) -> x+y)"
+)
+SQL_Q20 = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qvec FROM emb WHERE vec_id IN (0,1,2,3,4)
+), scored AS (
+  SELECT q.query_id, emb.vec_id AS neighbor_id,
+         round({_SQL_DOT.format(a='emb.e', b='q.qvec')} /
+               (sqrt({_SQL_DOT.format(a='emb.e', b='emb.e')}) *
+                sqrt({_SQL_DOT.format(a='q.qvec', b='q.qvec')})), 6) AS cos_sim
+  FROM emb CROSS JOIN q WHERE emb.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
+def q21_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return ts.quality_score(d, "doc_id", "text")
+
+
+_STOP_SQL = ",".join(f"'{s}'" for s in ts.STOPWORDS)
+SQL_Q21 = f"""
+WITH base AS (
+  SELECT doc_id AS id, text, string_split(lower(text), ' ') AS toks FROM documents
+), feat AS (
+  SELECT id,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS sr,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS ar,
+         CASE WHEN length(text) >= 100 AND length(text) <= 4000 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM base)
+SELECT id, round(sr, 6) AS stopword_ratio, round(ar, 6) AS alpha_ratio, len_ok,
+       round(0.5 * sr + 0.3 * ar + 0.2 * len_ok, 6) AS quality
+FROM feat
+"""
+
+
+def q22_token_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    st = ts.token_stats(d, "doc_id", "text").join(
+        d.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return st.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.count("*"), 6).alias("avg_tokens"),
+        F.countDistinct("n_chars").alias("distinct_lengths"),
+    )
+
+
+SQL_Q22 = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       count(DISTINCT length(text)) AS distinct_lengths
+FROM documents GROUP BY lang
+"""
+
+
+def q23_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return ts.lang_id(d, "doc_id", "text")
+
+
+_MARKER_VALUES = ",".join(
+    f"('{w}','{lang}')" for lang, ws in ts.LANG_MARKERS.items() for w in ws
+)
+SQL_Q23 = f"""
+WITH markers(tok, cand) AS (VALUES {_MARKER_VALUES}),
+toks AS (
+  SELECT doc_id AS id, t.tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)),
+counts AS (
+  SELECT id, cand, count(*) AS hits
+  FROM toks JOIN markers USING (tok) GROUP BY id, cand),
+best AS (
+  SELECT id, cand AS lang_guess,
+         row_number() OVER (PARTITION BY id ORDER BY hits DESC, cand ASC) AS rn
+  FROM counts)
+SELECT d.doc_id AS id, coalesce(b.lang_guess, 'und') AS lang_guess
+FROM documents d LEFT JOIN (SELECT id, lang_guess FROM best WHERE rn = 1) b
+  ON d.doc_id = b.id
+"""
+
+
+def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship relational restatement of the fulltext engine: BM25
+    (k1=1.2, b=0.75) top-50 over documents.text with the simple
+    analyzer — the oracle-checkable twin of the compressed-index path
+    (scores rounded to 4, ranked by the rounded value)."""
+    d = load(spark, sf, "documents")
+    terms = ["data", "query", "spark"]
+    n_docs = d.count()
+    toks = (
+        d.select(
+            F.col("doc_id"), F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = (
+        dl.agg((F.sum("dl").cast("double") / F.lit(n_docs)).alias("a")).collect()[0]["a"]
+    )
+    qt = toks.filter(F.col("term").isin(terms))
+    idf = qt.groupBy("term").agg(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.count("*") + F.lit(0.5)) / (F.count("*") + F.lit(0.5))
+        ).alias("idf")
+    )
+    scored = (
+        qt.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.lit(2.2)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_Q24 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('data','query','spark')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 50
+"""
+
+
+def q25_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return ts.fingerprint(d, "doc_id", "text")
+
+
+SQL_Q25 = """
+SELECT doc_id AS id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q26_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding: candidate pairs sharing any 2-hash band."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    sigs = dd.minhash_signatures(d, "doc_id", "text")
+    return dd.lsh_candidate_pairs(sigs, band_size=2)
+
+
+SQL_Q26 = """
+WITH params AS (
+  SELECT * FROM (VALUES
+    (0, 1299721, 104729), (1, 15485863, 32452843), (2, 49979687, 86028121),
+    (3, 67867967, 2038074743), (4, 122949823, 141650939), (5, 198491317, 256203161),
+    (6, 295075147, 314606869), (7, 370248451, 404188577)) AS p(h, a, b)
+), sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+             i -> array_to_string(string_split(lower(text),' ')[i:i+2], ' '))) AS shingle
+    FROM documents WHERE doc_id < 200)
+), hashed AS (
+  SELECT id, CAST(CONCAT('0x', SUBSTR(md5(shingle),1,15)) AS BIGINT) % 4294967296 AS x
+  FROM sh),
+sigs AS (
+  SELECT id, h, min((a * x + b) % 2305843009213693951) AS minhash
+  FROM hashed CROSS JOIN params GROUP BY id, h),
+bands AS (
+  SELECT id, h // 2 AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS sig
+  FROM sigs GROUP BY id, h // 2)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+"""
+
+
+# --------------------------------------------------------------------- #
+# Registry
+# --------------------------------------------------------------------- #
+
+QUERIES: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),
+    "q03_shipping_priority": (q03_shipping_priority, SQL_Q03),
+    "q04_semi_join": (q04_semi_join, SQL_Q04),
+    "q05_region_revenue": (q05_region_revenue, SQL_Q05),
+    "q06_forecast_revenue": (q06_forecast_revenue, SQL_Q06),
+    "q07_anti_join": (q07_anti_join, SQL_Q07),
+    "q08_union_distinct": (q08_union_distinct, SQL_Q08),
+    "q09_intersect": (q09_intersect, SQL_Q09),
+    "q10_rollup": (q10_rollup, SQL_Q10),
+    "q11_pivot": (q11_pivot, SQL_Q11),
+    "q12_sessionize": (q12_sessionize, SQL_Q12),
+    "q13_hourly_events": (q13_hourly_events, SQL_Q13),
+    "q14_closure_bfs": (q14_closure_bfs, SQL_Q14),
+    "q15_closure_fields": (q15_closure_fields, SQL_Q15),
+    "q16_dedup_exact": (q16_dedup_exact, SQL_Q16),
+    "q17_ngram_jaccard": (q17_ngram_jaccard, SQL_Q17),
+    "q18_minhash": (q18_minhash, SQL_Q18),
+    "q19_simhash": (q19_simhash, SQL_Q19),
+    "q20_ann_cosine_topk": (q20_ann_cosine_topk, SQL_Q20),
+    "q21_quality_score": (q21_quality_score, SQL_Q21),
+    "q22_token_stats_by_lang": (q22_token_stats_by_lang, SQL_Q22),
+    "q23_lang_id": (q23_lang_id, SQL_Q23),
+    "q24_bm25_topk": (q24_bm25_topk, SQL_Q24),
+    "q25_fingerprint": (q25_fingerprint, SQL_Q25),
+    "q26_lsh_candidates": (q26_lsh_candidates, SQL_Q26),
+}

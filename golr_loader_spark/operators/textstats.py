@@ -1,0 +1,109 @@
+"""Text-analysis operators: token stats, quality scoring, marker-based
+language ID, document fingerprinting. All pure Catalyst expressions
+(split/size/filter/aggregate) — ANSI-SQL-expressible, so every one is
+DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "from",
+]
+
+# tiny marker lexicons for heuristic language ID
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, n_tokens, avg_token_len) — whitespace tokens."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            (F.length(text_col) - F.size(toks) + 1) / F.size(toks), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + combined score per doc.
+
+    stopword_ratio (fluency proxy), alpha_ratio (symbol noise proxy),
+    length band. score = 0.5·stopword + 0.3·alpha + 0.2·len_ok,
+    rounded — deterministic, SQL-expressible.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    stop_ratio = n_stop / n
+    alpha_ratio = n_alpha / F.length(text_col)
+    len_ok = F.when(
+        (F.length(text_col) >= 100) & (F.length(text_col) <= 4000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        len_ok.alias("len_ok"),
+        F.round(
+            F.lit(0.5) * stop_ratio + F.lit(0.3) * alpha_ratio + F.lit(0.2) * len_ok,
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language guess → (id, lang_guess). Explode tokens,
+    join the broadcast marker lexicon, argmax with deterministic
+    tie-break (marker count desc, lang asc); no hits → 'und'."""
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(w, lang) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "tok string, cand string",
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    counts = (
+        toks.join(F.broadcast(markers), "tok")
+        .groupBy("id", "cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    best = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("hits"), F.asc("cand"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cand").alias("lang_guess"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(best, "id", "left")
+        .select("id", F.coalesce("lang_guess", F.lit("und")).alias("lang_guess"))
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized content fingerprint (whitespace-collapsed, lowered,
+    md5) — the exact-dup key → (id, fp)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    return df.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
