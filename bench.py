@@ -1,0 +1,122 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[k] parallelism (default 32)
+  SPARK_GRAFT_BENCH_DOCS  synthetic corpus size for the index-build
+                          throughput arm (default 60000)
+
+Two arms:
+  1. engine arm — build the full compressed block-max index over a
+     deterministic synthetic corpus (docs/sec) and serve a 20-query
+     BM25 set over it (p95 ms per query via search_batch);
+  2. relational arm — headline operator queries on the driver tables.
+
+Output: {"metric": "headline_suite_wall", "value": <total sec>,
+"unit": "sec", "queries": {name: sec, ...}, "sf": <sf>, ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.corpus import synth_corpus
+    from golr_loader_spark.operators.relational import QUERIES
+    from golr_loader_spark.plans.bm25 import search_batch
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.documents import flatten_documents
+    from golr_loader_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="bench", shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- engine arm: index-build throughput -----------------------------
+    cfg = IndexConfig(bucket_bits=5)
+    docs = flatten_documents(synth_corpus(spark, n_docs, seed=42)).persist()
+    docs.count()  # materialize corpus outside the timed window
+    t0 = time.perf_counter()
+    ix = build_index(docs, cfg)
+    ix.postings = ix.postings.persist()
+    n_blocks = ix.postings.count()  # force full build
+    ix.term_stats = ix.term_stats.persist()
+    ix.term_stats.count()
+    build_s = time.perf_counter() - t0
+    timings["index_build"] = round(build_s, 3)
+    extras["index_docs_per_sec"] = round(n_docs / build_s, 1)
+    extras["index_blocks"] = n_blocks
+    extras["bench_docs"] = n_docs
+
+    # ---- engine arm: BM25 batch query p95 -------------------------------
+    queries = {
+        i: q
+        for i, q in enumerate(
+            [
+                "def return", "import batch", "user_data index", "getUserData",
+                "zq0007", "zq0123 scan", "node_ctx merge", "http server",
+                "main util scan", "query plan exec", "sort join agg",
+                "def import return the", "key_val store", "tmpBuf",
+                "parse json codec", "stream shard", "net sock addr",
+                "row col key", "hash count total", "zq0042 zq0099",
+            ]
+        )
+    }
+    t0 = time.perf_counter()
+    res = search_batch(ix, queries, k=10, cfg=cfg)
+    res.count()
+    batch_s = time.perf_counter() - t0
+    timings["bm25_batch20"] = round(batch_s, 3)
+    # per-query latency distribution (single-query jobs, p95)
+    lat = []
+    for q in list(queries.values())[:8]:
+        from golr_loader_spark.plans.bm25 import search
+
+        t1 = time.perf_counter()
+        search(ix, q, k=10, cfg=cfg).collect()
+        lat.append(time.perf_counter() - t1)
+    lat.sort()
+    extras["bm25_p95_ms"] = round(lat[max(0, int(len(lat) * 0.95) - 1)] * 1000, 1)
+
+    # ---- relational arm --------------------------------------------------
+    headline = [
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_region_revenue",
+        "q12_sessionize",
+        "q17_ngram_jaccard",
+        "q24_bm25_topk",
+    ]
+    for name in headline:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""spark-submit entrypoint.
+
+Usage (cluster):
+  zip -r golr_loader_spark.zip golr_loader_spark
+  spark-submit --py-files golr_loader_spark.zip \\
+      golr_loader_spark/__main__.py build --corpus <path> --out <index_root>
+  spark-submit ... __main__.py query --index <index_root> --q "user_data scan" -k 10
+  spark-submit ... __main__.py synth --out <path> --docs 1000000
+
+In cluster mode the SparkSession comes from spark-submit's conf
+(master/executors set on the command line, N vs 4N by
+--num-executors); locally this falls back to local[*].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_synth(args) -> None:
+    from golr_loader_spark.corpus import synth_corpus
+
+    spark = _spark("golr-synth")
+    synth_corpus(spark, args.docs, seed=args.seed, partitions=args.partitions).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    print(json.dumps({"wrote": args.out, "docs": args.docs}))
+
+
+def cmd_build(args) -> None:
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.documents import flatten_documents
+    from golr_loader_spark.plans.manifest import build_index_checkpointed, build_metrics
+
+    spark = _spark("golr-build")
+    corpus = spark.read.parquet(args.corpus)
+    cfg = IndexConfig(bucket_bits=args.bucket_bits, block_size=args.block_size)
+    t0 = time.perf_counter()
+    build_index_checkpointed(
+        flatten_documents(corpus),
+        args.out,
+        cfg,
+        n_doc_splits=args.doc_splits,
+        n_bucket_groups=args.bucket_groups,
+    )
+    wall = time.perf_counter() - t0
+    n = corpus.count()
+    print(json.dumps({"index": args.out, "docs": n, "wall_s": round(wall, 1),
+                      "docs_per_sec": round(n / wall, 1)}))
+    build_metrics(spark, args.out).show(50, truncate=False)
+
+
+def cmd_query(args) -> None:
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import search
+    from golr_loader_spark.plans.manifest import load_checkpointed_index
+
+    spark = _spark("golr-query")
+    cfg = IndexConfig(bucket_bits=args.bucket_bits, block_size=args.block_size)
+    ix = load_checkpointed_index(spark, args.index, cfg)
+    t0 = time.perf_counter()
+    rows = search(ix, args.q, k=args.k, cfg=cfg).collect()
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "query": args.q, "k": args.k, "wall_ms": round(wall * 1000, 1),
+        "hits": [{"doc_id": r["doc_id"], "score": round(r["score"], 6)} for r in rows],
+    }))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="golr_loader_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="write a deterministic synthetic corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--docs", type=int, default=100_000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--partitions", type=int, default=None)
+    s.set_defaults(fn=cmd_synth)
+
+    b = sub.add_parser("build", help="checkpointed index build (resumable)")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--doc-splits", type=int, default=4)
+    b.add_argument("--bucket-groups", type=int, default=4)
+    b.add_argument("--bucket-bits", type=int, default=5)
+    b.add_argument("--block-size", type=int, default=128)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--bucket-bits", type=int, default=5)
+    q.add_argument("--block-size", type=int, default=128)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -23,12 +23,14 @@ import numpy as np
 _MAXB = 10  # max varint bytes for a uint64
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized over rows."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized over rows.
+    Returns (byte stream as uint8 array, per-value byte counts) so
+    callers can segment the stream without re-encoding."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: 1 + floor(bit_length-1 / 7)
     nb = np.ones(n, dtype=np.int64)
     for k in range(1, _MAXB):
@@ -45,6 +47,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = (nb[mask] > b + 1).astype(np.uint8) << 7
         out[starts[mask] + b] = byte | cont
         rem[mask] >>= np.uint64(7)
+    return out, nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized over rows."""
+    out, _nb = varint_encode_with_sizes(values)
     return out.tobytes()
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 
 from golr_loader_spark.config import IndexConfig
 
-TOKENS_SCHEMA = "doc_id long, field string, term string, tf int"
+TOKENS_SCHEMA = "doc_id long, field string, term string, tf int, dl int"
 
 # raw lexical tokens: identifiers (incl. _) or integer literals
 _RAW_TOKEN = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -36,22 +36,72 @@ _SUBWORD = r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+"
 
 def _code_tokens(texts: pd.Series) -> pd.DataFrame:
     """Vectorized: Series[str] indexed by doc position → DataFrame
-    (doc index, term) with one row per token occurrence."""
+    (doc index, term) with one row per token occurrence.
+
+    The subword split runs only on the batch's UNIQUE raw tokens
+    (factorize), then expands back by occurrence with numpy repeats —
+    a corpus has millions of occurrences but only thousands of
+    distinct identifiers, so this removes ~99% of the regex work."""
+    import re
+
     raw = texts.str.findall(_RAW_TOKEN).explode().dropna()
     if raw.empty:
-        return pd.DataFrame({"pos": [], "term": []})
-    sub = raw.str.findall(_SUBWORD)
-    nsub = sub.str.len()
-    # whole compound identifiers are additionally emitted as terms
-    compound = raw[nsub > 1]
-    flat_sub = sub.explode()
-    terms = pd.concat([flat_sub, compound]).str.lower()
-    return pd.DataFrame({"pos": terms.index, "term": terms.values})
+        return pd.DataFrame({"pos": [], "term": [], "tf": [], "dl": []})
+    positions = raw.index.to_numpy(np.int64)
+    codes, uniques = pd.factorize(raw.to_numpy(), sort=False)
+
+    sub_re = re.compile(_SUBWORD)
+    per_uniq_terms: list[list[str]] = []
+    for u in uniques:
+        subs = sub_re.findall(u)
+        terms = [s.lower() for s in subs]
+        if len(subs) > 1:
+            terms.append(u.lower())
+        per_uniq_terms.append(terms)
+    lens = np.array([len(t) for t in per_uniq_terms], dtype=np.int64)
+    flat_uniq_terms = np.array(
+        [t for terms in per_uniq_terms for t in terms], dtype=object
+    )
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+
+    counts = lens[codes]
+    total = int(counts.sum())
+    out_pos = np.repeat(positions, counts)
+    starts = np.repeat(offsets[codes], counts)
+    within = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)])[:-1], counts
+    )
+    # canonical term codes: identical term strings from different raw
+    # identifiers must share one code ("user" from getUserData AND
+    # user_data), else tf under-counts and posting lists get duplicate
+    # doc_ids
+    term_codes_flat, term_vocab = pd.factorize(flat_uniq_terms, sort=False)
+    tkey = term_codes_flat[starts + within]
+
+    # tf/dl aggregation on integer keys (pos, tkey) — no string groupby
+    L = len(term_vocab)
+    combined = out_pos * L + tkey
+    uniq_keys, tf = np.unique(combined, return_counts=True)
+    agg_pos = uniq_keys // L
+    agg_term = term_vocab[uniq_keys % L]
+    dl = np.bincount(out_pos, minlength=int(positions.max()) + 1 if len(positions) else 0)
+    return pd.DataFrame(
+        {
+            "pos": agg_pos,
+            "term": agg_term,
+            "tf": tf.astype(np.int32),
+            "dl": dl[agg_pos].astype(np.int32),
+        }
+    )
 
 
 def _simple_tokens(texts: pd.Series) -> pd.DataFrame:
     t = texts.str.lower().str.split().explode().dropna()
-    return pd.DataFrame({"pos": t.index, "term": t.values})
+    tok = pd.DataFrame({"pos": t.index, "term": t.values})
+    tf = tok.groupby(["pos", "term"], sort=False).size().reset_index(name="tf")
+    tf["dl"] = tf.groupby("pos", sort=False)["tf"].transform("sum").to_numpy(np.int32)
+    tf["tf"] = tf["tf"].astype(np.int32)
+    return tf
 
 
 _ANALYZERS = {"code": _code_tokens, "path": _code_tokens, "simple": _simple_tokens}
@@ -76,11 +126,14 @@ def analyze_query(text: str, analyzer: str = "code") -> list[str]:
 
 
 def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
-    """documents → (doc_id, field, term, tf).
+    """documents → (doc_id, field, term, tf, dl).
 
     Each configured field name must be a string column of
     ``documents``. tf is complete per output row because one document
-    occupies exactly one input row of the Arrow batch.
+    occupies exactly one input row of the Arrow batch; dl (the doc's
+    token count in that field) rides along so downstream BM25 stages
+    never join a separate doc-length table — one fewer wide shuffle
+    in the index build.
     """
     cfg = cfg or IndexConfig()
     field_spec = [(f, a) for f, (a, _b) in cfg.fields.items()]
@@ -94,25 +147,21 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
             pdf = pdf.reset_index(drop=True)
             out = []
             for fname, analyzer in field_spec:
-                tok = _ANALYZERS[analyzer](pdf[fname])
-                if not len(tok):
+                agg = _ANALYZERS[analyzer](pdf[fname])
+                if not len(agg):
                     continue
                 if min_len > 1:
-                    tok = tok[tok["term"].str.len() >= min_len]
-                tf = (
-                    tok.groupby(["pos", "term"], sort=False)
-                    .size()
-                    .reset_index(name="tf")
-                )
+                    # dl still counts all emitted tokens (pre-filter)
+                    agg = agg[agg["term"].str.len() >= min_len]
+                pos = agg["pos"].to_numpy(np.int64)
                 out.append(
                     pd.DataFrame(
                         {
-                            "doc_id": pdf["doc_id"].to_numpy()[
-                                tf["pos"].to_numpy(np.int64)
-                            ],
+                            "doc_id": pdf["doc_id"].to_numpy()[pos],
                             "field": fname,
-                            "term": tf["term"].to_numpy(),
-                            "tf": tf["tf"].to_numpy(np.int32),
+                            "term": agg["term"].to_numpy(),
+                            "tf": agg["tf"].to_numpy(np.int32),
+                            "dl": agg["dl"].to_numpy(np.int32),
                         }
                     )
                 )

@@ -99,9 +99,11 @@ def score_exact(
         *[F.lit(x) for kv in avgdl_by_field.items() for x in kv]
     )
 
+    matched = tokens.filter(F.col("term").isin(terms))
+    if "dl" not in tokens.columns:
+        matched = matched.join(dls, on=["doc_id", "field"])
     cand = (
-        tokens.filter(F.col("term").isin(terms))
-        .join(dls, on=["doc_id", "field"])
+        matched
         .join(F.broadcast(weights), on=["term", "field"])
         .withColumn(
             "contrib",

@@ -34,12 +34,13 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from golr_loader_spark.config import IndexConfig
-from golr_loader_spark.functions.codec import varint_encode
+from golr_loader_spark.functions.codec import varint_encode_with_sizes
 from golr_loader_spark.functions.tokenize import tokenize
 
 POSTINGS_SCHEMA = pa.schema(
@@ -65,7 +66,11 @@ def bucket_of(doc_id_col, bucket_bits: int):
 
 
 def doc_lengths(tokens: DataFrame) -> DataFrame:
-    """(doc_id, field, dl) — tokens per document per field."""
+    """(doc_id, field, dl) — tokens per document per field. The
+    tokenizer already rides dl on every token row; when present this
+    is a cheap first() instead of a sum."""
+    if "dl" in tokens.columns:
+        return tokens.groupBy("doc_id", "field").agg(F.first("dl").alias("dl"))
     return tokens.groupBy("doc_id", "field").agg(F.sum("tf").alias("dl"))
 
 
@@ -91,57 +96,201 @@ def term_stats(tokens: DataFrame) -> DataFrame:
     )
 
 
+def _binary_from_segments(
+    data: np.ndarray, seg_bytes: np.ndarray
+) -> pa.Array:
+    """Zero-copy pa.binary array: one value per segment of ``data``."""
+    offsets = np.zeros(len(seg_bytes) + 1, dtype=np.int32)
+    np.cumsum(seg_bytes, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(seg_bytes),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def _encode_groups(
+    terms: pa.Array,
+    fields: pa.Array,
+    buckets: np.ndarray,
+    offs: np.ndarray,
+    flat_ids: np.ndarray,
+    flat_tfs: np.ndarray,
+    flat_dls: np.ndarray,
+    avgdl_g: np.ndarray,
+    cfg: IndexConfig,
+) -> pa.RecordBatch:
+    """Vectorized core: encode posting groups (given by ``offs``
+    boundaries over the flat arrays) into block rows. Every step —
+    delta, varint, block segmentation, block-max — is one numpy pass
+    over ALL groups; no per-group or per-block Python loop."""
+    block = cfg.block_size
+    k1, b = cfg.k1, cfg.b
+    G = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    total = int(offs[-1])
+
+    g_rep = np.repeat(np.arange(G), lens)
+    pos_in_group = np.arange(total) - np.repeat(offs[:-1], lens)
+
+    blocks_per_group = (lens + block - 1) // block
+    block_offsets = np.concatenate([[0], np.cumsum(blocks_per_group)])
+    starts = np.flatnonzero(pos_in_group % block == 0)
+    n_blocks = int(blocks_per_group.sum())
+    block_lens = np.diff(np.append(starts, total))
+    block_group = np.repeat(np.arange(G), blocks_per_group)
+    block_id = np.arange(n_blocks) - block_offsets[block_group]
+
+    # deltas (uint64 wraparound at group/block starts is overwritten
+    # with 0, so signed overflow across boundaries is harmless)
+    u = flat_ids.astype(np.uint64)
+    deltas = np.empty(total, dtype=np.uint64)
+    deltas[1:] = u[1:] - u[:-1]
+    deltas[starts] = 0
+
+    tfs_f = flat_tfs.astype(np.float64)
+    dls_f = flat_dls.astype(np.float64)
+    w = tfs_f / (tfs_f + k1 * (1.0 - b + b * dls_f / avgdl_g[g_rep]))
+
+    id_bytes, id_nb = varint_encode_with_sizes(deltas)
+    tf_bytes, tf_nb = varint_encode_with_sizes(flat_tfs.astype(np.uint64))
+    dl_bytes, dl_nb = varint_encode_with_sizes(flat_dls.astype(np.uint64))
+
+    take = pa.array(block_group)
+    arrays = [
+        terms.take(take),
+        fields.take(take),
+        pa.array(buckets.astype(np.int32)).take(take),
+        pa.array(block_id.astype(np.int32)),
+        pa.array(block_lens.astype(np.int32)),
+        pa.array(flat_ids[starts]),
+        _binary_from_segments(id_bytes, np.add.reduceat(id_nb, starts)),
+        _binary_from_segments(tf_bytes, np.add.reduceat(tf_nb, starts)),
+        _binary_from_segments(dl_bytes, np.add.reduceat(dl_nb, starts)),
+        pa.array(np.maximum.reduceat(tfs_f, starts).astype(np.int32)),
+        pa.array(np.maximum.reduceat(w, starts)),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=POSTINGS_SCHEMA)
+
+
 def _encode_batches(
     cfg: IndexConfig, avgdl_by_field: dict[str, float]
 ) -> "callable":
-    block = cfg.block_size
-    k1, b = cfg.k1, cfg.b
+    """Streaming flat-row block encoder for mapInArrow.
+
+    Input batches are FLAT posting rows (term, field, bucket, doc_id,
+    tf, dl), hash-partitioned by (term, field, bucket) and sorted by
+    (term, field, bucket, doc_id) within the partition. Group
+    boundaries are detected vectorized; the (possibly incomplete)
+    trailing group of each batch is carried over and prepended to the
+    next, so NO posting list is ever materialized as a single row —
+    the giant-row / executor-OOM failure mode of collect_list on a
+    hot term simply cannot occur, at any scale."""
 
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pend: dict | None = None
         for rb in batches:
-            ids_col = rb.column(rb.schema.get_field_index("ids"))
-            tfs_col = rb.column(rb.schema.get_field_index("tfs"))
-            dls_col = rb.column(rb.schema.get_field_index("dls"))
-            # zero-copy flat buffers + per-group offsets
-            flat_ids = ids_col.values.to_numpy(zero_copy_only=False)
-            flat_tfs = tfs_col.values.to_numpy(zero_copy_only=False)
-            flat_dls = dls_col.values.to_numpy(zero_copy_only=False)
-            offs = ids_col.offsets.to_numpy(zero_copy_only=False)
-            terms = rb.column(0).to_pylist()
-            fields = rb.column(1).to_pylist()
+            if rb.num_rows == 0:
+                continue
+            terms = rb.column(0)
+            fields = rb.column(1)
             buckets = rb.column(2).to_numpy(zero_copy_only=False)
+            ids = rb.column(3).to_numpy(zero_copy_only=False)
+            tfs = rb.column(4).to_numpy(zero_copy_only=False)
+            dls = rb.column(5).to_numpy(zero_copy_only=False)
 
-            out: dict[str, list] = {k: [] for k in POSTINGS_SCHEMA.names}
-            for g in range(len(terms)):
-                lo, hi = offs[g], offs[g + 1]
-                ids = flat_ids[lo:hi]
-                tfs = flat_tfs[lo:hi]
-                dls = flat_dls[lo:hi]
-                avgdl = avgdl_by_field[fields[g]]
-                w = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-                n = hi - lo
-                for blk, s in enumerate(range(0, n, block)):
-                    e = min(s + block, n)
-                    bi, bt, bd = ids[s:e], tfs[s:e], dls[s:e]
-                    deltas = np.empty(e - s, dtype=np.uint64)
-                    deltas[0] = 0
-                    if e - s > 1:
-                        deltas[1:] = np.diff(bi).astype(np.uint64)
-                    out["term"].append(terms[g])
-                    out["field"].append(fields[g])
-                    out["bucket"].append(int(buckets[g]))
-                    out["block_id"].append(blk)
-                    out["n"].append(int(e - s))
-                    out["doc_id_first"].append(int(bi[0]))
-                    out["doc_ids"].append(varint_encode(deltas))
-                    out["tfs"].append(varint_encode(bt.astype(np.uint64)))
-                    out["dls"].append(varint_encode(bd.astype(np.uint64)))
-                    out["max_tf"].append(int(bt.max()))
-                    out["max_w"].append(float(w[s:e].max()))
-            if out["term"]:
-                yield pa.RecordBatch.from_pydict(out, schema=POSTINGS_SCHEMA)
+            # group keys without string compares: dictionary-encode.
+            # Codes are appearance-ordered (not sort-ordered) — fine,
+            # we only need equal-key runs, and input is grouped.
+            tcodes = pa.compute.dictionary_encode(terms).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            fcodes = pa.compute.dictionary_encode(fields).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            bmin = np.int64(buckets.min())
+            brange = np.int64(buckets.max()) - bmin + 1
+            key = (tcodes * (fcodes.max() + 1) + fcodes) * brange + (
+                buckets.astype(np.int64) - bmin
+            )
+
+            if pend is not None:
+                # pending tail continues iff first key here equals its
+                # key fingerprint (same term/field/bucket values)
+                cont = (
+                    pend["term"] == terms[0].as_py()
+                    and pend["field"] == fields[0].as_py()
+                    and pend["bucket"] == int(buckets[0])
+                )
+                if cont:
+                    ne = key != key[0]
+                    head_len = int(np.argmax(ne)) if ne.any() else len(key)
+                    pend["ids"] = np.concatenate([pend["ids"], ids[:head_len]])
+                    pend["tfs"] = np.concatenate([pend["tfs"], tfs[:head_len]])
+                    pend["dls"] = np.concatenate([pend["dls"], dls[:head_len]])
+                    terms, fields = terms[head_len:], fields[head_len:]
+                    buckets, ids = buckets[head_len:], ids[head_len:]
+                    tfs, dls, key = tfs[head_len:], dls[head_len:], key[head_len:]
+                    if len(ids) == 0:
+                        continue
+                out = _flush_pend(pend, avgdl_by_field, cfg)
+                if out is not None:
+                    yield out
+                pend = None
+
+            # boundaries of sorted keys
+            change = np.flatnonzero(np.diff(key) != 0) + 1
+            offs = np.concatenate([[0], change, [len(key)]])
+            # last group → pend (may continue in the next batch)
+            last_lo = int(offs[-2])
+            pend = {
+                "term": terms[last_lo].as_py(),
+                "field": fields[last_lo].as_py(),
+                "bucket": int(buckets[last_lo]),
+                "ids": ids[last_lo:].copy(),
+                "tfs": tfs[last_lo:].copy(),
+                "dls": dls[last_lo:].copy(),
+            }
+            if len(offs) > 2:
+                g_starts = offs[:-2].astype(np.int64)
+                avgdl_g = (
+                    pd.Series(fields.take(pa.array(g_starts)).to_pandas())
+                    .map(avgdl_by_field)
+                    .to_numpy(np.float64)
+                )
+                yield _encode_groups(
+                    terms.take(pa.array(g_starts)),
+                    fields.take(pa.array(g_starts)),
+                    buckets[g_starts],
+                    offs[:-1] - 0,
+                    ids[:last_lo],
+                    tfs[:last_lo],
+                    dls[:last_lo],
+                    avgdl_g,
+                    cfg,
+                )
+        if pend is not None:
+            out = _flush_pend(pend, avgdl_by_field, cfg)
+            if out is not None:
+                yield out
 
     return encode
+
+
+def _flush_pend(pend: dict, avgdl_by_field: dict[str, float], cfg: IndexConfig):
+    if len(pend["ids"]) == 0:
+        return None
+    return _encode_groups(
+        pa.array([pend["term"]]),
+        pa.array([pend["field"]]),
+        np.array([pend["bucket"]]),
+        np.array([0, len(pend["ids"])], dtype=np.int64),
+        pend["ids"],
+        pend["tfs"],
+        pend["dls"],
+        np.array([avgdl_by_field[pend["field"]]], dtype=np.float64),
+        cfg,
+    )
 
 
 def build_postings(
@@ -149,12 +298,17 @@ def build_postings(
     stats: DataFrame,
     cfg: IndexConfig | None = None,
 ) -> DataFrame:
-    """tokens(doc_id, field, term, tf) → compressed block-max postings.
+    """tokens(doc_id, field, term, tf, dl) → compressed block-max
+    postings.
 
-    Plan: join dl → groupBy (term, field, bucket) with sort_array'd
-    aligned arrays → Arrow-native block encode. The groupBy is the
-    engine's only wide shuffle; bucketing bounds every group to
-    ≤ n_docs / 2**bucket_bits rows regardless of term frequency.
+    Plan: hash-repartition flat token rows on (term, field, bucket),
+    Tungsten radix-sort within partitions on (term, field, bucket,
+    doc_id), then stream them through the Arrow-native block encoder.
+    This is the engine's only wide shuffle, it moves flat columnar
+    rows (never materialized lists — a collect_list of a hot term
+    would be a single giant JVM row, the classic skew OOM), and the
+    bucket key bounds per-group work to ≤ n_docs / 2**bucket_bits
+    postings regardless of term hotness.
     """
     cfg = cfg or IndexConfig()
     avgdl_by_field = {r["field"]: float(r["avgdl"]) for r in stats.collect()}
@@ -165,27 +319,17 @@ def build_postings(
     if "bucket" not in tk.columns:
         tk = tk.withColumn("bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits))
 
-    grouped = (
-        tk
-        .groupBy("term", "field", "bucket")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("p")
-        )
-        .select(
-            "term",
-            "field",
-            "bucket",
-            F.col("p.doc_id").alias("ids"),
-            F.col("p.tf").alias("tfs"),
-            F.col("p.dl").alias("dls"),
-        )
+    flat = (
+        tk.select("term", "field", "bucket", "doc_id", "tf", "dl")
+        .repartition("term", "field", "bucket")
+        .sortWithinPartitions("term", "field", "bucket", "doc_id")
     )
     spark_schema = (
         "term string, field string, bucket int, block_id int, n int, "
         "doc_id_first long, doc_ids binary, tfs binary, dls binary, "
         "max_tf int, max_w double"
     )
-    return grouped.mapInArrow(_encode_batches(cfg, avgdl_by_field), spark_schema)
+    return flat.mapInArrow(_encode_batches(cfg, avgdl_by_field), spark_schema)
 
 
 @dataclass
@@ -205,9 +349,16 @@ class InvertedIndex:
 def build_index(
     documents: DataFrame, cfg: IndexConfig | None = None
 ) -> InvertedIndex:
-    """documents → in-memory InvertedIndex (no persistence)."""
+    """documents → in-memory InvertedIndex (no persistence).
+
+    Tokens are persisted (memory+disk) because three downstream
+    consumers (stats, postings, term_stats) would otherwise re-run the
+    tokenizer; the checkpointed build (plans.manifest) achieves the
+    same by writing tokens to parquet once."""
+    from pyspark import StorageLevel
+
     cfg = cfg or IndexConfig()
-    tokens = tokenize(documents, cfg)
+    tokens = tokenize(documents, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     dls = doc_lengths(tokens)
     stats = corpus_stats(documents, dls).cache()
     return InvertedIndex(

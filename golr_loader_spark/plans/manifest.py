@@ -43,7 +43,6 @@ from golr_loader_spark.plans.build_index import (
     InvertedIndex,
     bucket_of,
     build_postings,
-    doc_lengths,
 )
 
 MANIFEST_SCHEMA = (
@@ -147,8 +146,7 @@ def build_index_checkpointed(
             F.count("*").alias("n"),
             F.coalesce(F.sum(F.crc32(F.col("content_sha256"))), F.lit(0)).alias("ck"),
         ).collect()[0]
-        toks = tokenize(sub, cfg)
-        toks = toks.join(doc_lengths(toks), on=["doc_id", "field"]).withColumn(
+        toks = tokenize(sub, cfg).withColumn(
             "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits)
         )
         out = f"{root}/tokens/split={s}"

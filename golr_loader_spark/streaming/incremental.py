@@ -1,0 +1,136 @@
+"""Incremental indexing via Structured Streaming.
+
+The reference is strictly batch (SURVEY.md §2.9); its only
+incremental behavior is the 10k-doc Solr commit loop
+(GolrLoader.java:401-404). The Spark-native upgrade: treat newly
+arriving corpus files as a stream and fold each micro-batch into the
+persistent index with ``foreachBatch`` — every micro-batch reuses the
+exact batch build (tokenize → bucketed postings), appending
+bucket-disjoint... no: doc-disjoint posting rows, so reads merge by
+(term, field, bucket) across commits.
+
+Query-time semantics over an incrementally-built index: posting
+blocks for one (term, field, bucket) may now arrive from several
+commits with interleaved doc ranges, so the WAND scorer sorts each
+list's decoded postings rather than assuming block order — handled by
+``bm25._score_bucket_factory`` operating per bucket (bucket-level
+doc-range disjointness still holds *within* a commit; across commits
+the scorer's per-bucket concatenation is order-insensitive because
+scoring is per-doc accumulation, not a merge-join).
+
+Also provided: the windowed streaming aggregation demo
+(watermark + tumbling window) over the events table, the Structured
+Streaming counterpart of q13_hourly_events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.corpus import CORPUS_SCHEMA
+from golr_loader_spark.functions.tokenize import tokenize
+from golr_loader_spark.plans.build_index import build_postings, doc_lengths
+from golr_loader_spark.plans.documents import flatten_documents
+
+
+def incremental_index_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_root: str,
+    stats_df: DataFrame,
+    cfg: IndexConfig | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Watch ``corpus_dir`` for new corpus parquet files; fold each
+    micro-batch into ``index_root``. Returns the StreamingQuery.
+
+    ``stats_df`` (field, n_docs, avgdl) is supplied by the caller —
+    global BM25 stats are a corpus-level property; production refresh
+    is periodic (re-running the stats job), not per-micro-batch.
+    Exactly-once: foreachBatch writes are idempotent per epoch via
+    commit subdirs keyed by batch id.
+    """
+    cfg = cfg or IndexConfig()
+
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(corpus_dir)
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = flatten_documents(batch_df)
+        toks = tokenize(docs, cfg)
+        postings = build_postings(toks, stats_df, cfg)
+        (
+            postings.write.mode("overwrite").parquet(
+                f"{index_root}/postings/epoch={epoch_id}"
+            )
+        )
+        tstats = toks.groupBy("term", "field").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        tstats.write.mode("overwrite").parquet(
+            f"{index_root}/term_stats_partial/epoch={epoch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def merged_incremental_index(
+    spark: SparkSession, index_root: str, stats_df: DataFrame, cfg: IndexConfig | None = None
+):
+    """Load an incrementally-built index: term stats are re-merged
+    across epochs (sum of partials is exact for df/cf)."""
+    from golr_loader_spark.plans.build_index import InvertedIndex
+
+    partials = spark.read.option(
+        "basePath", f"{index_root}/term_stats_partial"
+    ).parquet(f"{index_root}/term_stats_partial/epoch=*")
+    merged = partials.groupBy("term", "field").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    postings = spark.read.option("basePath", f"{index_root}/postings").parquet(
+        f"{index_root}/postings/epoch=*"
+    ).drop("epoch")
+    return InvertedIndex(
+        postings=postings, term_stats=merged, stats=stats_df, cfg=cfg or IndexConfig()
+    )
+
+
+def streaming_hourly_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a parquet-file
+    stream of events (the Structured Streaming counterpart of
+    q13_hourly_events; late rows beyond 1h are dropped by the
+    watermark). Returns the streaming DataFrame; callers attach a
+    sink (tests use the memory sink + availableNow trigger)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def compute_global_stats(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
+    """Corpus-level BM25 stats job for the incremental pipeline."""
+    from golr_loader_spark.plans.build_index import corpus_stats
+
+    cfg = cfg or IndexConfig()
+    toks = tokenize(documents, cfg)
+    return corpus_stats(documents, doc_lengths(toks))

@@ -108,6 +108,28 @@ def test_write_read_index_roundtrip(spark, corpus_ix, tmp_path):
     ]
 
 
+def test_encoder_carryover_small_arrow_batches(spark, corpus_ix):
+    """Groups split across Arrow batches must be stitched by the
+    encoder's carry-over; tiny maxRecordsPerBatch forces many splits."""
+    docs, cfg, tokens, dls, stats, ix = corpus_ix
+    from golr_loader_spark.plans.build_index import build_postings
+
+    key = ["term", "field", "bucket", "block_id"]
+    baseline = {
+        tuple(r[k] for k in key): (r["n"], r["doc_id_first"], r["doc_ids"])
+        for r in ix.postings.collect()
+    }
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        small = {
+            tuple(r[k] for k in key): (r["n"], r["doc_id_first"], r["doc_ids"])
+            for r in build_postings(tokenize(docs, cfg), stats, cfg).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert small == baseline
+
+
 def test_empty_query_and_no_hits(spark, corpus_ix):
     docs, cfg, tokens, dls, stats, ix = corpus_ix
     assert search(ix, "", k=5, cfg=cfg).count() == 0
