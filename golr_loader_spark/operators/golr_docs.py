@@ -1,0 +1,230 @@
+"""Golr-document flattening over graph tables — the set-oriented
+restatement of the reference's row serializer
+(GolrLoader.serializerRow, GolrLoader.java:571-703 +
+SolrDocUtil.addClosures, SolrDocUtil.java:25-89).
+
+Where the reference walks one Cypher result row at a time, computing
+per-node closures through a Guava cache, this operator computes the
+closure quint (id, label, id-closure, label-closure, closure-map) for
+EVERY seed in one iterative-join dataflow and joins it back onto the
+result rows — the decorrelated plan (SURVEY.md §4.1).
+
+Graph tables (FIXTURES.md B):
+  nodes(id long, iri string, label string?, labels array<string>)
+  edges(src long, dst long, type string, iri string?)
+Edges point child→parent (the reference's OUTGOING direction for
+subClassOf/type/subPropertyOf hierarchies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from golr_loader_spark.functions.curie import compact_iri_udf, is_blank_node
+from golr_loader_spark.operators.closures import bfs_closure
+
+# ResultSerializer.java:39-50 — default closure edge types for nodes;
+# relationships close over subPropertyOf (GolrLoader.java:688-692).
+DEFAULT_CLOSURE_TYPES = ["subClassOf", "type", "equivalentClass", "sameAs"]
+REL_CLOSURE_TYPES = ["subPropertyOf"]
+
+
+def closure_quints(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    closure_types: list[str] | None = None,
+    curie_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-seed closure quint → (start, curie, label, closure,
+    closure_label, closure_map).
+
+    * closure arrays are in BFS discovery order (depth, then node id —
+      ClosureTest.java:25-26 asserts discovery order);
+    * anonymous nodes are EXCLUDE_AND_PRUNE'd (ClosureUtil.java:94-105):
+      edges into blank nodes are dropped before the walk;
+    * labels fall back to the CURIE (ClosureUtil.java:70-72);
+    * closure_map is the id→label JSON string (SolrDocUtil.java:86-88).
+
+    ``seeds``: one column ``id`` (node ids).
+    """
+    spark = nodes.sparkSession
+    closure_types = closure_types or DEFAULT_CLOSURE_TYPES
+
+    anon = nodes.filter(is_blank_node(F.col("iri"))).select("id")
+    walk_edges = (
+        edges.filter(F.col("type").isin(closure_types))
+        .select("src", "dst")
+        .join(anon.withColumnRenamed("id", "dst"), "dst", "left_anti")
+    )
+    closure = bfs_closure(walk_edges, seeds)
+
+    compact = compact_iri_udf(spark, curie_map or {})
+    labeled = (
+        closure.join(
+            nodes.select(F.col("id").alias("node"), "iri", "label"), "node"
+        )
+        .withColumn("curie", compact(F.col("iri")))
+        .withColumn("clabel", F.coalesce(F.col("label"), F.col("curie")))
+    )
+    agg = labeled.groupBy("start").agg(
+        F.sort_array(
+            F.collect_list(F.struct("depth", "node", "curie", "clabel"))
+        ).alias("p")
+    )
+    return agg.select(
+        F.col("start"),
+        F.element_at(F.col("p.curie"), 1).alias("curie"),
+        F.element_at(F.col("p.clabel"), 1).alias("label"),
+        F.col("p.curie").alias("closure"),
+        F.col("p.clabel").alias("closure_label"),
+        F.to_json(F.map_from_arrays(F.col("p.curie"), F.col("p.clabel"))).alias(
+            "closure_map"
+        ),
+    )
+
+
+def golr_flatten(
+    results: DataFrame,
+    var_bindings: dict[str, str],
+    nodes: DataFrame,
+    edges: DataFrame,
+    curie_map: dict[str, str] | None = None,
+    closure_overrides: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Flatten result rows into golr docs.
+
+    ``results``: one row per (future) document; node-valued columns
+    hold node ids. ``var_bindings``: output field name → results
+    column. Per-variable closure-type overrides mirror the YAML
+    ``types`` multimap (GolrCypherQuery.java:23, X3). Non-node
+    (primitive) columns of ``results`` pass through unchanged — the
+    P4 type dispatch collapses at compile time because the schema is
+    static.
+
+    Output per variable v: ``v, v_label, v_closure, v_closure_label,
+    v_closure_map`` (single-valued fields kept scalar; the reference
+    emits them as 1-element arrays into Solr's multi-valued fields —
+    an encoding detail of the sink, not the data).
+    """
+    overrides = closure_overrides or {}
+    out = results
+    for var, col in var_bindings.items():
+        seeds = results.select(F.col(col).alias("id")).distinct()
+        quints = closure_quints(
+            nodes, edges, seeds, overrides.get(var), curie_map
+        )
+        q = quints.select(
+            F.col("start").alias(col),
+            F.col("curie").alias(var),
+            F.col("label").alias(f"{var}_label"),
+            F.col("closure").alias(f"{var}_closure"),
+            F.col("closure_label").alias(f"{var}_closure_label"),
+            F.col("closure_map").alias(f"{var}_closure_map"),
+        )
+        out = out.join(q, col, "left")
+    return out.drop(*{c for c in var_bindings.values()})
+
+
+# GolrLoader.java:157-174 / 649-665 — specialized traversal edge sets
+EQ_CLOSURE_TYPES = ["equivalentClass", "sameAs"]  # T3
+ORTHOLOG_TYPES = [
+    "http://purl.obolibrary.org/obo/RO_HOM0000017",
+    "http://purl.obolibrary.org/obo/RO_HOM0000020",
+]  # T7
+GENE_WALK_TYPES = [
+    "sameAs",
+    "equivalentClass",
+    "partOf",
+    "http://purl.obolibrary.org/obo/GENO_0000418",
+    "variant",
+    "hasGenotype",
+    "derivesFrom",
+]  # T6 (GolrLoader.java:199-210)
+
+
+def equivalence_closure(
+    nodes: DataFrame, edges: DataFrame, seeds: DataFrame
+) -> DataFrame:
+    """T3: equivalentClass+sameAs closure → (start, eq array of iris)
+    (GolrLoader.java:649-665; symmetric edges walked both ways)."""
+    sym = edges.filter(F.col("type").isin(EQ_CLOSURE_TYPES)).select("src", "dst")
+    both = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    cl = bfs_closure(both, seeds)
+    labeled = cl.join(nodes.select(F.col("id").alias("node"), "iri"), "node")
+    return labeled.groupBy("start").agg(
+        F.col("start"),
+        F.array_distinct(
+            F.sort_array(F.collect_list(F.struct("depth", "node", "iri")))["iri"]
+        ).alias("eq"),
+    ).select("start", "eq")
+
+
+def ortholog_closure(
+    nodes: DataFrame, edges: DataFrame, seeds: DataFrame
+) -> DataFrame:
+    """T7: depth-1 walk over homology edges; keep gene-labeled
+    endpoints other than the seed (GolrLoader.java:184-187,271-279)."""
+    hom = edges.filter(F.col("type").isin(ORTHOLOG_TYPES)).select("src", "dst")
+    both = hom.union(hom.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hits = (
+        seeds.join(both, seeds["id"] == both["src"])
+        .join(
+            nodes.select(
+                F.col("id").alias("dst"), F.col("iri").alias("ortholog_iri"), "labels"
+            ),
+            "dst",
+        )
+        .filter(F.array_contains(F.col("labels"), "gene") & (F.col("dst") != F.col("id")))
+    )
+    return hits.groupBy(F.col("id").alias("start")).agg(
+        F.sort_array(F.collect_set("ortholog_iri")).alias("ortholog_closure")
+    )
+
+
+def gene_closure(nodes: DataFrame, edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """T6: walk the gene-resolution edge set; first gene-labeled node
+    in discovery order (GolrLoader.java:199-210,262-269)."""
+    walk = edges.filter(F.col("type").isin(GENE_WALK_TYPES)).select("src", "dst")
+    cl = bfs_closure(walk, seeds)
+    genes = cl.join(
+        nodes.select(F.col("id").alias("node"), "iri", "labels"), "node"
+    ).filter(F.array_contains(F.col("labels"), "gene"))
+    first = genes.groupBy("start").agg(
+        F.min(F.struct("depth", "node", "iri")).alias("m")
+    )
+    return first.select("start", F.col("m.iri").alias("gene_iri"))
+
+
+def relationship_closure(
+    rel_iri_col: str,
+    results: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    curie_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """J4: resolve a relationship's IRI to the node carrying it, then
+    close over subPropertyOf (GolrLoader.java:688-692) → fields
+    ``relationship, relationship_label, relationship_closure, ...``."""
+    rel_nodes = results.select(F.col(rel_iri_col).alias("iri")).distinct().join(
+        nodes, "iri"
+    )
+    quints = closure_quints(
+        nodes, edges, rel_nodes.select("id"), REL_CLOSURE_TYPES, curie_map
+    )
+    q = rel_nodes.select(F.col("iri").alias(rel_iri_col), F.col("id").alias("start")).join(
+        quints, "start"
+    )
+    return results.join(
+        q.select(
+            rel_iri_col,
+            F.col("curie").alias("relationship"),
+            F.col("label").alias("relationship_label"),
+            F.col("closure").alias("relationship_closure"),
+            F.col("closure_label").alias("relationship_closure_label"),
+            F.col("closure_map").alias("relationship_closure_map"),
+        ),
+        rel_iri_col,
+        "left",
+    ).drop(rel_iri_col)
