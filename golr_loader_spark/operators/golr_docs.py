@@ -127,6 +127,42 @@ def golr_flatten(
     return out.drop(*{c for c in var_bindings.values()})
 
 
+def evidence_merge(associations: DataFrame) -> DataFrame:
+    """A1+A2: merge association rows into one doc per (subject,
+    object) with the union of their evidence.
+
+    The reference does this as a sort-based streaming merge that
+    REQUIRES the Cypher query to emit rows ordered by subject, object
+    (GolrLoader.java:76-79, 376-463), accumulating evidence in a
+    byte-serialized TinkerGraph between rows (EvidenceGraphInfo.java:
+    63-81). Here it is one groupBy — Catalyst picks hash or sort
+    aggregation itself, no input-order contract, no serialization
+    round-trip; the evidence "graph" is the deduped edge set rendered
+    to a JSON blob (the BBOP-blob analog, EvidenceProcessor.java:93-99).
+
+    associations: (subject, object, evidence_id, source, defined_by,
+    is_ontology bool, …). P10: ontology-ontology rows contribute no
+    evidence fields (GolrLoader.java:476-488).
+    """
+    ev = F.when(F.col("is_ontology"), F.lit(None)).otherwise(F.col("evidence_id"))
+    src = F.when(F.col("is_ontology"), F.lit(None)).otherwise(F.col("source"))
+    dby = F.when(F.col("is_ontology"), F.lit(None)).otherwise(F.col("defined_by"))
+    return (
+        associations.groupBy("subject", "object")
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list(ev))).alias("evidence"),
+            F.sort_array(F.array_distinct(F.collect_list(src))).alias("source"),
+            # A4: distinct isDefinedBy over all evidence edges
+            F.sort_array(F.array_distinct(F.collect_list(dby))).alias("defined_bys"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn(
+            "evidence_graph",
+            F.to_json(F.struct("subject", "object", "evidence", "source")),
+        )
+    )
+
+
 # GolrLoader.java:157-174 / 649-665 — specialized traversal edge sets
 EQ_CLOSURE_TYPES = ["equivalentClass", "sameAs"]  # T3
 ORTHOLOG_TYPES = [
@@ -180,6 +216,65 @@ def ortholog_closure(
     )
     return hits.groupBy(F.col("id").alias("start")).agg(
         F.sort_array(F.collect_set("ortholog_iri")).alias("ortholog_closure")
+    )
+
+
+TAXON_WALK_TYPES = [
+    "equivalentClass",
+    "sameAs",
+    "subClassOf",
+    "type",
+    "partOf",
+    "subSequenceOf",
+    "variant",
+    "hasGenotype",
+    "derivesFrom",
+]  # T4 walk set (GolrLoader.java:157-174)
+IN_TAXON = "http://purl.obolibrary.org/obo/RO_0002162"
+CHROMOSOME_WALK_TYPES = [
+    "equivalentClass",
+    "sameAs",
+    "subClassOf",
+    "type",
+    "location",
+    "begin",
+    "reference",
+]  # T5 walk set (GolrLoader.java:176-182)
+
+
+def taxon_closure(nodes: DataFrame, edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """T4: walk the taxon edge set from each seed; a node is the
+    seed's taxon iff it is reached by a FINAL inTaxon edge from any
+    closure node (GolrLoader.java:157-174,240-247 — 'accept paths
+    whose last relationship is inTaxon')."""
+    walk = edges.filter(F.col("type").isin(TAXON_WALK_TYPES)).select("src", "dst")
+    cl = bfs_closure(walk, seeds)
+    taxon_edges = edges.filter(F.col("type") == IN_TAXON).select(
+        F.col("src").alias("node"), F.col("dst").alias("taxon_id")
+    )
+    hits = cl.join(taxon_edges, "node").join(
+        nodes.select(F.col("id").alias("taxon_id"), F.col("iri").alias("taxon_iri")),
+        "taxon_id",
+    )
+    return hits.groupBy("start").agg(
+        F.sort_array(F.collect_set("taxon_iri")).alias("taxon_closure")
+    )
+
+
+def chromosome_closure(
+    nodes: DataFrame, edges: DataFrame, seeds: DataFrame, chromosome_ids: DataFrame
+) -> DataFrame:
+    """T5: walk the location edge set; accept closure nodes that are in
+    the entailed chromosome set (GolrLoader.java:176-197,249-258 —
+    membership via semi-join against the entailment set rather than a
+    per-node Cypher probe)."""
+    walk = edges.filter(F.col("type").isin(CHROMOSOME_WALK_TYPES)).select("src", "dst")
+    cl = bfs_closure(walk, seeds)
+    hits = cl.join(
+        chromosome_ids.withColumnRenamed("id", "node"), "node", "left_semi"
+    ).join(nodes.select(F.col("id").alias("node"), "iri"), "node")
+    return hits.groupBy("start").agg(
+        F.sort_array(F.collect_set("iri")).alias("chromosome_closure")
     )
 
 

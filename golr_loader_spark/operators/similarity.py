@@ -96,29 +96,40 @@ def lsh_cosine_topk(
     query_ids: list[int],
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: bucket by hyperplane signature, then
-    exact scoring only within the query's bucket. At corpus scale the
-    bucket equi-join replaces the cross product — candidate count
-    drops ~2^n_planes-fold; recall is tested against the brute path."""
+    """Approximate cosine top-k via MULTI-TABLE random-hyperplane LSH:
+    ``n_tables`` independent signatures of ``n_planes`` bits each; a
+    corpus vector is a candidate if it collides with the query in ANY
+    table (recall ≈ 1-(1-p^b)^L, the classic LSH amplification), then
+    exact scoring on the deduped candidate set. At corpus scale each
+    table is an equi-join on its bucket key — candidate count per
+    table drops ~2^n_planes-fold vs the cross product."""
     dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-    q = (
-        bucketed.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            F.col("bucket").alias("qbucket"),
-        )
+    b = embeddings
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        col = f"b{t}"
+        b = b.withColumn(col, lsh_bucket(F.col(vec_col), planes))
+        bucket_cols.append(col)
+    b = b.cache()
+    q = b.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        *[F.col(c).alias(f"q{c}") for c in bucket_cols],
     )
-    pairs = (
-        bucketed.join(
-            F.broadcast(q), bucketed["bucket"] == q["qbucket"]
+    cand = None
+    for c in bucket_cols:
+        hit = b.join(F.broadcast(q), b[c] == q[f"q{c}"]).select(
+            "query_id", id_col, vec_col, "qvec"
         )
+        cand = hit if cand is None else cand.unionAll(hit)
+    pairs = (
+        cand.dropDuplicates(["query_id", id_col])
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cos_sim",

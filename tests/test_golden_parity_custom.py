@@ -132,3 +132,48 @@ def test_anatomy_path_join_shape(spark, graph):
     assert len(rows) == 1
     assert rows[0]["subject"] == "http://x.org/gene"
     assert rows[0]["object"] == f"{UB}0001890"
+
+
+def test_taxon_and_chromosome_traversals(spark):
+    """T4/T5 on a SimpleLoadSetup-like mini graph
+    (SimpleLoadSetup.java:41-76: gene SHH —sameAs→ eq, gene —inTaxon→
+    human; variant —location→ chr1 region —reference→ chr1)."""
+    from golr_loader_spark.operators.golr_docs import (
+        IN_TAXON,
+        chromosome_closure,
+        taxon_closure,
+    )
+
+    nodes = spark.createDataFrame(
+        [
+            (1, "http://x.org/shh", "SHH", ["gene"]),
+            (2, "http://x.org/shh_eq", None, ["gene"]),
+            (3, "http://x.org/human", "human", ["taxon"]),
+            (4, "http://x.org/variant1", None, ["variant"]),
+            (5, "http://x.org/region1", None, ["region"]),
+            (6, "http://x.org/chr1", "chr1", ["chromosome"]),
+        ],
+        "id long, iri string, label string, labels array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "sameAs", None),
+            (2, 3, IN_TAXON, None),      # taxon reached via the equivalent
+            (4, 1, "variant", None),      # variant → gene (walkable)
+            (4, 5, "location", None),
+            (5, 6, "reference", None),
+        ],
+        "src long, dst long, type string, iri string",
+    )
+    # taxon of the SEED gene: walk sameAs to the equivalent, then the
+    # final inTaxon edge lands on human
+    t = taxon_closure(nodes, edges, spark.createDataFrame([(1,)], "id long")).collect()
+    assert len(t) == 1 and t[0]["taxon_closure"] == ["http://x.org/human"]
+    # a node with no inTaxon anywhere in its closure → no row
+    assert taxon_closure(nodes, edges, spark.createDataFrame([(5,)], "id long")).count() == 0
+
+    chrom_set = nodes.filter("array_contains(labels, 'chromosome')").select("id")
+    c = chromosome_closure(
+        nodes, edges, spark.createDataFrame([(4,)], "id long"), chrom_set
+    ).collect()
+    assert len(c) == 1 and c[0]["chromosome_closure"] == ["http://x.org/chr1"]

@@ -1,0 +1,89 @@
+"""Similarity-operator recall tests + evidence-merge (A1/A2) tests."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from golr_loader_spark.operators.golr_docs import evidence_merge
+from golr_loader_spark.operators.dedup import keep_canonical, lsh_candidate_pairs, minhash_signatures
+from golr_loader_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_cosine_topk,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def test_lsh_topk_recall_vs_brute(spark, sf_dir):
+    """LSH-bucketed ANN is approximate; its hits must be a subset of
+    the corpus and carry identical cosine values where they overlap
+    with the brute-force truth; overlap (recall@10) must be non-trivial."""
+    e = _emb(spark, sf_dir)
+    qids = [0, 1, 2]
+    brute = cosine_topk(e, qids, k=10)
+    approx = lsh_cosine_topk(e, qids, k=10, n_planes=4, n_tables=8)
+    b = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in approx.collect()}
+    overlap = set(a) & set(b)
+    # 8 tables × 4 planes on near-random vectors: amplified recall
+    assert len(overlap) >= 0.4 * len(b)
+    for k in overlap:
+        assert a[k] == b[k]  # exact same cosine where both report
+
+
+def test_embedding_neardup_pairs_symmetric_and_thresholded(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    pairs = embedding_neardup_pairs(e, threshold=0.5, n_planes=3).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.5
+
+
+def test_keep_canonical_idempotent(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = d.union(d)  # every doc duplicated
+    kept = keep_canonical(dup, "doc_id", "text")
+    assert kept.count() == d.count()
+    # idempotent: a second pass removes nothing
+    assert keep_canonical(kept, "doc_id", "text").count() == d.count()
+
+
+def test_lsh_candidates_subset_of_selfjoin(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 60")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, band_size=2).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+
+
+def test_evidence_merge_groups_and_ontology_suppression(spark):
+    rows = [
+        # (subject, object, evidence_id, source, defined_by, is_ontology)
+        ("s1", "o1", "ECO:1", "pubmed:1", "mgi", False),
+        ("s1", "o1", "ECO:2", "pubmed:2", "mgi", False),
+        ("s1", "o1", "ECO:1", "pubmed:1", "zfin", False),  # dup evidence
+        ("s2", "o2", "ECO:9", "pubmed:9", "mgi", True),    # ontology-ontology
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subject string, object string, evidence_id string, source string, "
+        "defined_by string, is_ontology boolean",
+    )
+    got = {(r["subject"], r["object"]): r for r in evidence_merge(df).collect()}
+    d = got[("s1", "o1")]
+    assert d["n_rows"] == 3
+    assert d["evidence"] == ["ECO:1", "ECO:2"]
+    assert d["source"] == ["pubmed:1", "pubmed:2"]
+    assert d["defined_bys"] == ["mgi", "zfin"]
+    blob = json.loads(d["evidence_graph"])
+    assert blob["subject"] == "s1" and blob["evidence"] == ["ECO:1", "ECO:2"]
+    # P10: ontology-ontology association carries no evidence fields
+    d2 = got[("s2", "o2")]
+    assert d2["evidence"] == [] and d2["source"] == []
