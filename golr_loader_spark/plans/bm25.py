@@ -60,7 +60,7 @@ def _idf_table(index: InvertedIndex, terms: list[str]) -> dict[tuple[str, str], 
 
 
 def _avgdl(index: InvertedIndex) -> dict[str, float]:
-    return {r["field"]: float(r["avgdl"]) for r in index.stats.collect()}
+    return index.avgdl_by_field
 
 
 # ---------------------------------------------------------------- exact

@@ -334,16 +334,33 @@ def build_postings(
 
 @dataclass
 class InvertedIndex:
-    """Handle over the persisted (or in-memory) index tables."""
+    """Handle over the persisted (or in-memory) index tables.
+
+    Corpus-level stats are collected once and memoized on the handle —
+    per-query driver lookups read the cached dicts, not the tables."""
 
     postings: DataFrame
     term_stats: DataFrame
     stats: DataFrame  # (field, avgdl, n_docs)
     cfg: IndexConfig
+    _stats_cache: dict | None = None
+
+    def _stats(self) -> dict:
+        if self._stats_cache is None:
+            rows = self.stats.collect()
+            self._stats_cache = {
+                "avgdl": {r["field"]: float(r["avgdl"]) for r in rows},
+                "n_docs": max(int(r["n_docs"]) for r in rows) if rows else 0,
+            }
+        return self._stats_cache
 
     @property
     def n_docs(self) -> int:
-        return int(self.stats.select(F.max("n_docs")).collect()[0][0])
+        return self._stats()["n_docs"]
+
+    @property
+    def avgdl_by_field(self) -> dict[str, float]:
+        return self._stats()["avgdl"]
 
 
 def build_index(
