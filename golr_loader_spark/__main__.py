@@ -40,16 +40,27 @@ def cmd_synth(args) -> None:
 
 
 def cmd_build(args) -> None:
+    import math
+
     from golr_loader_spark.config import IndexConfig
-    from golr_loader_spark.plans.documents import flatten_documents
+    from golr_loader_spark.plans.documents import assign_dense_ids, flatten_documents
     from golr_loader_spark.plans.manifest import build_index_checkpointed, build_metrics
 
     spark = _spark("golr-build")
     corpus = spark.read.parquet(args.corpus)
-    cfg = IndexConfig(bucket_bits=args.bucket_bits, block_size=args.block_size)
+    docs = flatten_documents(corpus)
+    id_space_bits = 64
+    if args.dense_ids:
+        docs = assign_dense_ids(docs).cache()
+        id_space_bits = max(1, math.ceil(math.log2(max(2, docs.count()))))
+    cfg = IndexConfig(
+        bucket_bits=args.bucket_bits,
+        block_size=args.block_size,
+        id_space_bits=id_space_bits,
+    )
     t0 = time.perf_counter()
     build_index_checkpointed(
-        flatten_documents(corpus),
+        docs,
         args.out,
         cfg,
         n_doc_splits=args.doc_splits,
@@ -97,6 +108,12 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--bucket-groups", type=int, default=4)
     b.add_argument("--bucket-bits", type=int, default=5)
     b.add_argument("--block-size", type=int, default=128)
+    b.add_argument(
+        "--dense-ids",
+        action="store_true",
+        help="remap doc_ids to dense ints (3-8x smaller posting id "
+        "streams); query-side needs no flag (buckets are stored)",
+    )
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")

@@ -48,6 +48,10 @@ class IndexConfig:
     bucket_bits: int = 4
     # Minimum term length kept by analyzers.
     min_term_len: int = 1
+    # Bit width of the doc_id space: 64 for xxhash64 ids (default);
+    # ceil(log2 N) when documents carry dense ids (assign_dense_ids),
+    # so range-bucketing splits the dense space evenly.
+    id_space_bits: int = 64
 
     @property
     def n_buckets(self) -> int:

@@ -60,9 +60,11 @@ POSTINGS_SCHEMA = pa.schema(
 )
 
 
-def bucket_of(doc_id_col, bucket_bits: int):
-    """Monotone doc_id → bucket (arithmetic shift keeps sign order)."""
-    return F.shiftright(doc_id_col, 64 - bucket_bits).cast("int")
+def bucket_of(doc_id_col, bucket_bits: int, id_space_bits: int = 64):
+    """Monotone doc_id → bucket (arithmetic shift keeps sign order).
+    ``id_space_bits``: 64 for hash ids, ceil(log2 N) for dense ids."""
+    shift = max(0, id_space_bits - bucket_bits)
+    return F.shiftright(doc_id_col, shift).cast("int")
 
 
 def doc_lengths(tokens: DataFrame) -> DataFrame:
@@ -317,7 +319,7 @@ def build_postings(
     if "dl" not in tk.columns:
         tk = tk.join(doc_lengths(tokens), on=["doc_id", "field"])
     if "bucket" not in tk.columns:
-        tk = tk.withColumn("bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits))
+        tk = tk.withColumn("bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits))
 
     flat = (
         tk.select("term", "field", "bucket", "doc_id", "tf", "dl")

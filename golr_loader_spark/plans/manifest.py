@@ -100,7 +100,8 @@ def _bucket_groups(cfg: IndexConfig, n_groups: int) -> list[list[int]]:
     lives in exactly one group, so per-group posting builds never
     interleave doc ranges (global doc_id order is preserved)."""
     n_b = cfg.n_buckets
-    lo = -(n_b // 2)
+    # signed hash ids span [-n_b/2, n_b/2); dense ids span [0, n_b)
+    lo = -(n_b // 2) if cfg.id_space_bits == 64 else 0
     buckets = list(range(lo, lo + n_b))
     n_groups = min(n_groups, n_b)
     out: list[list[int]] = []
@@ -147,7 +148,7 @@ def build_index_checkpointed(
             F.coalesce(F.sum(F.crc32(F.col("content_sha256"))), F.lit(0)).alias("ck"),
         ).collect()[0]
         toks = tokenize(sub, cfg).withColumn(
-            "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits)
+            "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
         )
         out = f"{root}/tokens/split={s}"
         toks.write.mode("overwrite").partitionBy("bucket").parquet(out)
