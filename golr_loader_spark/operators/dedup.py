@@ -81,11 +81,20 @@ def ngram_jaccard_pairs(
     jaccard). Self-join blocked on shared shingles; shingles hotter
     than ``max_shingle_df`` are dropped first (stop-shingle removal —
     the skew guard that keeps the join linear at corpus scale)."""
-    sh = word_shingles(df, id_col, text_col, n).cache()
-    hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
-    sh = sh.join(hot, "shingle", "left_anti")
+    sh = word_shingles(df, id_col, text_col, n)
+    counts = sh.groupBy("shingle").count().cache()
+    hot = counts.filter(F.col("count") > max_shingle_df)
+    sh = sh.join(hot, "shingle", "left_anti").cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # only shingles shared by ≥2 docs can produce a pair — dropping
+    # df=1 shingles (the vast majority) shrinks the self-join input
+    # by ~10× with identical results (sizes above keep ALL cold
+    # shingles, so Jaccard denominators are unchanged)
+    shared = counts.filter(
+        (F.col("count") >= 2) & (F.col("count") <= max_shingle_df)
+    ).select("shingle")
+    sh_j = sh.join(shared, "shingle", "left_semi")  # AQE broadcasts if small
+    a, b = sh_j.alias("a"), sh_j.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
