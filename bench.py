@@ -78,16 +78,24 @@ def main() -> None:
     res.count()
     batch_s = time.perf_counter() - t0
     timings["bm25_batch20"] = round(batch_s, 3)
-    # per-query latency distribution (single-query jobs, p95)
-    lat = []
-    for q in list(queries.values())[:8]:
-        from golr_loader_spark.plans.bm25 import search
 
-        t1 = time.perf_counter()
-        search(ix, q, k=10, cfg=cfg).collect()
-        lat.append(time.perf_counter() - t1)
-    lat.sort()
-    extras["bm25_p95_ms"] = round(lat[max(0, int(len(lat) * 0.95) - 1)] * 1000, 1)
+    # serving-path p95: persist the index once, then LocalSearcher
+    # (pyarrow row-group-pruned reads + the same scoring kernel — no
+    # Spark job per query)
+    import tempfile
+
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.serve import LocalSearcher, p95_latency_ms
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        write_index(ix, td, term_partitions=8)
+        timings["index_persist"] = round(time.perf_counter() - t0, 3)
+        ls = LocalSearcher(td, cfg)
+        ls.search("warm up", k=10)
+        extras["bm25_serve_p95_ms"] = round(
+            p95_latency_ms(ls, list(queries.values()), k=10), 1
+        )
 
     # ---- relational arm --------------------------------------------------
     headline = [

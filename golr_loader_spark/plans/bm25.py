@@ -144,19 +144,20 @@ def _score_bucket_factory(
     k1, b = cfg.k1, cfg.b
 
     def decode_list(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        ids_parts, tf_parts, dl_parts = [], [], []
-        for first, idbuf, tfbuf, dlbuf in zip(
-            rows["doc_id_first"], rows["doc_ids"], rows["tfs"], rows["dls"]
-        ):
-            deltas = varint_decode(idbuf).astype(np.int64)
-            ids_parts.append(np.cumsum(deltas) + np.int64(first))
-            tf_parts.append(varint_decode(tfbuf).astype(np.float64))
-            dl_parts.append(varint_decode(dlbuf).astype(np.float64))
-        return (
-            np.concatenate(ids_parts),
-            np.concatenate(tf_parts),
-            np.concatenate(dl_parts),
-        )
+        """Decode ALL of a list's blocks in three varint calls (the
+        streams are self-delimiting, so concatenated buffers decode in
+        one vectorized pass; per-block doc_id bases are re-applied with
+        a segmented cumsum). ~100× fewer numpy dispatches than
+        per-block decoding on hot terms."""
+        n_per_block = rows["n"].to_numpy(np.int64)
+        firsts = rows["doc_id_first"].to_numpy(np.int64)
+        deltas = varint_decode(b"".join(rows["doc_ids"])).astype(np.int64)
+        g = np.cumsum(deltas)
+        starts = np.concatenate([[0], np.cumsum(n_per_block)])[:-1]
+        ids = g + np.repeat(firsts - g[starts], n_per_block)
+        tfs = varint_decode(b"".join(rows["tfs"])).astype(np.float64)
+        dls = varint_decode(b"".join(rows["dls"])).astype(np.float64)
+        return ids, tfs, dls
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0]) if with_query_id else None

@@ -397,6 +397,11 @@ def write_index(index: InvertedIndex, root: str, term_partitions: int = 8) -> No
         index.postings.repartitionByRange(term_partitions, "term")
         .sortWithinPartitions("term", "field", "bucket", "block_id")
         .write.mode("overwrite")
+        # small row groups: with term-sorted files, per-row-group
+        # min/max stats then prune single-term lookups to a few groups
+        # instead of whole files (both for Catalyst PushedFilters and
+        # the pyarrow LocalSearcher path)
+        .option("parquet.block.size", str(4 << 20))
         .parquet(f"{root}/postings")
     )
     (

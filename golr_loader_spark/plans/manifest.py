@@ -199,6 +199,8 @@ def build_index_checkpointed(
             postings.repartitionByRange(4, "term")
             .sortWithinPartitions("term", "field", "bucket", "block_id")
             .write.mode("overwrite")
+            # small row groups → term-sorted stats prune point lookups
+            .option("parquet.block.size", str(4 << 20))
             .parquet(out)
         )
         tstats = toks_g.groupBy("term", "field").agg(

@@ -1,0 +1,100 @@
+"""Low-latency serving path over a persisted index.
+
+The distributed ``plans.bm25.search`` is the right tool for query
+SETS (one Spark job amortized over many queries), but a single
+interactive query pays ~1 s of job scheduling. ``LocalSearcher``
+serves the SAME persisted postings without launching Spark jobs at
+all: pyarrow dataset reads with a term predicate — the files are
+range-partitioned and sorted by term (plans.build_index.write_index /
+plans.manifest), so parquet row-group statistics prune the scan the
+same way Catalyst's PushedFilters do — then the exact same numpy
+scoring kernel as the distributed path. Results are identical by
+construction (same blocks, same weights, same float order).
+
+This is the Solr-server analog of the reference's stack
+(GolrLoader.java:498-515 POSTs to a serving instance; here the
+"server" is a thin reader over the engine's own tables).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.functions.tokenize import analyze_query
+from golr_loader_spark.plans.bm25 import _score_bucket_factory, bm25_idf
+
+
+class LocalSearcher:
+    """Driver-/service-side BM25 top-k over a persisted index root
+    (written by write_index or build_index_checkpointed)."""
+
+    def __init__(self, root: str, cfg: IndexConfig | None = None):
+        self.cfg = cfg or IndexConfig()
+        self.postings = pads.dataset(f"{root}/postings", format="parquet")
+        self.term_stats = pads.dataset(f"{root}/term_stats", format="parquet")
+        stats = pq.read_table(f"{root}/stats").to_pylist()
+        self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}
+        self.n_docs = max(int(r["n_docs"]) for r in stats) if stats else 0
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """→ [(doc_id, score)] ranked (score desc, doc_id asc)."""
+        terms = analyze_query(query)
+        if not terms:
+            return []
+        ts = self.term_stats.to_table(
+            filter=pc.field("term").isin(terms),
+            columns=["term", "field", "df"],
+        ).to_pylist()
+        if not ts:
+            return []
+        weights = {
+            (r["term"], r["field"]): (
+                self.cfg.fields[r["field"]][1] * bm25_idf(self.n_docs, int(r["df"]))
+            )
+            * (self.cfg.k1 + 1.0)
+            for r in ts
+            if r["field"] in self.cfg.fields
+        }
+        blocks = self.postings.to_table(
+            filter=pc.field("term").isin(terms)
+            & pc.field("field").isin(list(self.cfg.fields)),
+        ).to_pandas()
+        if not len(blocks):
+            return []
+        score_group = _score_bucket_factory(
+            weights, self.avgdl, self.cfg, k, with_query_id=False
+        )
+        parts = [
+            score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
+        ]
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["score", "doc_id"], ascending=[False, True], ignore_index=True
+        ).head(k)
+        return [
+            (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
+        ]
+
+    def search_many(
+        self, queries: dict[int, str], k: int = 10
+    ) -> dict[int, list[tuple[int, float]]]:
+        return {qid: self.search(q, k) for qid, q in queries.items()}
+
+
+def p95_latency_ms(searcher: LocalSearcher, queries: list[str], k: int = 10) -> float:
+    """Measure per-query serving latency (for BENCH reporting)."""
+    import time
+
+    lat = []
+    for q in queries:
+        t0 = time.perf_counter()
+        searcher.search(q, k)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    return lat[max(0, math.ceil(len(lat) * 0.95) - 1)]

@@ -1,0 +1,59 @@
+"""LocalSearcher (Spark-free serving path) — identity with the
+distributed search over the same persisted index."""
+
+from __future__ import annotations
+
+import pytest
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.corpus import synth_corpus
+from golr_loader_spark.plans.bm25 import search
+from golr_loader_spark.plans.build_index import build_index, write_index
+from golr_loader_spark.plans.documents import flatten_documents
+from golr_loader_spark.plans.manifest import build_index_checkpointed
+from golr_loader_spark.plans.serve import LocalSearcher
+
+QUERIES = ["def return", "zq0007", "userData index", "main util scan", "xyzzyq"]
+
+
+@pytest.fixture(scope="module")
+def roots(spark, tmp_path_factory):
+    cfg = IndexConfig()
+    docs = flatten_documents(synth_corpus(spark, 400, seed=42)).cache()
+    r1 = str(tmp_path_factory.mktemp("serve") / "flat")
+    ix = build_index(docs, cfg)
+    write_index(ix, r1, term_partitions=4)
+    # stats path expected by LocalSearcher: write_index writes stats/
+    r2 = str(tmp_path_factory.mktemp("serve") / "ckpt")
+    build_index_checkpointed(docs, r2, cfg, n_doc_splits=2, n_bucket_groups=2)
+    return docs, cfg, ix, r1, r2
+
+
+def test_local_matches_distributed(spark, roots):
+    docs, cfg, ix, r1, r2 = roots
+    for root in (r1, r2):
+        ls = LocalSearcher(root, cfg)
+        for q in QUERIES:
+            local = ls.search(q, k=10)
+            dist = [
+                (r["doc_id"], r["score"]) for r in search(ix, q, k=10, cfg=cfg).collect()
+            ]
+            assert local == dist, (root, q)
+
+
+def test_local_latency_is_interactive(spark, roots):
+    docs, cfg, ix, r1, r2 = roots
+    ls = LocalSearcher(r1, cfg)
+    ls.search("warm up", k=5)
+    from golr_loader_spark.plans.serve import p95_latency_ms
+
+    p95 = p95_latency_ms(ls, QUERIES * 4, k=10)
+    # the point of the serving path: no Spark job per query
+    assert p95 < 300, f"p95 {p95}ms"
+
+
+def test_local_empty_and_unknown(spark, roots):
+    docs, cfg, ix, r1, r2 = roots
+    ls = LocalSearcher(r1, cfg)
+    assert ls.search("", k=5) == []
+    assert ls.search("xyzzyq plugh", k=5) == []
