@@ -43,17 +43,29 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # ---- engine arm: index-build throughput -----------------------------
+    # ---- engine arm: index-build throughput (best of 2 — host steal
+    # on this shared sandbox swings single runs up to 2x) -----------------
     cfg = IndexConfig(bucket_bits=5)
     docs = flatten_documents(synth_corpus(spark, n_docs, seed=42)).persist()
     docs.count()  # materialize corpus outside the timed window
-    t0 = time.perf_counter()
-    ix = build_index(docs, cfg)
-    ix.postings = ix.postings.persist()
-    n_blocks = ix.postings.count()  # force full build
-    ix.term_stats = ix.term_stats.persist()
-    ix.term_stats.count()
-    build_s = time.perf_counter() - t0
+    build_s = None
+    ix = None
+    for rep in range(2):
+        if rep > 0:
+            # drop ALL cached plans: Spark's CacheManager would
+            # otherwise serve the second build from the first one's
+            # cache (plan-identical), making the rep a no-op
+            spark.catalog.clearCache()
+            docs = flatten_documents(synth_corpus(spark, n_docs, seed=42)).persist()
+            docs.count()
+        t0 = time.perf_counter()
+        ix = build_index(docs, cfg)
+        ix.postings = ix.postings.persist()
+        n_blocks = ix.postings.count()  # force full build
+        ix.term_stats = ix.term_stats.persist()
+        ix.term_stats.count()
+        wall = time.perf_counter() - t0
+        build_s = wall if build_s is None else min(build_s, wall)
     timings["index_build"] = round(build_s, 3)
     extras["index_docs_per_sec"] = round(n_docs / build_s, 1)
     extras["index_blocks"] = n_blocks
