@@ -792,6 +792,52 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
 """
 
 
+def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding near-duplicate pairs (cos ≥ 0.3) — the brute
+    baseline of the LSH-blocked operator (similarity.embedding_
+    neardup_pairs); double-cast vectors + sequential fold keep the
+    values bit-identical to the SQL oracle."""
+    e = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    from golr_loader_spark.operators.similarity import _dot, _norm
+
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.crossJoin(r)
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("l.embedding"), F.col("r.embedding"))
+                / (_norm(F.col("l.embedding")) * _norm(F.col("r.embedding"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
+SQL_Q27 = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_SQL_DOT.format(a='a.e', b='b.e')} /
+               (sqrt({_SQL_DOT.format(a='a.e', b='a.e')}) *
+                sqrt({_SQL_DOT.format(a='b.e', b='b.e')})), 6) AS cos_sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #
@@ -823,4 +869,5 @@ QUERIES: dict[str, tuple] = {
     "q24_bm25_topk": (q24_bm25_topk, SQL_Q24),
     "q25_fingerprint": (q25_fingerprint, SQL_Q25),
     "q26_lsh_candidates": (q26_lsh_candidates, SQL_Q26),
+    "q27_embedding_neardup": (q27_embedding_neardup, SQL_Q27),
 }
