@@ -17,6 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable conf for the driver's session: the stock 200
+    shuffle partitions over-parallelize these inputs badly, and the
+    engine's Arrow kernels want big batches. All three are safe
+    runtime confs (no restart needed)."""
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+    except Exception:
+        pass  # locked-down session: proceed with its defaults
+
+
 def _documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's documents table onto the engine's corpus
     schema (repo, path, commit, lang, content) — BASELINE.json
@@ -41,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from golr_loader_spark.plans.build_index import build_index
     from golr_loader_spark.plans.documents import flatten_documents
 
+    _tune(spark)
     corpus = _documents_as_corpus(spark, "/root/testdata/sf0.001")
     ix = build_index(flatten_documents(corpus))
     return search(ix, "data query spark", k=20)
@@ -54,6 +68,7 @@ def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from golr_loader_spark.plans.build_index import build_index
     from golr_loader_spark.plans.documents import flatten_documents
 
+    _tune(spark)
     ix = build_index(flatten_documents(_documents_as_corpus(spark, sf_dir)))
     return search(ix, "data query spark", k=20)
 
