@@ -241,7 +241,9 @@ def search(
         )
     idf = _idf_table(index, terms)
     weights = {
-        (t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0) for (t, f), i in idf.items()
+        (t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0)
+        for (t, f), i in idf.items()
+        if f in cfg.fields  # index may carry fields this query config drops
     }
     avgdl = _avgdl(index)
     cand = index.postings.filter(
@@ -275,7 +277,7 @@ def search_batch(
         (qid, t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0)
         for qid, t in qterms
         for (tt, f), i in idf.items()
-        if tt == t
+        if tt == t and f in cfg.fields
     }
     avgdl = _avgdl(index)
     qdf = spark.createDataFrame(qterms, "query_id int, term string")
