@@ -165,7 +165,7 @@ def build_index_checkpointed(
         toks_all = spark.read.option("basePath", f"{root}/tokens").parquet(
             f"{root}/tokens/split=*"
         )
-        n_docs = documents.select("doc_id").distinct().count()
+        n_docs = documents.count()  # ids unique by construction
         stats = (
             toks_all.groupBy("doc_id", "field")
             .agg(F.first("dl").alias("dl"))
