@@ -26,6 +26,9 @@ def _tune(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", "16")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        # timestamp queries (q13) must agree with the timezone-naive
+        # DuckDB oracle regardless of the driver session's locale
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # locked-down session: proceed with its defaults
 
@@ -61,16 +64,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-index WAND path over the documents corpus (rows-only
-    driver check — the code-aware analyzer is not SQL-expressible; its
-    rank-identity vs the exact scorer is pytest-gated instead)."""
+    """The ACTUAL engine path (tokenize → salted bucketed compressed
+    block-max postings → WAND top-k), run with the ``simple`` analyzer
+    over documents.text and the table's own dense doc_ids so that
+    SQL_Q24 — identical idf / tf-norm formula, term-sorted float
+    addition, round-to-4-then-rank discipline — is its exact DuckDB
+    oracle twin. (The code-aware analyzer variant is ``entry()``; its
+    rank-identity vs the exact scorer is pytest-gated.)"""
+    from golr_loader_spark.config import IndexConfig
     from golr_loader_spark.plans.bm25 import search
     from golr_loader_spark.plans.build_index import build_index
-    from golr_loader_spark.plans.documents import flatten_documents
 
     _tune(spark)
-    ix = build_index(flatten_documents(_documents_as_corpus(spark, sf_dir)))
-    return search(ix, "data query spark", k=20)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        # dense ids: size the range-bucket shift to the actual id space
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    # fetch a margin past 50, then apply the oracle's round-to-4-
+    # then-rank discipline (unrounded near-ties may reorder at the
+    # 4-digit granularity); rank attaches driver-side to ≤50 rows —
+    # the distributed plan stays a TakeOrderedAndProject
+    top = (
+        search(ix, "data query spark", k=200, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -84,6 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from golr_loader_spark.operators.relational import QUERIES
+    from golr_loader_spark.operators.relational import QUERIES, SQL_Q24
 
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    # the engine's simple-analyzer WAND run is rank-identical to the
+    # relational BM25 restatement — same oracle certifies both
+    out["engine_bm25_wand"] = SQL_Q24
+    return out

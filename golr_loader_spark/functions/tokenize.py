@@ -96,7 +96,10 @@ def _code_tokens(texts: pd.Series) -> pd.DataFrame:
 
 
 def _simple_tokens(texts: pd.Series) -> pd.DataFrame:
-    t = texts.str.lower().str.split().explode().dropna()
+    # literal single-space split (keeps empty tokens), exactly
+    # string_split(lower(text), ' ') — the analyzer must be
+    # bit-identical to its ANSI-SQL twin, not merely close
+    t = texts.str.lower().str.split(" ").explode().dropna()
     tok = pd.DataFrame({"pos": t.index, "term": t.values})
     tf = tok.groupby(["pos", "term"], sort=False).size().reset_index(name="tf")
     tf["dl"] = tf.groupby("pos", sort=False)["tf"].transform("sum").to_numpy(np.int32)
@@ -115,7 +118,7 @@ def analyze_query(text: str, analyzer: str = "code") -> list[str]:
 
     terms: set[str] = set()
     if analyzer == "simple":
-        terms.update(text.lower().split())
+        terms.update(t for t in text.lower().split(" ") if t)
     else:
         for tok in re.findall(_RAW_TOKEN, text):
             subs = re.findall(_SUBWORD, tok)

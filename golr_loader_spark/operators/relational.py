@@ -334,7 +334,7 @@ sess AS (
          sum(new_s) OVER (PARTITION BY user_id ORDER BY event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged)
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM sess GROUP BY user_id
 """
 
@@ -550,7 +550,7 @@ WITH toks AS (
   SELECT id, b, sum((((x >> b) % 2) * 2 - 1) * tf) AS s
   FROM hashed CROSS JOIN generate_series(0, 31) AS g(b)
   GROUP BY id, b)
-SELECT id, sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY id
 """
 
@@ -625,7 +625,7 @@ def q22_token_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_Q22 = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens,
        count(DISTINCT length(text)) AS distinct_lengths
 FROM documents GROUP BY lang
@@ -665,7 +665,6 @@ def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     (scores rounded to 4, ranked by the rounded value)."""
     d = load(spark, sf, "documents")
     terms = ["data", "query", "spark"]
-    n_docs = d.count()
     toks = (
         d.select(
             F.col("doc_id"), F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
@@ -674,9 +673,13 @@ def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dl = toks.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    avgdl = (
-        dl.agg((F.sum("dl").cast("double") / F.lit(n_docs)).alias("a")).collect()[0]["a"]
-    )
+    # one scalar-agg job for both corpus stats (every doc yields ≥1
+    # token, so count over dl == count over documents)
+    st = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("double").alias("s")
+    ).collect()[0]
+    n_docs = int(st["n"])
+    avgdl = st["s"] / n_docs
     qt = toks.filter(F.col("term").isin(terms))
     idf = qt.groupBy("term").agg(
         F.log(
@@ -709,11 +712,13 @@ def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("score")
         )
     )
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("rank", "doc_id", "score")
+    # Distributed top-k: TakeOrderedAndProject (no single-partition
+    # WindowExec — every scored doc stayed in its partition); rank then
+    # attaches to the ≤50 surviving rows driver-side.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50).collect()
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
     )
 
 

@@ -49,9 +49,15 @@ def cosine_topk(
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
+            # round BEFORE ranking (the module float discipline: rank
+            # by the rounded value + integer tie-break, so sub-1e-6
+            # float jitter can never flip the top-k order)
             "cos_sim",
-            _dot(F.col(vec_col), F.col("qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -64,7 +70,7 @@ def cosine_topk(
             "query_id",
             "rank",
             F.col(id_col).alias("neighbor_id"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            "cos_sim",
         )
     )
 
@@ -133,8 +139,11 @@ def lsh_cosine_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cos_sim",
-            _dot(F.col(vec_col), F.col("qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+                6,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -145,7 +154,7 @@ def lsh_cosine_topk(
             "query_id",
             "rank",
             F.col(id_col).alias("neighbor_id"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            "cos_sim",
         )
     )
 
@@ -168,15 +177,21 @@ def embedding_neardup_pairs(
         l.join(r, "bucket")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .withColumn(
+            # round-then-threshold: same discipline as the q27 brute
+            # twin, so the LSH-blocked and exact paths agree at the
+            # threshold boundary
             "cos_sim",
-            _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
-            / (_norm(F.col(f"l.{vec_col}")) * _norm(F.col(f"r.{vec_col}"))),
+            F.round(
+                _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+                / (_norm(F.col(f"l.{vec_col}")) * _norm(F.col(f"r.{vec_col}"))),
+                6,
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round("cos_sim", 6).alias("cos_sim"),
+            "cos_sim",
         )
         .distinct()
     )

@@ -89,6 +89,8 @@ def score_exact(
     )
     weight_rows = []
     for r in tstats:
+        if r["field"] not in cfg.fields:
+            continue  # index may carry fields this query config drops
         boost = cfg.fields[r["field"]][1]
         idf = bm25_idf(n_docs, int(r["df"]))
         weight_rows.append((r["term"], r["field"], (boost * idf) * (cfg.k1 + 1.0)))

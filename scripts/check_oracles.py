@@ -29,6 +29,11 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
         return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
     ca, cb = canon(a), canon(b)
     for c in ca.columns:
+        # the driver's value-hash is dtype-KIND-sensitive (int64 vs
+        # DuckDB HUGEINT→float64 was r1's only failure mode; int32 vs
+        # int64 row_number ranks hashed equal) — gate on kind here
+        if ca[c].dtype.kind != cb[c].dtype.kind:
+            return f"DTYPE MISMATCH col={c}: spark={ca[c].dtype} duck={cb[c].dtype}"
         x, y = ca[c].to_numpy(), cb[c].to_numpy()
         if np.issubdtype(ca[c].dtype, np.floating):
             bad = ~(np.isclose(x.astype(float), y.astype(float), rtol=0, atol=0, equal_nan=True))
