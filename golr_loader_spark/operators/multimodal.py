@@ -87,23 +87,30 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             vids = pdf[(pdf["kind"] == "video") & pdf["duration_ms"].notna()]
             if not len(vids):
                 continue
-            out = []
-            for _, row in vids.iterrows():
-                n = max(1, int(row["duration_ms"]) // every_ms)
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                for i in range(n):
-                    out.append(
-                        (
-                            row["media_id"],
-                            i,
-                            i * every_ms,
-                            hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest()[:16],
-                        )
-                    )
-            if out:
-                yield pd.DataFrame(
-                    out, columns=["media_id", "frame_idx", "ts_ms", "frame_sha"]
-                )
+            # row explosion is vectorized (np.repeat / segmented arange);
+            # only the stubbed per-frame decode (one sha per frame — the
+            # work a real decoder does anyway) stays a flat Python pass
+            n = np.maximum(1, vids["duration_ms"].to_numpy(np.int64) // every_ms)
+            total = int(n.sum())
+            rep = np.repeat(np.arange(len(vids)), n)
+            frame_idx = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(n)])[:-1], n
+            )
+            payloads = [
+                bytes(p) if p is not None else b"" for p in vids["payload"]
+            ]
+            shas = [
+                hashlib.sha256(payloads[r] + int(i).to_bytes(4, "big")).hexdigest()[:16]
+                for r, i in zip(rep, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": vids["media_id"].to_numpy()[rep],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "ts_ms": (frame_idx * every_ms).astype(np.int32),
+                    "frame_sha": shas,
+                }
+            )
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
 

@@ -113,7 +113,15 @@ def lsh_cosine_topk(
     table (recall ≈ 1-(1-p^b)^L, the classic LSH amplification), then
     exact scoring on the deduped candidate set. At corpus scale each
     table is an equi-join on its bucket key — candidate count per
-    table drops ~2^n_planes-fold vs the cross product."""
+    table drops ~2^n_planes-fold vs the cross product.
+
+    Tuning: per-plane collision probability for a neighbor at angle θ
+    is p = 1 − θ/π; per-table it is p^n_planes, amplified to
+    1 − (1 − p^n_planes)^n_tables. Pick n_planes from the target
+    neighbor tightness (clustered near-dups → more planes, diffuse
+    corpora → fewer) and n_tables from the target recall — the
+    recall@10 ≥ 0.9 pytest gate pins (3, 16) for the diffuse test
+    embeddings."""
     dim = len(embeddings.select(vec_col).first()[0])
     b = embeddings
     bucket_cols = []

@@ -38,6 +38,26 @@ def test_lsh_topk_recall_vs_brute(spark, sf_dir):
         assert a[k] == b[k]  # exact same cosine where both report
 
 
+def test_lsh_topk_recall_gate(spark, sf_dir):
+    """Quantified-quality gate: recall@10 ≥ 0.9 vs brute force at an
+    amplification suited to this corpus. The test embeddings are near-
+    random (neighbor cosines are small, θ ≈ π/2, per-plane collision
+    p = 1 − θ/π ≈ 0.55), so high recall needs few planes × many tables
+    — 3×16 measures 0.98 here; tighter clusters (real near-dups) would
+    use more planes and fewer tables for the same recall at lower cost."""
+    e = _emb(spark, sf_dir)
+    qids = list(range(10))
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(e, qids, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(e, qids, k=10, n_planes=3, n_tables=16).collect()
+    }
+    assert len(approx & brute) >= 0.9 * len(brute)
+
+
 def test_embedding_neardup_pairs_symmetric_and_thresholded(spark, sf_dir):
     e = _emb(spark, sf_dir)
     pairs = embedding_neardup_pairs(e, threshold=0.5, n_planes=3).collect()
