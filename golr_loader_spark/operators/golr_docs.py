@@ -163,6 +163,132 @@ def evidence_merge(associations: DataFrame) -> DataFrame:
     )
 
 
+def evidence_bbop_graph(
+    assoc_edges: DataFrame,
+    nodes: DataFrame,
+    curie_map: dict[str, str] | None = None,
+    meta_query: str | None = None,
+) -> DataFrame:
+    """BBOP-graph evidence blob per association — the structural analog
+    of EvidenceProcessor.getEvidenceGraph (EvidenceProcessor.java:
+    75-100): the association's evidence subgraph serialized as
+    ``{"nodes": [{"id", "lbl", "meta"}], "edges": [{"sub", "pred",
+    "obj", "meta"}], "meta": {}}`` with node properties PROJECTED to
+    {label, confidence_score} (TinkerGraphUtil.project at :84-88 —
+    label becomes ``lbl``, confidence_score is the only meta key, so
+    most nodes carry an empty meta) and all ids/preds compacted to
+    curies.
+
+    ``assoc_edges``: one row per evidence-graph edge per association —
+    (subject, object, sub_iri, pred_iri, obj_iri).
+    ``nodes``: (iri, label, confidence_score double?).
+    Output: (subject, object, evidence_graph json string); node list
+    sorted by id, edge list by (sub, pred, obj) — deterministic like
+    the reference's fixture serialization.
+    """
+    spark = assoc_edges.sparkSession
+    compact = compact_iri_udf(spark, curie_map or {})
+
+    e = assoc_edges.select(
+        "subject",
+        "object",
+        compact(F.col("sub_iri")).alias("sub"),
+        compact(F.col("pred_iri")).alias("pred"),
+        compact(F.col("obj_iri")).alias("obj"),
+    )
+    empty_smeta = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    # maps are not orderable: dedupe/sort the bare triples, then attach
+    # the (empty) edge meta in a transform
+    edge_lists = (
+        e.groupBy("subject", "object")
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.collect_list(F.struct("sub", "pred", "obj")))
+            ).alias("e3")
+        )
+        .withColumn(
+            "edges",
+            F.transform(
+                "e3",
+                lambda x: F.struct(
+                    x["sub"].alias("sub"),
+                    x["pred"].alias("pred"),
+                    x["obj"].alias("obj"),
+                    empty_smeta.alias("meta"),
+                ),
+            ),
+        )
+        .drop("e3")
+    )
+
+    endpoints = assoc_edges.select(
+        "subject",
+        "object",
+        F.explode(F.array("sub_iri", "obj_iri")).alias("iri"),
+    ).distinct()
+    node_props = nodes.select(
+        "iri",
+        F.col("label").alias("lbl"),
+        F.col("confidence_score").cast("double").alias("conf"),
+    )
+    node_lists = (
+        endpoints.join(node_props, "iri", "left")
+        .select(
+            "subject",
+            "object",
+            F.struct(
+                compact(F.col("iri")).alias("id"), F.col("lbl"), F.col("conf")
+            ).alias("n"),
+        )
+        .groupBy("subject", "object")
+        .agg(F.sort_array(F.collect_list("n")).alias("n3"))
+        .withColumn(
+            "nodes",
+            F.transform(
+                "n3",
+                lambda x: F.struct(
+                    x["id"].alias("id"),
+                    x["lbl"].alias("lbl"),
+                    # projected meta: confidence_score only, absent → {}
+                    F.when(
+                        x["conf"].isNotNull(),
+                        F.map_from_arrays(
+                            F.array(F.lit("confidence_score")), F.array(x["conf"])
+                        ),
+                    )
+                    .otherwise(
+                        F.map_from_arrays(
+                            F.array().cast("array<string>"),
+                            F.array().cast("array<double>"),
+                        )
+                    )
+                    .alias("meta"),
+                ),
+            ),
+        )
+        .drop("n3")
+    )
+
+    graph_meta = (
+        F.map_from_arrays(
+            F.array(F.lit("query")), F.array(F.lit(f"monarch:cypher/{meta_query}"))
+        )
+        if meta_query  # EvidenceProcessor.java:89-92
+        else F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    )
+    return node_lists.join(edge_lists, ["subject", "object"]).select(
+        "subject",
+        "object",
+        F.to_json(
+            F.struct("nodes", "edges", graph_meta.alias("meta"))
+        ).alias("evidence_graph"),
+    )
+
+
 # GolrLoader.java:157-174 / 649-665 — specialized traversal edge sets
 EQ_CLOSURE_TYPES = ["equivalentClass", "sameAs"]  # T3
 ORTHOLOG_TYPES = [
@@ -290,6 +416,92 @@ def gene_closure(nodes: DataFrame, edges: DataFrame, seeds: DataFrame) -> DataFr
         F.min(F.struct("depth", "node", "iri")).alias("m")
     )
     return first.select("start", F.col("m.iri").alias("gene_iri"))
+
+
+# disease.cypher:1-12 / phenotype.cypher:1-16 edge vocabulary
+GENO_ALLELE_OF = "GENO:0000410"
+PHENO_RELS = ["RO:0002200", "RO:0002610", "RO:0002326"]
+HAS_PART = "BFO:0000051"
+GENO_HAS_PERSON = "GENO:0000222"
+
+
+def disease_style_lookup(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    target_label: str = "disease",
+    pheno_rels: list[str] | None = None,
+) -> DataFrame:
+    """T8: the reference's 3-branch UNION lookup (disease.cypher:1-12,
+    dispatched per-subject by GolrLoader.java:281-305), decorrelated
+    into one dataflow for ALL subjects → distinct (start, target_iri):
+
+    1. subject ←GENO:0000410*0..1– variant –sameAs*0..1– ve
+       –[pheno_rel]→ target:label
+    2. … ve ←BFO:0000051*– genotype –[pheno_rel]→ target
+    3. … genotype ←GENO:0000222– person –RO:0002200→ target
+
+    Each Cypher ``*0..1`` hop is a union of the identity set with one
+    equi-join; the unbounded ``BFO:0000051*`` is the iterative BFS.
+    The reference runs this query once per subject id ({id} parameter);
+    here every branch is evaluated set-at-a-time and the per-subject
+    grouping falls out of the carried ``start`` key.
+    """
+    pheno_rels = pheno_rels or PHENO_RELS
+
+    # subject ←GENO:0000410 *0..1
+    e410 = edges.filter(F.col("type") == GENO_ALLELE_OF).select("src", "dst")
+    v0 = seeds.select(F.col("id").alias("start"), F.col("id").alias("node"))
+    v1 = seeds.join(e410, seeds["id"] == e410["dst"]).select(
+        F.col("id").alias("start"), F.col("src").alias("node")
+    )
+    variants = v0.unionAll(v1)
+
+    # –sameAs*0..1– (symmetric single hop)
+    sa = edges.filter(F.col("type") == "sameAs").select("src", "dst")
+    sa_both = sa.unionAll(
+        sa.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ve = variants.unionAll(
+        variants.join(sa_both, variants["node"] == sa_both["src"]).select(
+            "start", F.col("dst").alias("node")
+        )
+    ).distinct()
+
+    targets = nodes.filter(F.array_contains("labels", target_label)).select(
+        F.col("id").alias("t_id"), F.col("iri").alias("target_iri")
+    )
+    prel = edges.filter(F.col("type").isin(pheno_rels)).select("src", "dst")
+
+    def hits(frontier: DataFrame, rel: DataFrame) -> DataFrame:
+        return (
+            frontier.join(rel, frontier["node"] == rel["src"])
+            .join(targets, F.col("dst") == F.col("t_id"))
+            .select("start", "target_iri")
+        )
+
+    b1 = hits(ve, prel)
+
+    # ←BFO:0000051*– genotype : unbounded incoming part-of closure
+    po_rev = edges.filter(F.col("type") == HAS_PART).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    ve_ids = ve.select(F.col("node").alias("id")).distinct()
+    geno_cl = bfs_closure(po_rev, ve_ids).filter(F.col("depth") > 0)
+    genotypes = ve.join(
+        geno_cl.select(F.col("start").alias("node"), F.col("node").alias("g")),
+        "node",
+    ).select("start", F.col("g").alias("node")).distinct()
+    b2 = hits(genotypes, prel)
+
+    # ←GENO:0000222– person –RO:0002200→ target
+    e222 = edges.filter(F.col("type") == GENO_HAS_PERSON).select("src", "dst")
+    persons = genotypes.join(e222, genotypes["node"] == e222["dst"]).select(
+        "start", F.col("src").alias("node")
+    )
+    b3 = hits(persons, edges.filter(F.col("type") == "RO:0002200").select("src", "dst"))
+
+    return b1.unionAll(b2).unionAll(b3).distinct()
 
 
 def relationship_closure(
