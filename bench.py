@@ -31,12 +31,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
     from golr_loader_spark.config import IndexConfig
     from golr_loader_spark.corpus import synth_corpus
     from golr_loader_spark.operators.relational import QUERIES
     from golr_loader_spark.plans.bm25 import search_batch
     from golr_loader_spark.plans.build_index import build_index
-    from golr_loader_spark.plans.documents import flatten_documents
+    from golr_loader_spark.plans.documents import assign_dense_ids, flatten_documents
     from golr_loader_spark.session import get_spark
 
     spark = get_spark(cores=cpus, app_name="bench", shuffle_partitions=cpus)
@@ -44,8 +46,10 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # ---- engine arm: index-build throughput (best of 2 — host steal
-    # on this shared sandbox swings single runs up to 2x) -----------------
-    cfg = IndexConfig(bucket_bits=5)
+    # on this shared sandbox swings single runs up to 2x). Builds on
+    # DENSE doc_ids (the production default): the dense remap is timed
+    # as part of the build. -----------------------------------------------
+    cfg = IndexConfig(bucket_bits=5, id_space_bits=max(2, (n_docs - 1).bit_length()))
     docs = flatten_documents(synth_corpus(spark, n_docs, seed=42)).persist()
     docs.count()  # materialize corpus outside the timed window
     build_s = None
@@ -59,7 +63,7 @@ def main() -> None:
             docs = flatten_documents(synth_corpus(spark, n_docs, seed=42)).persist()
             docs.count()
         t0 = time.perf_counter()
-        ix = build_index(docs, cfg)
+        ix = build_index(assign_dense_ids(docs), cfg)
         ix.postings = ix.postings.persist()
         n_blocks = ix.postings.count()  # force full build
         ix.term_stats = ix.term_stats.persist()
@@ -70,6 +74,10 @@ def main() -> None:
     extras["index_docs_per_sec"] = round(n_docs / build_s, 1)
     extras["index_blocks"] = n_blocks
     extras["bench_docs"] = n_docs
+    comp = ix.postings.agg(
+        F.sum(F.length("doc_ids")).alias("b"), F.sum("n").alias("p")
+    ).collect()[0]
+    extras["id_bytes_per_posting"] = round(int(comp["b"]) / int(comp["p"]), 3)
 
     # ---- engine arm: BM25 batch query p95 -------------------------------
     queries = {
@@ -109,7 +117,9 @@ def main() -> None:
             p95_latency_ms(ls, list(queries.values()), k=10), 1
         )
 
-    # ---- relational arm --------------------------------------------------
+    # ---- relational arm: interleaved min-of-2 (host CPU steal on this
+    # sandbox swings single measurements up to 3x; interleaving keeps a
+    # noise burst from biasing one query) ----------------------------------
     headline = [
         "q01_pricing_summary",
         "q03_shipping_priority",
@@ -118,11 +128,14 @@ def main() -> None:
         "q17_ngram_jaccard",
         "q24_bm25_topk",
     ]
-    for name in headline:
-        fn, _sql = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for rep in range(2):
+        for name in headline:
+            fn, _sql = QUERIES[name]
+            spark.catalog.clearCache()  # q17 caches reused shingle sets
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            wall = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, wall), wall)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -50,7 +50,7 @@ def cmd_build(args) -> None:
     corpus = spark.read.parquet(args.corpus)
     docs = flatten_documents(corpus)
     id_space_bits = 64
-    if args.dense_ids:
+    if not args.hash_ids:  # dense ids are the default (7.5x smaller id streams)
         docs = assign_dense_ids(docs).cache()
         id_space_bits = max(1, math.ceil(math.log2(max(2, docs.count()))))
     cfg = IndexConfig(
@@ -109,10 +109,11 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--bucket-bits", type=int, default=5)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument(
-        "--dense-ids",
+        "--hash-ids",
         action="store_true",
-        help="remap doc_ids to dense ints (3-8x smaller posting id "
-        "streams); query-side needs no flag (buckets are stored)",
+        help="keep raw xxhash64 doc_ids instead of the default dense "
+        "remap (dense ids give 3-8x smaller posting id streams; "
+        "query-side needs no flag either way — buckets are stored)",
     )
     b.set_defaults(fn=cmd_build)
 

@@ -54,7 +54,11 @@ def word_shingles(
     """Distinct word n-gram shingles per doc → (id, shingle); docs
     shorter than n tokens yield none. Built with sequence/transform —
     no explode-then-window, the shingling stays inside one projection
-    until the final explode."""
+    until the final explode. ``array_distinct`` BEFORE the explode is
+    the whole dedup: with one input row per id (the documents-table
+    contract) the output is already distinct, so no post-explode
+    distinct — that would be a full extra shuffle of the largest
+    intermediate in the dedup family."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -63,9 +67,8 @@ def word_shingles(
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 

@@ -58,6 +58,29 @@ def test_kill_and_resume_equals_one_shot(spark, docs, tmp_path):
     assert build_metrics(spark, root).count() == n_before
 
 
+def test_kill_and_resume_on_dense_ids(spark, docs, tmp_path):
+    """The production default (dense doc_ids) must survive kill/resume
+    and rank identically to a one-shot build on the same dense ids."""
+    from golr_loader_spark.plans.documents import assign_dense_ids
+
+    ddocs = assign_dense_ids(docs).cache()
+    n = ddocs.count()
+    cfg = IndexConfig(id_space_bits=max(2, (n - 1).bit_length()))
+    root = str(tmp_path / "dense")
+
+    with pytest.raises(StopBuild):
+        build_index_checkpointed(
+            ddocs, root, cfg, n_doc_splits=2, n_bucket_groups=2, stop_after_commits=2
+        )
+    ix = build_index_checkpointed(ddocs, root, cfg, n_doc_splits=2, n_bucket_groups=2)
+    one_shot = build_index(ddocs, cfg)
+    assert _topk(ix) == _topk(one_shot)
+    assert verify_lineage(ddocs, spark, root)
+    # dense ids really are dense: contiguous 0..N-1
+    ids = [r["doc_id"] for r in ddocs.select("doc_id").collect()]
+    assert sorted(ids) == list(range(n))
+
+
 def test_lineage_checksum_roundtrip(spark, docs, tmp_path):
     root = str(tmp_path / "lin")
     build_index_checkpointed(docs, root, n_doc_splits=2, n_bucket_groups=2)
