@@ -12,7 +12,8 @@ Layout per block (one DataFrame row):
   tfs          : binary  — varint term frequencies
   n            : int32   — postings in block
   max_tf       : int32   — block-max tf
-  max_w        : double  — block-max BM25 tf-normalization weight
+  max_tf/min_dl: int     — block bounds; the BM25 block-max upper
+                           bound is closed at query time from them
                            (used for admissible block-max pruning)
 """
 

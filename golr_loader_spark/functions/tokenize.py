@@ -159,8 +159,18 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
                 if not len(agg):
                     continue
                 if min_len > 1:
-                    # dl still counts all emitted tokens (pre-filter)
                     agg = agg[agg["term"].str.len() >= min_len]
+                    # INVARIANT: dl ≡ Σ tf over the kept rows — the
+                    # document's length in INDEXED tokens. Derived
+                    # corpus stats (avgdl = Σ tf_sum / n_docs over
+                    # posting blocks) rely on this, so dl is
+                    # recomputed after the filter.
+                    agg = agg.copy()
+                    agg["dl"] = (
+                        agg.groupby("pos", sort=False)["tf"]
+                        .transform("sum")
+                        .to_numpy(np.int32)
+                    )
                 pos = agg["pos"].to_numpy(np.int64)
                 out.append(
                     pd.DataFrame(

@@ -142,7 +142,11 @@ def _score_bucket_factory(
     with_query_id: bool,
 ):
     """Per-(bucket[, query]) group scorer. pdf columns: term, field,
-    block_id, n, doc_id_first, doc_ids, tfs, dls, max_w."""
+    block_id, n, doc_id_first, doc_ids, tfs, dls, max_tf, min_dl.
+    Block upper bound: ub = wt·max_tf/(max_tf + k1(1−b+b·min_dl/avgdl))
+    ≥ wt·w(tf, dl) for every posting in the block (w is monotone ↑tf,
+    ↓dl), so pruning on it stays admissible; the bound is closed here
+    at query time — the encoder never needed avgdl."""
     k1, b = cfg.k1, cfg.b
 
     def decode_list(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -169,8 +173,11 @@ def _score_bucket_factory(
             if wt is None:
                 continue
             rows = rows.sort_values("block_id")
-            ubs = wt * rows["max_w"].to_numpy()
-            lists.append((field, term, rows, wt, avgdl_by_field[field], ubs))
+            avg = avgdl_by_field[field]
+            mt = rows["max_tf"].to_numpy(np.float64)
+            md = rows["min_dl"].to_numpy(np.float64)
+            ubs = wt * mt / (mt + k1 * ((1.0 - b) + b * md / avg))
+            lists.append((field, term, rows, wt, avg, ubs))
         if not lists:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": np.int64, "score": np.float64}

@@ -17,9 +17,16 @@ Physical design (SURVEY.md §4.2):
   Lucene-norms idea, but exact), so BM25 scoring never joins a
   doc-norm table at query time. Storage trades ~1 varint per posting
   for the removal of an N-row join at 10^12-doc scale.
-* **Block-max metadata.** Per block: ``max_tf`` and ``max_w`` — the
-  block max of the BM25 tf-normalization ``tf/(tf + k1(1-b+b·dl/avgdl))``
-  — enabling admissible block skipping at query time.
+* **Block-max metadata.** Per block: ``max_tf``, ``min_dl`` and
+  ``tf_sum``. The query-time bound ``wt·max_tf/(max_tf +
+  k1(1−b+b·min_dl/avgdl))`` upper-bounds every posting's contribution
+  (the tf-normalization is monotone ↑tf, ↓dl), so block skipping stays
+  admissible — and because the bound needs NO corpus statistic at
+  encode time, the whole build is ONE linear job: tokenize → one wide
+  shuffle → encode. No stats barrier, no tokens materialization.
+* **Derived statistics.** ``avgdl`` (Σ tf_sum per field / n_docs) and
+  ``term_stats`` (df = Σ n, cf = Σ tf_sum per term) are aggregations
+  over the ~1000×-smaller block table, not second passes over tokens.
 * Postings are written range-partitioned + sorted by term so parquet
   row-group min/max stats prune query-term lookups at the scan.
 
@@ -34,7 +41,6 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,7 +61,8 @@ POSTINGS_SCHEMA = pa.schema(
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
         ("max_tf", pa.int32()),
-        ("max_w", pa.float64()),
+        ("min_dl", pa.int32()),
+        ("tf_sum", pa.int64()),
     ]
 )
 
@@ -122,20 +129,19 @@ def _encode_groups(
     flat_ids: np.ndarray,
     flat_tfs: np.ndarray,
     flat_dls: np.ndarray,
-    avgdl_g: np.ndarray,
     cfg: IndexConfig,
 ) -> pa.RecordBatch:
     """Vectorized core: encode posting groups (given by ``offs``
     boundaries over the flat arrays) into block rows. Every step —
     delta, varint, block segmentation, block-max — is one numpy pass
-    over ALL groups; no per-group or per-block Python loop."""
+    over ALL groups; no per-group or per-block Python loop. Needs no
+    corpus statistic: block bounds are (max_tf, min_dl), closed into
+    the BM25 upper bound at query time once avgdl is known."""
     block = cfg.block_size
-    k1, b = cfg.k1, cfg.b
     G = len(offs) - 1
     lens = offs[1:] - offs[:-1]
     total = int(offs[-1])
 
-    g_rep = np.repeat(np.arange(G), lens)
     pos_in_group = np.arange(total) - np.repeat(offs[:-1], lens)
 
     blocks_per_group = (lens + block - 1) // block
@@ -153,9 +159,8 @@ def _encode_groups(
     deltas[1:] = u[1:] - u[:-1]
     deltas[starts] = 0
 
-    tfs_f = flat_tfs.astype(np.float64)
-    dls_f = flat_dls.astype(np.float64)
-    w = tfs_f / (tfs_f + k1 * (1.0 - b + b * dls_f / avgdl_g[g_rep]))
+    tfs_i = flat_tfs.astype(np.int64)
+    dls_i = flat_dls.astype(np.int64)
 
     id_bytes, id_nb = varint_encode_with_sizes(deltas)
     tf_bytes, tf_nb = varint_encode_with_sizes(flat_tfs.astype(np.uint64))
@@ -172,15 +177,14 @@ def _encode_groups(
         _binary_from_segments(id_bytes, np.add.reduceat(id_nb, starts)),
         _binary_from_segments(tf_bytes, np.add.reduceat(tf_nb, starts)),
         _binary_from_segments(dl_bytes, np.add.reduceat(dl_nb, starts)),
-        pa.array(np.maximum.reduceat(tfs_f, starts).astype(np.int32)),
-        pa.array(np.maximum.reduceat(w, starts)),
+        pa.array(np.maximum.reduceat(tfs_i, starts).astype(np.int32)),
+        pa.array(np.minimum.reduceat(dls_i, starts).astype(np.int32)),
+        pa.array(np.add.reduceat(tfs_i, starts)),
     ]
     return pa.RecordBatch.from_arrays(arrays, schema=POSTINGS_SCHEMA)
 
 
-def _encode_batches(
-    cfg: IndexConfig, avgdl_by_field: dict[str, float]
-) -> "callable":
+def _encode_batches(cfg: IndexConfig) -> "callable":
     """Streaming flat-row block encoder for mapInArrow.
 
     Input batches are FLAT posting rows (term, field, bucket, doc_id,
@@ -238,7 +242,7 @@ def _encode_batches(
                     tfs, dls, key = tfs[head_len:], dls[head_len:], key[head_len:]
                     if len(ids) == 0:
                         continue
-                out = _flush_pend(pend, avgdl_by_field, cfg)
+                out = _flush_pend(pend, cfg)
                 if out is not None:
                     yield out
                 pend = None
@@ -258,11 +262,6 @@ def _encode_batches(
             }
             if len(offs) > 2:
                 g_starts = offs[:-2].astype(np.int64)
-                avgdl_g = (
-                    pd.Series(fields.take(pa.array(g_starts)).to_pandas())
-                    .map(avgdl_by_field)
-                    .to_numpy(np.float64)
-                )
                 yield _encode_groups(
                     terms.take(pa.array(g_starts)),
                     fields.take(pa.array(g_starts)),
@@ -271,18 +270,17 @@ def _encode_batches(
                     ids[:last_lo],
                     tfs[:last_lo],
                     dls[:last_lo],
-                    avgdl_g,
                     cfg,
                 )
         if pend is not None:
-            out = _flush_pend(pend, avgdl_by_field, cfg)
+            out = _flush_pend(pend, cfg)
             if out is not None:
                 yield out
 
     return encode
 
 
-def _flush_pend(pend: dict, avgdl_by_field: dict[str, float], cfg: IndexConfig):
+def _flush_pend(pend: dict, cfg: IndexConfig):
     if len(pend["ids"]) == 0:
         return None
     return _encode_groups(
@@ -293,14 +291,12 @@ def _flush_pend(pend: dict, avgdl_by_field: dict[str, float], cfg: IndexConfig):
         pend["ids"],
         pend["tfs"],
         pend["dls"],
-        np.array([avgdl_by_field[pend["field"]]], dtype=np.float64),
         cfg,
     )
 
 
 def build_postings(
     tokens: DataFrame,
-    stats: DataFrame,
     cfg: IndexConfig | None = None,
 ) -> DataFrame:
     """tokens(doc_id, field, term, tf, dl) → compressed block-max
@@ -313,10 +309,11 @@ def build_postings(
     rows (never materialized lists — a collect_list of a hot term
     would be a single giant JVM row, the classic skew OOM), and the
     bucket key bounds per-group work to ≤ n_docs / 2**bucket_bits
-    postings regardless of term hotness.
+    postings regardless of term hotness. The encoder needs no corpus
+    statistic, so the lineage tokenize → shuffle → encode is one
+    unbroken job — no stats barrier in the middle.
     """
     cfg = cfg or IndexConfig()
-    avgdl_by_field = {r["field"]: float(r["avgdl"]) for r in stats.collect()}
 
     tk = tokens
     if "dl" not in tk.columns:
@@ -332,9 +329,9 @@ def build_postings(
     spark_schema = (
         "term string, field string, bucket int, block_id int, n int, "
         "doc_id_first long, doc_ids binary, tfs binary, dls binary, "
-        "max_tf int, max_w double"
+        "max_tf int, min_dl int, tf_sum long"
     )
-    return flat.mapInArrow(_encode_batches(cfg, avgdl_by_field), spark_schema)
+    return flat.mapInArrow(_encode_batches(cfg), spark_schema)
 
 
 @dataclass
@@ -368,25 +365,44 @@ class InvertedIndex:
         return self._stats()["avgdl"]
 
 
+def derived_stats(postings: DataFrame, n_docs: int) -> DataFrame:
+    """(field, avgdl, n_docs) from the block table: Σ tf_sum per field
+    is exactly Σ dl over docs (dl ≡ Σ tf by the tokenizer invariant),
+    so avgdl needs no pass over raw tokens."""
+    return postings.groupBy("field").agg(
+        (F.sum("tf_sum") / F.lit(n_docs)).alias("avgdl"),
+        F.lit(n_docs).alias("n_docs"),
+    )
+
+
+def derived_term_stats(postings: DataFrame) -> DataFrame:
+    """(term, field, df, cf) from the block table: df = Σ n (one
+    posting per doc per term), cf = Σ tf_sum."""
+    return postings.groupBy("term", "field").agg(
+        F.sum("n").alias("df"), F.sum("tf_sum").alias("cf")
+    )
+
+
 def build_index(
     documents: DataFrame, cfg: IndexConfig | None = None
 ) -> InvertedIndex:
     """documents → in-memory InvertedIndex (no persistence).
 
-    Tokens are persisted (memory+disk) because three downstream
-    consumers (stats, postings, term_stats) would otherwise re-run the
-    tokenizer; the checkpointed build (plans.manifest) achieves the
-    same by writing tokens to parquet once."""
+    ONE pass over the corpus: tokenize → shuffle → encode, with the
+    compact block table persisted (postings are ~50× smaller than the
+    flat tokens the round-1 design persisted). avgdl and term_stats
+    are aggregations over that block table, not extra corpus passes —
+    the serial stats barrier between tokenize and encode is gone."""
     from pyspark import StorageLevel
 
     cfg = cfg or IndexConfig()
-    tokens = tokenize(documents, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    dls = doc_lengths(tokens)
-    stats = corpus_stats(documents, dls).cache()
+    tokens = tokenize(documents, cfg)
+    postings = build_postings(tokens, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = documents.count()  # ids unique by construction
     return InvertedIndex(
-        postings=build_postings(tokens, stats, cfg),
-        term_stats=term_stats(tokens),
-        stats=stats,
+        postings=postings,
+        term_stats=derived_term_stats(postings),
+        stats=derived_stats(postings, n_docs),
         cfg=cfg,
     )
 

@@ -159,31 +159,6 @@ def build_index_checkpointed(
         )
         commit_gate()
 
-    # ---- Phase A finalize: corpus stats ----------------------------------
-    if not prog.done("stats", 0):
-        t0 = time.perf_counter()
-        toks_all = spark.read.option("basePath", f"{root}/tokens").parquet(
-            f"{root}/tokens/split=*"
-        )
-        n_docs = documents.count()  # ids unique by construction
-        stats = (
-            toks_all.groupBy("doc_id", "field")
-            .agg(F.first("dl").alias("dl"))
-            .groupBy("field")
-            .agg(
-                (F.sum("dl") / F.lit(n_docs)).alias("avgdl"),
-                F.lit(n_docs).alias("n_docs"),
-            )
-        )
-        stats.coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
-        _append_manifest(
-            spark, root, "stats", 0, n_docs, stats.count(), 0,
-            int((time.perf_counter() - t0) * 1000),
-        )
-        commit_gate()
-
-    stats_df = spark.read.parquet(f"{root}/stats")
-
     # ---- Phase B: postings per bucket-group ------------------------------
     groups = _bucket_groups(cfg, n_bucket_groups)
     for g, buckets in enumerate(groups):
@@ -193,7 +168,7 @@ def build_index_checkpointed(
         toks_g = spark.read.option("basePath", f"{root}/tokens").parquet(
             f"{root}/tokens/split=*"
         ).filter(F.col("bucket").isin(buckets))
-        postings = build_postings(toks_g.drop("split"), stats_df, cfg)
+        postings = build_postings(toks_g.drop("split"), cfg)
         out = f"{root}/postings/group={g}"
         (
             postings.repartitionByRange(4, "term")
@@ -203,13 +178,32 @@ def build_index_checkpointed(
             .option("parquet.block.size", str(4 << 20))
             .parquet(out)
         )
-        tstats = toks_g.groupBy("term", "field").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
+        # term stats derive from the just-written block table — no
+        # second scan of the (much larger) token files
+        from golr_loader_spark.plans.build_index import derived_term_stats
+
+        tstats = derived_term_stats(spark.read.parquet(out))
         tstats.write.mode("overwrite").parquet(f"{root}/term_stats_partial/group={g}")
         n_out = spark.read.parquet(out).count()
         _append_manifest(
             spark, root, "postings", g, -1, n_out, 0,
+            int((time.perf_counter() - t0) * 1000),
+        )
+        commit_gate()
+
+    # ---- Corpus stats: derived from the block table (no token scan) ------
+    if not prog.done("stats", 0):
+        from golr_loader_spark.plans.build_index import derived_stats
+
+        t0 = time.perf_counter()
+        n_docs = documents.count()  # ids unique by construction
+        post_all = spark.read.option("basePath", f"{root}/postings").parquet(
+            f"{root}/postings/group=*"
+        )
+        stats = derived_stats(post_all.drop("group"), n_docs)
+        stats.coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
+        _append_manifest(
+            spark, root, "stats", 0, n_docs, stats.count(), 0,
             int((time.perf_counter() - t0) * 1000),
         )
         commit_gate()

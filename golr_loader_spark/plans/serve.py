@@ -34,23 +34,46 @@ class LocalSearcher:
     """Driver-/service-side BM25 top-k over a persisted index root
     (written by write_index or build_index_checkpointed)."""
 
-    def __init__(self, root: str, cfg: IndexConfig | None = None):
+    def __init__(
+        self, root: str, cfg: IndexConfig | None = None, preload_term_stats: bool = True
+    ):
         self.cfg = cfg or IndexConfig()
         self.postings = pads.dataset(f"{root}/postings", format="parquet")
         self.term_stats = pads.dataset(f"{root}/term_stats", format="parquet")
         stats = pq.read_table(f"{root}/stats").to_pylist()
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}
         self.n_docs = max(int(r["n_docs"]) for r in stats) if stats else 0
+        # term_stats is vocabulary-sized metadata (the analog of
+        # Lucene's in-memory term dictionary) — preload it into a dict
+        # so each query pays ONE pruned parquet read (the postings),
+        # not two. Disable for truly huge vocabularies.
+        self._ts: dict[str, list[tuple[str, int]]] | None = None
+        if preload_term_stats:
+            tbl = self.term_stats.to_table(columns=["term", "field", "df"])
+            self._ts = {}
+            for t, f, d in zip(
+                tbl["term"].to_pylist(), tbl["field"].to_pylist(), tbl["df"].to_pylist()
+            ):
+                self._ts.setdefault(t, []).append((f, int(d)))
+
+    def _term_rows(self, terms: list[str]) -> list[dict]:
+        if self._ts is not None:
+            return [
+                {"term": t, "field": f, "df": d}
+                for t in terms
+                for (f, d) in self._ts.get(t, ())
+            ]
+        return self.term_stats.to_table(
+            filter=pc.field("term").isin(terms),
+            columns=["term", "field", "df"],
+        ).to_pylist()
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] ranked (score desc, doc_id asc)."""
         terms = analyze_query(query)
         if not terms:
             return []
-        ts = self.term_stats.to_table(
-            filter=pc.field("term").isin(terms),
-            columns=["term", "field", "df"],
-        ).to_pylist()
+        ts = self._term_rows(terms)
         if not ts:
             return []
         weights = {

@@ -61,16 +61,19 @@ def incremental_index_stream(
     )
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        from golr_loader_spark.plans.build_index import derived_term_stats
+
         docs = flatten_documents(batch_df)
         toks = tokenize(docs, cfg)
-        postings = build_postings(toks, stats_df, cfg)
+        postings = build_postings(toks, cfg)
         (
             postings.write.mode("overwrite").parquet(
                 f"{index_root}/postings/epoch={epoch_id}"
             )
         )
-        tstats = toks.groupBy("term", "field").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        # derive from the written block table, not a token re-scan
+        tstats = derived_term_stats(
+            spark.read.parquet(f"{index_root}/postings/epoch={epoch_id}")
         )
         tstats.write.mode("overwrite").parquet(
             f"{index_root}/term_stats_partial/epoch={epoch_id}"

@@ -122,7 +122,7 @@ def main() -> None:
     print(json.dumps(out))
 
     md = f"""
-## Measured scaling (this sandbox, round 1)
+## Measured scaling (this sandbox)
 
 Index-build throughput on the SAME deterministic {N_DOCS:,}-doc corpus at
 two parallelism levels (fresh JVM per run, best of {REPS} — the sandbox

@@ -123,7 +123,7 @@ def test_encoder_carryover_small_arrow_batches(spark, corpus_ix):
     try:
         small = {
             tuple(r[k] for k in key): (r["n"], r["doc_id_first"], r["doc_ids"])
-            for r in build_postings(tokenize(docs, cfg), stats, cfg).collect()
+            for r in build_postings(tokenize(docs, cfg), cfg).collect()
         }
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
