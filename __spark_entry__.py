@@ -71,6 +71,22 @@ def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition, round-to-4-then-rank discipline — is its exact DuckDB
     oracle twin. (The code-aware analyzer variant is ``entry()``; its
     rank-identity vs the exact scorer is pytest-gated.)"""
+    return _engine_bm25_topk(spark, sf_dir, mode="or")
+
+
+def _engine_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (Lucene MUST) engine search over the same simple-
+    analyzer index — docs must match all three query terms; SQL_Q31
+    (SQL_Q24 + HAVING full term count) is the oracle twin."""
+    return _engine_bm25_topk(spark, sf_dir, mode="and")
+
+
+def _engine_bm25_topk(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    """Shared engine-gate body: build the simple-analyzer compressed
+    index over documents (dense ids sized to the actual id space),
+    search with a margin past 50, then apply the oracle's
+    round-to-4-then-rank discipline — rank attaches driver-side to
+    ≤50 rows, so the distributed plan stays a TakeOrderedAndProject."""
     from golr_loader_spark.config import IndexConfig
     from golr_loader_spark.plans.bm25 import search
     from golr_loader_spark.plans.build_index import build_index
@@ -80,16 +96,11 @@ def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
     cfg = IndexConfig(
         fields={"text": ("simple", 1.0)},
-        # dense ids: size the range-bucket shift to the actual id space
         id_space_bits=max(max_id.bit_length(), 1),
     )
     ix = build_index(d, cfg)
-    # fetch a margin past 50, then apply the oracle's round-to-4-
-    # then-rank discipline (unrounded near-ties may reorder at the
-    # 4-digit granularity); rank attaches driver-side to ≤50 rows —
-    # the distributed plan stays a TakeOrderedAndProject
     top = (
-        search(ix, "data query spark", k=200, cfg=cfg)
+        search(ix, "data query spark", k=200, cfg=cfg, mode=mode)
         .withColumn("score", F.round("score", 4))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
@@ -108,14 +119,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: fn for name, (fn, _sql) in QUERIES.items()
     }
     out["engine_bm25_wand"] = _engine_bm25_wand
+    out["engine_bm25_and"] = _engine_bm25_and
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from golr_loader_spark.operators.relational import QUERIES, SQL_Q24
+    from golr_loader_spark.operators.relational import QUERIES, SQL_Q24, SQL_Q31
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
     # the engine's simple-analyzer WAND run is rank-identical to the
     # relational BM25 restatement — same oracle certifies both
     out["engine_bm25_wand"] = SQL_Q24
+    out["engine_bm25_and"] = SQL_Q31
     return out

@@ -193,6 +193,60 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected pair graph →
+    (id, cluster_id = min id reachable). The step AFTER candidate
+    generation in a dedup pipeline: LSH/Jaccard pairs → duplicate
+    CLUSTERS → keep one doc per cluster.
+
+    Algorithm: min-label propagation to fixpoint — each round joins
+    the current labels across the symmetrized edge list and keeps the
+    per-node min; rounds = graph diameter (near-dup clusters are
+    shallow, typically 2-4). Every round is one equi-join + one
+    groupBy, both partitioned by node id — no driver-side graph state,
+    which is what makes this the 100-TB shape (the large-star/
+    small-star optimization halves rounds on adversarial chains but
+    identical per-round plan). Labels are cut from lineage every
+    round via localCheckpoint, the standard guard against iterative-
+    plan blowup.
+    """
+    both = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = both.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("cluster_id", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        # neighbor labels: for each edge src→dst, dst's current label
+        nbr = (
+            both.join(
+                labels.select(F.col("id").alias("dst"), F.col("cluster_id")), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def keep_canonical(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-dedup retention: keep the min-id doc per fingerprint
     (the degenerate fast path every pipeline runs first)."""

@@ -751,6 +751,15 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 50
 """
 
 
+# conjunctive (Lucene MUST) twin of SQL_Q24: a doc must match all 3
+# query terms — qt has one row per (doc, term), so the per-doc row
+# count IS the distinct-term match count
+SQL_Q31 = SQL_Q24.replace(
+    "FROM contribs GROUP BY doc_id)",
+    "FROM contribs GROUP BY doc_id HAVING count(*) = 3)",
+)
+
+
 def q25_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return ts.fingerprint(d, "doc_id", "text")
@@ -769,8 +778,9 @@ def q26_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     return dd.lsh_candidate_pairs(sigs, band_size=2)
 
 
-SQL_Q26 = """
-WITH params AS (
+# shared CTE chain: documents(doc_id<200) → shingles → 32-bit hashes →
+# 8 minhashes → 2-hash bands → distinct candidate pairs
+_SQL_LSH_PAIR_CTES = """params AS (
   SELECT * FROM (VALUES
     (0, 1299721, 104729), (1, 15485863, 32452843), (2, 49979687, 86028121),
     (3, 67867967, 2038074743), (4, 122949823, 141650939), (5, 198491317, 256203161),
@@ -791,9 +801,43 @@ sigs AS (
 bands AS (
   SELECT id, h // 2 AS band,
          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS sig
-  FROM sigs GROUP BY id, h // 2)
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+  FROM sigs GROUP BY id, h // 2),
+cand_pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)"""
+
+SQL_Q26 = f"""
+WITH {_SQL_LSH_PAIR_CTES}
+SELECT id_a, id_b FROM cand_pairs
+"""
+
+
+def q28_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate CLUSTERS from the LSH candidate pairs — connected
+    components by min-label propagation (the step a real dedup
+    pipeline runs after q26's candidate generation; every round one
+    equi-join + one groupBy, no driver-side graph state)."""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    sigs = dd.minhash_signatures(d, "doc_id", "text")
+    pairs = dd.lsh_candidate_pairs(sigs, band_size=2)
+    return dd.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+# min-id closure via recursive CTE (UNION dedup terminates the cycle)
+SQL_Q28 = f"""
+WITH RECURSIVE {_SQL_LSH_PAIR_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM cand_pairs),
+reach AS (
+  SELECT src AS id, src AS node FROM edges
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+SELECT id AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
 """
 
 
@@ -843,6 +887,89 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
 """
 
 
+def q29_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the latest
+    view event (same user, view.ts <= purchase.ts, larger event_id
+    breaks ts ties) — the union-marker single-sort-shuffle plan
+    (operators/temporal.asof_join), not a range-join explosion."""
+    from golr_loader_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        ts="ts",
+        payload=["event_id", "value"],
+        right_tiebreak="event_id",
+        prefix="asof_view_",
+    )
+
+
+SQL_Q29 = """
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS tb,
+         event_id AS v_id, value AS v_val,
+         CAST(NULL AS BIGINT) AS l_id, CAST(NULL AS DOUBLE) AS l_val
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, NULL, NULL, event_id, value
+  FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT *,
+    last_value(v_id IGNORE NULLS) OVER win AS asof_view_event_id,
+    last_value(v_val IGNORE NULLS) OVER win AS asof_view_value
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, coalesce(tb, 0)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, ts, l_id AS event_id, l_val AS value,
+       asof_view_event_id, asof_view_value
+FROM w WHERE side = 1
+"""
+
+
+def q30_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split, reported as
+    per-(lang, split) counts — the reproducible-sampling primitive of
+    a training-data pipeline (pure projection + agg: no shuffle of
+    the corpus beyond the final tiny groupBy)."""
+    d = load(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+                    ).cast("long") % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+    )
+
+
+SQL_Q30 = """
+WITH tagged AS (
+  SELECT lang, text,
+         CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10 AS b
+  FROM documents)
+SELECT lang,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM tagged GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #
@@ -875,4 +1002,7 @@ QUERIES: dict[str, tuple] = {
     "q25_fingerprint": (q25_fingerprint, SQL_Q25),
     "q26_lsh_candidates": (q26_lsh_candidates, SQL_Q26),
     "q27_embedding_neardup": (q27_embedding_neardup, SQL_Q27),
+    "q28_dedup_clusters": (q28_dedup_clusters, SQL_Q28),
+    "q29_asof_join": (q29_asof_join, SQL_Q29),
+    "q30_stratified_split": (q30_stratified_split, SQL_Q30),
 }

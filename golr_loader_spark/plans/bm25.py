@@ -140,13 +140,22 @@ def _score_bucket_factory(
     cfg: IndexConfig,
     k: int,
     with_query_id: bool,
+    required_terms: set[str] | dict[int, set[str]] | None = None,
 ):
     """Per-(bucket[, query]) group scorer. pdf columns: term, field,
     block_id, n, doc_id_first, doc_ids, tfs, dls, max_tf, min_dl.
     Block upper bound: ub = wt·max_tf/(max_tf + k1(1−b+b·min_dl/avgdl))
     ≥ wt·w(tf, dl) for every posting in the block (w is monotone ↑tf,
     ↓dl), so pruning on it stays admissible; the bound is closed here
-    at query time — the encoder never needed avgdl."""
+    at query time — the encoder never needed avgdl.
+
+    ``required_terms`` switches to CONJUNCTIVE (Lucene MUST) mode: a
+    doc survives only if it matches EVERY required term (in any
+    field). Block-max pruning is disabled there — a pruned block would
+    silently erase a doc's term membership — and the filter runs after
+    full accumulation, so surviving scores stay bit-identical to the
+    disjunctive scorer's. A set applies to all groups; a dict maps
+    query_id → set for the batch path."""
     k1, b = cfg.k1, cfg.b
 
     def decode_list(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -167,6 +176,20 @@ def _score_bucket_factory(
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0]) if with_query_id else None
+
+        def empty() -> pd.DataFrame:
+            out = pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float64}
+            )
+            if with_query_id:
+                out.insert(0, "query_id", pd.Series([], dtype=np.int32))
+            return out
+
+        required = (
+            required_terms.get(qid, set())
+            if isinstance(required_terms, dict)
+            else required_terms
+        )
         lists = []  # [(field, term, rows, wt, avgdl, ubs, max_ub)]
         for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
             wt = weights.get((qid, term, field) if with_query_id else (term, field))
@@ -179,24 +202,28 @@ def _score_bucket_factory(
             ubs = wt * mt / (mt + k1 * ((1.0 - b) + b * md / avg))
             lists.append((field, term, rows, wt, avg, ubs))
         if not lists:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": np.int64, "score": np.float64}
-            )
+            return empty()
+        if required and not required <= {t for _f, t, *_ in lists}:
+            # some required term has no postings in this bucket → no
+            # doc here can satisfy the conjunction
+            return empty()
         lists.sort(key=lambda x: (x[0], x[1]))  # oracle's (field, term) order
         max_ub = np.array([ubs.max() for *_x, ubs in lists])
         sum_max_ub = max_ub.sum()
 
-        # θ from the strongest list's exact partial scores (lower bounds)
+        # θ from the strongest list's exact partial scores (lower
+        # bounds). Conjunctive mode: no pruning — a dropped block would
+        # erase term membership, not just score mass.
         theta = -np.inf
         si = int(np.argmax(max_ub))
         s_field, s_term, s_rows, s_wt, s_avg, _ = lists[si]
         s_ids, s_tf, s_dl = decode_list(s_rows)
-        if len(s_ids) >= k:
+        if len(s_ids) >= k and not required:
             partial = s_wt * s_tf / (s_tf + k1 * ((1.0 - b) + b * s_dl / s_avg))
             theta = np.partition(partial, len(partial) - k)[len(partial) - k]
 
         acc: dict[int, float] = {}
-        all_ids, all_contribs = [], []
+        all_ids, all_contribs, all_terms = [], [], []
         pruned_any = False
         for li, (field, term, rows, wt, avg, ubs) in enumerate(lists):
             others = sum_max_ub - max_ub[li]
@@ -213,10 +240,9 @@ def _score_bucket_factory(
             contrib = wt * tf / (tf + k1 * ((1.0 - b) + b * dl / avg))
             all_ids.append(ids)
             all_contribs.append(contrib)
+            all_terms.append(term)
         if not all_ids:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": np.int64, "score": np.float64}
-            )
+            return empty()
         uniq = np.unique(np.concatenate(all_ids))
         scores = np.zeros(len(uniq), dtype=np.float64)
         # accumulate in (field, term) list order → oracle float order
@@ -224,6 +250,19 @@ def _score_bucket_factory(
             scores[np.searchsorted(uniq, ids)] += contrib
         if pruned_any and np.isfinite(theta):
             ok = scores >= theta  # complete-scored docs only (see module doc)
+            uniq, scores = uniq[ok], scores[ok]
+        if required:
+            # Lucene MUST: doc matches a term if it appears in ANY of
+            # the term's field lists; keep docs matching every term
+            n_match = np.zeros(len(uniq), dtype=np.int32)
+            for t in required:
+                t_ids = np.unique(
+                    np.concatenate(
+                        [i for i, lt in zip(all_ids, all_terms) if lt == t]
+                    )
+                )
+                n_match[np.searchsorted(uniq, t_ids)] += 1
+            ok = n_match == len(required)
             uniq, scores = uniq[ok], scores[ok]
         # top-k by (score desc, doc_id asc)
         order = np.lexsort((uniq, -scores))[:k]
@@ -240,25 +279,36 @@ def search(
     query: str,
     k: int = 10,
     cfg: IndexConfig | None = None,
+    mode: str = "or",
 ) -> DataFrame:
-    """Top-k BM25 over the compressed index for one query string."""
+    """Top-k BM25 over the compressed index for one query string.
+
+    ``mode="or"`` (default): disjunctive with block-max pruning.
+    ``mode="and"``: conjunctive (Lucene MUST) — a doc must match every
+    analyzed query term; a term absent from the corpus empties the
+    result. Scores of surviving docs are identical between modes."""
     cfg = cfg or index.cfg
     terms = analyze_query(query)
+    spark = index.postings.sparkSession
     if not terms:
-        return index.postings.sparkSession.createDataFrame(
-            [], "doc_id long, score double"
-        )
+        return spark.createDataFrame([], "doc_id long, score double")
     idf = _idf_table(index, terms)
     weights = {
         (t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0)
         for (t, f), i in idf.items()
         if f in cfg.fields  # index may carry fields this query config drops
     }
+    required = set(terms) if mode == "and" else None
+    if required and not required <= {t for (t, _f) in weights}:
+        # strict MUST: a query term with no postings → empty result
+        return spark.createDataFrame([], "doc_id long, score double")
     avgdl = _avgdl(index)
     cand = index.postings.filter(
         F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
     )
-    fn = _score_bucket_factory(weights, avgdl, cfg, k, with_query_id=False)
+    fn = _score_bucket_factory(
+        weights, avgdl, cfg, k, with_query_id=False, required_terms=required
+    )
     per_bucket = cand.groupBy("bucket").applyInPandas(
         fn, schema="doc_id long, score double"
     )
@@ -270,6 +320,7 @@ def search_batch(
     queries: dict[int, str],
     k: int = 10,
     cfg: IndexConfig | None = None,
+    mode: str = "or",
 ) -> DataFrame:
     """Top-k for a whole query set in one job → (query_id, rank,
     doc_id, score). Postings join a broadcast query-term table, then
@@ -288,12 +339,22 @@ def search_batch(
         for (tt, f), i in idf.items()
         if tt == t and f in cfg.fields
     }
+    required = None
+    if mode == "and":
+        required = {}
+        for qid, q in queries.items():
+            qt = set(analyze_query(q))
+            present = {t for (qqid, t, _f) in weights if qqid == qid}
+            # strict MUST: unmatched term → impossible requirement
+            required[qid] = qt if qt <= present else {"\x00_absent_term"}
     avgdl = _avgdl(index)
     qdf = spark.createDataFrame(qterms, "query_id int, term string")
     cand = index.postings.filter(F.col("field").isin(list(cfg.fields))).join(
         F.broadcast(qdf), on="term"
     )
-    fn = _score_bucket_factory(weights, avgdl, cfg, k, with_query_id=True)
+    fn = _score_bucket_factory(
+        weights, avgdl, cfg, k, with_query_id=True, required_terms=required
+    )
     per_bucket = cand.groupBy("query_id", "bucket").applyInPandas(
         fn, schema="query_id int, doc_id long, score double"
     )

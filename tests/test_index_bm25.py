@@ -130,6 +130,39 @@ def test_encoder_carryover_small_arrow_batches(spark, corpus_ix):
     assert small == baseline
 
 
+def test_conjunctive_mode_semantics(spark, corpus_ix):
+    """mode='and' (Lucene MUST): every hit contains ALL analyzed
+    terms, scores are bit-identical to the disjunctive scorer's for
+    the surviving docs, and a query term absent from the corpus
+    empties the result."""
+    docs, cfg, tokens, dls, stats, ix = corpus_ix
+    q = "def return zq0007"
+    terms = set(analyze_query(q))
+    want_docs = {
+        r["doc_id"]
+        for r in tokens.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .collect()
+    }
+    got = search(ix, q, k=1000, cfg=cfg, mode="and").collect()
+    assert {r["doc_id"] for r in got} == want_docs
+    # identical scores vs the disjunctive run (no-prune accumulation
+    # order matches)
+    or_scores = {
+        r["doc_id"]: r["score"]
+        for r in search(ix, q, k=1000, cfg=cfg, mode="or").collect()
+    }
+    for r in got:
+        assert r["score"] == or_scores[r["doc_id"]]
+    # strict MUST: missing term → empty
+    assert search(ix, "def nonexistent_term_xyzzy", k=10, cfg=cfg, mode="and").count() == 0
+    # batch path agrees with the single path
+    batch = search_batch(ix, {0: q}, k=1000, cfg=cfg, mode="and").collect()
+    assert {r["doc_id"] for r in batch} == want_docs
+
+
 def test_empty_query_and_no_hits(spark, corpus_ix):
     docs, cfg, tokens, dls, stats, ix = corpus_ix
     assert search(ix, "", k=5, cfg=cfg).count() == 0
