@@ -130,6 +130,66 @@ def streaming_hourly_events(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    gap_s: float = 1800.0,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    — the streaming twin of q12_sessionize. Per-user GroupState carries
+    (n_sessions, n_events, last event epoch); each micro-batch extends
+    it, starting a new session when the gap to the previous event
+    exceeds ``gap_s``. Emits the running (user_id, n_sessions,
+    n_events) in update mode — after the final batch the latest row
+    per user equals the batch sessionization exactly (assuming per-user
+    time-ordered arrival, the standard sessionization-stream contract;
+    out-of-order feeds would add a watermark + in-state buffer).
+
+    The per-batch work is numpy (one diff + comparison over the
+    user's rows) — no per-row Python even inside the stateful UDF.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n_s, n_e, last = state.get if state.exists else (0, 0, None)
+        rows = pd.concat(list(pdfs))
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            eps = rows["ts"].astype("int64").to_numpy() / 1e9  # ns → s
+            prev = np.concatenate(
+                [[last if last is not None else -np.inf], eps[:-1]]
+            )
+            n_s += int((eps - prev > gap_s).sum())
+            n_e += len(eps)
+            last = float(eps[-1])
+        state.update((n_s, n_e, last))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_s], "n_events": [n_e]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="n_sessions long, n_events long, last_epoch double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def compute_global_stats(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     """Corpus-level BM25 stats job for the incremental pipeline."""
     from golr_loader_spark.plans.build_index import corpus_stats

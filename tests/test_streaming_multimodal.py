@@ -20,6 +20,7 @@ from golr_loader_spark.streaming.incremental import (
     incremental_index_stream,
     merged_incremental_index,
     streaming_hourly_events,
+    streaming_sessionize,
 )
 
 
@@ -87,6 +88,64 @@ def test_streaming_windowed_events(spark, sf_dir, tmp_path):
     mismatches = joined.filter(F.col("s.n") != F.col("b.n")).count()
     assert mismatches == 0
     assert 0 < n_stream <= n_batch
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful sessionization stream (applyInPandasWithState) over the
+    events table, dripped in two time-ordered micro-batches, converges
+    to exactly the batch q12_sessionize answer — including sessions
+    that span the batch boundary (gap state carried in GroupState)."""
+    import glob
+    import os
+    import shutil
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = ev.selectExpr("percentile_approx(ts, 0.5) AS m").collect()[0]["m"]
+
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    # the file source doesn't recurse into .parquet output dirs — write
+    # each half to a scratch dir, then move its single part file in
+    for name, pred in [("a", F.col("ts") <= F.lit(cut)), ("b", F.col("ts") > F.lit(cut))]:
+        scratch = str(tmp_path / f"scratch_{name}")
+        ev.filter(pred).coalesce(1).write.parquet(scratch)
+        shutil.move(glob.glob(f"{scratch}/part-*.parquet")[0], str(src / f"{name}.parquet"))
+    a, b = str(src / "a.parquet"), str(src / "b.parquet")
+    # FileStreamSource orders by mod time: force a < b so each user's
+    # events arrive time-ordered across micro-batches
+    now = os.path.getmtime(b)
+    os.utime(a, (now - 10, now - 10))
+
+    out = streaming_sessionize(spark, str(src), max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update-mode memory sink appends every per-trigger update; the
+    # final state per user is the row with the largest n_events
+    # (monotone within a user)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            """SELECT user_id, n_sessions, n_events FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM sess_out) WHERE rn = 1"""
+        ).collect()
+    }
+    from golr_loader_spark.operators.relational import q12_sessionize
+
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q12_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want
 
 
 def test_multimodal_features_and_frames(spark):
