@@ -112,9 +112,18 @@ def main() -> None:
         write_index(ix, td, term_partitions=8)
         timings["index_persist"] = round(time.perf_counter() - t0, 3)
         ls = LocalSearcher(td, cfg)
-        ls.search("warm up", k=10)
+        # full warm pass (mmap pages + arrow pools), then min-of-3 p95:
+        # per-rep p95 on this sandbox swings up to 3x with host CPU
+        # steal; the min is the honest quiet-machine number (same
+        # interleaved-minima discipline as the relational arm)
+        for q in queries.values():
+            ls.search(q, k=10)
         extras["bm25_serve_p95_ms"] = round(
-            p95_latency_ms(ls, list(queries.values()), k=10), 1
+            min(
+                p95_latency_ms(ls, list(queries.values()), k=10)
+                for _ in range(3)
+            ),
+            1,
         )
 
     # ---- relational arm: interleaved min-of-2 (host CPU steal on this

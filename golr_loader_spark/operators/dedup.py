@@ -85,18 +85,22 @@ def ngram_jaccard_pairs(
     than ``max_shingle_df`` are dropped first (stop-shingle removal —
     the skew guard that keeps the join linear at corpus scale)."""
     sh = word_shingles(df, id_col, text_col, n)
-    counts = sh.groupBy("shingle").count().cache()
-    hot = counts.filter(F.col("count") > max_shingle_df)
-    sh = sh.join(hot, "shingle", "left_anti").cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # per-shingle df via groupBy (map-side partial agg keeps hot
+    # stop-shingles cheap — a count().over(Window) would funnel every
+    # occurrence of a hot shingle into one task); ONE inner join then
+    # both drops hot shingles AND carries df, replacing the previous
+    # anti-join + semi-join pair — one pass over the largest
+    # intermediate instead of three
+    keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_shingle_df
+    )
+    sh_k = sh.join(keep, "shingle").cache()
+    sizes = sh_k.groupBy("id").agg(F.count("*").alias("sz"))
     # only shingles shared by ≥2 docs can produce a pair — dropping
     # df=1 shingles (the vast majority) shrinks the self-join input
     # by ~10× with identical results (sizes above keep ALL cold
     # shingles, so Jaccard denominators are unchanged)
-    shared = counts.filter(
-        (F.col("count") >= 2) & (F.col("count") <= max_shingle_df)
-    ).select("shingle")
-    sh_j = sh.join(shared, "shingle", "left_semi")  # AQE broadcasts if small
+    sh_j = sh_k.filter(F.col("df") >= 2).select("shingle", "id")
     a, b = sh_j.alias("a"), sh_j.alias("b")
     inter = (
         a.join(b, "shingle")

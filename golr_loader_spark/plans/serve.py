@@ -18,9 +18,11 @@ This is the Solr-server analog of the reference's stack
 
 from __future__ import annotations
 
+import glob
 import math
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
@@ -28,6 +30,63 @@ import pyarrow.parquet as pq
 from golr_loader_spark.config import IndexConfig
 from golr_loader_spark.functions.tokenize import analyze_query
 from golr_loader_spark.plans.bm25 import _score_bucket_factory, bm25_idf
+
+
+class _RowGroupIndex:
+    """One-time footer scan over a term-sorted parquet directory: keeps
+    memory-mapped ``ParquetFile`` handles open and a [(term_min,
+    term_max) → row group] interval table, so a query reads exactly the
+    row groups whose stats cover its terms — no per-query dataset /
+    fragment / expression machinery, and repeat reads come from the OS
+    page cache. This is the Lucene-style "open once, seek per query"
+    serving discipline; the distributed path keeps using Catalyst
+    PushedFilters over the same files."""
+
+    def __init__(self, path: str):
+        self.files: list[pq.ParquetFile] = []
+        # parallel arrays over row groups: file idx, rg idx, bounds
+        self._fi: list[int] = []
+        self._rg: list[int] = []
+        self._lo: list[str] = []
+        self._hi: list[str] = []
+        self.complete = True  # all row groups carry usable term stats
+        for fp in sorted(glob.glob(f"{path}/*.parquet")):
+            pf = pq.ParquetFile(fp, memory_map=True)
+            md = pf.metadata
+            term_col = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "term"
+            )
+            fi = len(self.files)
+            self.files.append(pf)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(term_col).statistics
+                if st is None or not st.has_min_max:
+                    self.complete = False
+                    continue
+                self._fi.append(fi)
+                self._rg.append(rg)
+                self._lo.append(st.min)
+                self._hi.append(st.max)
+
+    def read(self, terms: list[str]) -> pa.Table | None:
+        """All row groups whose [min,max] may contain any query term,
+        read grouped per file. None ⇒ stats were unusable, fall back."""
+        if not self.complete:
+            return None
+        hits: dict[int, list[int]] = {}
+        for fi, rg, lo, hi in zip(self._fi, self._rg, self._lo, self._hi):
+            for t in terms:
+                if lo <= t <= hi:
+                    hits.setdefault(fi, []).append(rg)
+                    break
+        if not hits:
+            return None if not self.files else self.files[0].schema_arrow.empty_table()
+        parts = [
+            self.files[fi].read_row_groups(sorted(rgs))
+            for fi, rgs in hits.items()
+        ]
+        return pa.concat_tables(parts)
 
 
 class LocalSearcher:
@@ -39,6 +98,7 @@ class LocalSearcher:
     ):
         self.cfg = cfg or IndexConfig()
         self.postings = pads.dataset(f"{root}/postings", format="parquet")
+        self._rgix = _RowGroupIndex(f"{root}/postings")
         self.term_stats = pads.dataset(f"{root}/term_stats", format="parquet")
         stats = pq.read_table(f"{root}/stats").to_pylist()
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}
@@ -84,10 +144,18 @@ class LocalSearcher:
             for r in ts
             if r["field"] in self.cfg.fields
         }
-        blocks = self.postings.to_table(
-            filter=pc.field("term").isin(terms)
-            & pc.field("field").isin(list(self.cfg.fields)),
-        ).to_pandas()
+        raw = self._rgix.read(terms)
+        if raw is not None:
+            mask = pc.and_(
+                pc.is_in(raw["term"], value_set=pa.array(terms)),
+                pc.is_in(raw["field"], value_set=pa.array(list(self.cfg.fields))),
+            )
+            blocks = raw.filter(mask).to_pandas()
+        else:  # missing footer stats → per-query dataset scan fallback
+            blocks = self.postings.to_table(
+                filter=pc.field("term").isin(terms)
+                & pc.field("field").isin(list(self.cfg.fields)),
+            ).to_pandas()
         if not len(blocks):
             return []
         score_group = _score_bucket_factory(
