@@ -56,3 +56,76 @@ class IndexConfig:
     @property
     def n_buckets(self) -> int:
         return 1 << self.bucket_bits
+
+    def to_dict(self) -> dict:
+        return {
+            "fields": {
+                name: {"analyzer": an, "boost": float(boost)}
+                for name, (an, boost) in self.fields.items()
+            },
+            "k1": self.k1,
+            "b": self.b,
+            "block_size": self.block_size,
+            "bucket_bits": self.bucket_bits,
+            "min_term_len": self.min_term_len,
+            "id_space_bits": self.id_space_bits,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexConfig":
+        kwargs = {k: d[k] for k in (
+            "k1", "b", "block_size", "bucket_bits", "min_term_len", "id_space_bits"
+        ) if k in d}
+        if "fields" in d:
+            kwargs["fields"] = {
+                name: (spec["analyzer"], float(spec.get("boost", 1.0)))
+                for name, spec in d["fields"].items()
+            }
+        return cls(**kwargs)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """YAML-loadable query spec — the analog of the reference's
+    GolrCypherQuery bean (beans/GolrCypherQuery.java:13-46), whose
+    YAML round-trip is pinned by YamlSerializationTest.java:32-40:
+    there a cypher string plus per-field directed-relationship
+    overrides; here a registry query name plus an IndexConfig and
+    per-field closure overrides (the X3 surface of golr_flatten)."""
+
+    query: str
+    config: IndexConfig = field(default_factory=IndexConfig)
+    closure_overrides: dict[str, list[str]] = field(default_factory=dict)
+
+    def to_yaml(self) -> str:
+        import yaml
+
+        doc = {"query": self.query, **self.config.to_dict()}
+        if self.closure_overrides:
+            doc["closure_overrides"] = {
+                k: list(v) for k, v in self.closure_overrides.items()
+            }
+        return yaml.safe_dump(doc, sort_keys=False)
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "QuerySpec":
+        import yaml
+
+        d = yaml.safe_load(text)
+        return cls(
+            query=d["query"],
+            config=IndexConfig.from_dict(d),
+            closure_overrides={
+                k: list(v)
+                for k, v in (d.get("closure_overrides") or {}).items()
+            },
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_yaml())
+
+    @classmethod
+    def load(cls, path: str) -> "QuerySpec":
+        with open(path) as f:
+            return cls.from_yaml(f.read())

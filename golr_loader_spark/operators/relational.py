@@ -970,6 +970,62 @@ FROM tagged GROUP BY 1, 2
 """
 
 
+def q32_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN: Voronoi-cell coarse quantizer (deterministic
+    strided-sample centroids) + n_probe cell probing + exact rescoring
+    of candidates — the FAISS-style scale path next to q20's exact
+    brute force. Fully SQL-expressible, so the DuckDB oracle replays
+    the index itself, not just the final ranking."""
+    e = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.ivf_cosine_topk(e, [0, 1, 2, 3, 4], k=10, n_cells=16, n_probe=4)
+
+
+SQL_Q32 = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, e AS cvec FROM emb
+  WHERE vec_id % (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) FROM emb) = 0
+  ORDER BY vec_id LIMIT 16
+), acell AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT emb.vec_id, emb.e, c.cell,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round({_SQL_DOT.format(a='emb.e', b='c.cvec')} /
+                            (sqrt({_SQL_DOT.format(a='emb.e', b='emb.e')}) *
+                             sqrt({_SQL_DOT.format(a='c.cvec', b='c.cvec')})), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM emb CROSS JOIN cents c) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS qvec FROM emb WHERE vec_id IN (0,1,2,3,4)
+), probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.query_id, q.qvec, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round({_SQL_DOT.format(a='q.qvec', b='c.cvec')} /
+                            (sqrt({_SQL_DOT.format(a='q.qvec', b='q.qvec')}) *
+                             sqrt({_SQL_DOT.format(a='c.cvec', b='c.cvec')})), 6) DESC,
+                      c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({_SQL_DOT.format(a='a.e', b='p.qvec')} /
+               (sqrt({_SQL_DOT.format(a='a.e', b='a.e')}) *
+                sqrt({_SQL_DOT.format(a='p.qvec', b='p.qvec')})), 6) AS cos_sim
+  FROM acell a JOIN probes p USING (cell)
+  WHERE a.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #
@@ -1005,4 +1061,5 @@ QUERIES: dict[str, tuple] = {
     "q28_dedup_clusters": (q28_dedup_clusters, SQL_Q28),
     "q29_asof_join": (q29_asof_join, SQL_Q29),
     "q30_stratified_split": (q30_stratified_split, SQL_Q30),
+    "q32_ivf_ann": (q32_ivf_ann, SQL_Q32),
 }

@@ -167,6 +167,110 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an INVERTED-FILE (IVF-flat) index:
+    a coarse quantizer partitions the corpus into ``n_cells`` Voronoi
+    cells; a query exactly scores only the cells whose centroids it is
+    closest to (``n_probe`` of them). This is the FAISS IVF shape —
+    the list/probe trade-off (recall ≈ fraction of true neighbors
+    inside the probed cells) with candidate cost n_probe/n_cells of
+    the corpus instead of all of it.
+
+    The centroids are the corpus vectors at ids 0, stride, 2·stride, …
+    (stride = ceil(N/n_cells)) — a deterministic sample, i.e. IVF with
+    sampled init and zero Lloyd iterations. That keeps the whole
+    operator SQL-expressible (a DuckDB oracle can replay it exactly),
+    fully JVM-side in Spark, and admissibly "coarse": any quantizer
+    partition is a valid IVF index, training only sharpens recall.
+
+    Plan shape at scale: the centroid table is ``n_cells`` rows →
+    collected to the driver and inlined as literals (exactly like the
+    LSH hyperplane constants), so corpus assignment is a PURE MAP
+    expression — an array_min-argmax over per-centroid rounded
+    cosines, zero shuffles of the corpus; probing then joins
+    candidates on the cell key against the broadcast probe table —
+    never a cross product against the corpus, and the only exchanges
+    in the whole plan are the final per-query top-k windows.
+    """
+    n = embeddings.count()
+    stride = max(1, -(-n // n_cells))  # ceil
+    cents = (
+        embeddings.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+        )
+    ).collect()
+
+    def cos_cent(v: str, cvec: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.round(
+            _dot(F.col(v), c) / (_norm(F.col(v)) * _norm(c)), 6
+        )
+
+    def nearest_cells(v: str) -> Column:
+        # sorted array of (−cos, cell) structs: lexicographic struct
+        # order = rounded cos desc, cell asc (the module float
+        # discipline) — [0] is the assignment, [:n_probe] the probes
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        (-cos_cent(v, r["cvec"])).alias("neg"),
+                        F.lit(int(r["cell"])).alias("cell"),
+                    )
+                    for r in cents
+                ]
+            )
+        )
+
+    assigned = embeddings.withColumn(
+        "cell", nearest_cells(vec_col)[0]["cell"]
+    )
+    # queries → their n_probe nearest cells
+    probes = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(nearest_cells("qvec"), 1, n_probe),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+        .select("query_id", "qvec", "cell")
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("neighbor_id"), "cos_sim")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

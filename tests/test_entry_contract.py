@@ -27,6 +27,7 @@ SAMPLE = [
     "q18_minhash",
     "q20_ann_cosine_topk",
     "q24_bm25_topk",
+    "q32_ivf_ann",
 ]
 
 
