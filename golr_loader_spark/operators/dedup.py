@@ -256,3 +256,34 @@ def keep_canonical(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (the degenerate fast path every pipeline runs first)."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a held-out benchmark set → (doc_id, n_shared_shingles,
+    n_bench_docs). The standard pre-training hygiene pass (the
+    published recipes use 8-13-gram exact overlap; n is a knob).
+
+    Plan shape at scale: the benchmark side is tiny relative to the
+    corpus (eval sets are thousands of docs, the corpus billions), so
+    its distinct shingle set broadcasts and the corpus-side scan
+    stays map-side — a broadcast semi-ish join + one agg keyed by the
+    contaminated doc, never a corpus self-join."""
+    train_sh = word_shingles(df, id_col, text_col, n)
+    bench_sh = word_shingles(benchmark, id_col, text_col, n).withColumnRenamed(
+        "id", "bench_id"
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

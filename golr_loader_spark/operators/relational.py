@@ -1026,6 +1026,87 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
 """
 
 
+def q33_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 5-gram
+    with the held-out set (doc_id % 50 == 0 plays the benchmark).
+    4-grams give meaningful overlap density on the short test texts;
+    published recipes use 8-13-grams on web-scale documents."""
+    d = load(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return dd.decontaminate(train, bench, "doc_id", "text", n=4)
+
+
+SQL_Q33 = """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split(lower(text),' ')) - 3, 0)),
+             i -> array_to_string(string_split(lower(text),' ')[i:i+3], ' '))) AS shingle
+    FROM documents)
+), bench AS (
+  SELECT id AS bench_id, shingle FROM sh WHERE id % 50 = 0
+), train AS (
+  SELECT id, shingle FROM sh WHERE id % 50 <> 0
+)
+SELECT train.id AS doc_id,
+       count(DISTINCT train.shingle) AS n_shared_shingles,
+       count(DISTINCT bench.bench_id) AS n_bench_docs
+FROM train JOIN bench USING (shingle)
+GROUP BY train.id
+"""
+
+
+def q34_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition ratio (dup-3-gram fraction) — pure
+    map-side projection, zero shuffles at any scale."""
+    return ts.repetition_score(load(spark, sf, "documents"), "doc_id", "text", n=3)
+
+
+SQL_Q34 = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(lower(text),' ')) >= 3
+              THEN list_transform(
+                     generate_series(1, len(string_split(lower(text),' ')) - 2),
+                     i -> array_to_string(string_split(lower(text),' ')[i:i+2], ' '))
+              ELSE [] END AS grams
+  FROM documents)
+SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM g
+"""
+
+
+def q35_json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured column handling: parse the events JSON props
+    payload and aggregate the extracted field per event type —
+    projection + one partial-agg groupBy (get_json_object stays
+    JVM-side; no Python in the path)."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
+        )
+    )
+
+
+SQL_Q35 = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #
@@ -1062,4 +1143,7 @@ QUERIES: dict[str, tuple] = {
     "q29_asof_join": (q29_asof_join, SQL_Q29),
     "q30_stratified_split": (q30_stratified_split, SQL_Q30),
     "q32_ivf_ann": (q32_ivf_ann, SQL_Q32),
+    "q33_decontaminate": (q33_decontaminate, SQL_Q33),
+    "q34_repetition_score": (q34_repetition_score, SQL_Q34),
+    "q35_json_props_stats": (q35_json_props_stats, SQL_Q35),
 }

@@ -107,3 +107,38 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     md5) — the exact-dup key → (id, fp)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
     return df.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+
+
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total word n-grams →
+    (doc_id, n_grams, n_distinct, rep_ratio). The standard
+    repetitive-document quality signal (dup-ngram fraction) used to
+    down-weight boilerplate in pre-training corpora. Pure projection —
+    the n-gram array never leaves the row, so the whole operator is
+    map-side with zero shuffles at any corpus size."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    return g.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )

@@ -1,0 +1,60 @@
+"""Decontamination + repetition-score + JSON-props operator tests
+(training-data pipeline family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from golr_loader_spark.operators.dedup import decontaminate
+from golr_loader_spark.operators.textstats import repetition_score
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here with no overlap at all"),
+            (3, "quick brown fox jumps over something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(train, bench, n=4).collect()}
+    assert set(got) == {1, 3}  # doc 2 shares no 4-gram
+    # doc 1 shares "the quick brown fox", "quick brown fox jumps",
+    # "brown fox jumps over"; doc 3 the latter two
+    assert got[1]["n_shared_shingles"] == 3
+    assert got[3]["n_shared_shingles"] == 2
+    assert got[1]["n_bench_docs"] == 1
+
+
+def test_decontaminate_short_docs_yield_nothing(spark):
+    train = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    bench = spark.createDataFrame([(2, "too short")], "doc_id long, text string")
+    assert decontaminate(train, bench, n=4).count() == 0
+
+
+def test_repetition_score_bounds_and_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),       # heavy 3-gram repetition
+            (2, "one two three four five"),  # all distinct
+            (3, "x y"),                    # shorter than n -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_score(df, n=3).collect()}
+    # doc 1: 6 grams, only 2 distinct ("a b a", "b a b")
+    assert got[1]["n_grams"] == 6 and got[1]["n_distinct"] == 2
+    assert got[1]["rep_ratio"] == round(1 - 2 / 6, 6)
+    assert got[2]["rep_ratio"] == 0.0
+    assert got[3]["n_grams"] == 0 and got[3]["rep_ratio"] == 0.0
+
+
+def test_repetition_score_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = repetition_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
