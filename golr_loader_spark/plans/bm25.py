@@ -141,6 +141,7 @@ def _score_bucket_factory(
     k: int,
     with_query_id: bool,
     required_terms: set[str] | dict[int, set[str]] | None = None,
+    exclude_ids: "np.ndarray | None" = None,
 ):
     """Per-(bucket[, query]) group scorer. pdf columns: term, field,
     block_id, n, doc_id_first, doc_ids, tfs, dls, max_tf, min_dl.
@@ -155,8 +156,21 @@ def _score_bucket_factory(
     silently erase a doc's term membership — and the filter runs after
     full accumulation, so surviving scores stay bit-identical to the
     disjunctive scorer's. A set applies to all groups; a dict maps
-    query_id → set for the batch path."""
+    query_id → set for the batch path.
+
+    ``exclude_ids`` drops tombstoned docs at decode time (Lucene
+    liveDocs semantics: deleted docs vanish from results immediately,
+    while corpus/block statistics stay stale until compaction — see
+    plans.maintenance). Masking inside the decoder keeps every
+    consumer — theta seeding, pruning, accumulation, MUST filtering —
+    consistent on live postings only; the stored block bounds still
+    cover the masked postings, so pruning stays admissible."""
     k1, b = cfg.k1, cfg.b
+    excl = (
+        np.unique(np.asarray(exclude_ids, dtype=np.int64))
+        if exclude_ids is not None and len(exclude_ids)
+        else None
+    )
 
     def decode_list(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decode ALL of a list's blocks in three varint calls (the
@@ -172,6 +186,10 @@ def _score_bucket_factory(
         ids = g + np.repeat(firsts - g[starts], n_per_block)
         tfs = varint_decode(b"".join(rows["tfs"])).astype(np.float64)
         dls = varint_decode(b"".join(rows["dls"])).astype(np.float64)
+        if excl is not None:
+            keep = np.isin(ids, excl, invert=True)
+            if not keep.all():
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         return ids, tfs, dls
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -280,6 +298,7 @@ def search(
     k: int = 10,
     cfg: IndexConfig | None = None,
     mode: str = "or",
+    exclude_ids=None,
 ) -> DataFrame:
     """Top-k BM25 over the compressed index for one query string.
 
@@ -307,7 +326,8 @@ def search(
         F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
     )
     fn = _score_bucket_factory(
-        weights, avgdl, cfg, k, with_query_id=False, required_terms=required
+        weights, avgdl, cfg, k, with_query_id=False, required_terms=required,
+        exclude_ids=exclude_ids,
     )
     per_bucket = cand.groupBy("bucket").applyInPandas(
         fn, schema="doc_id long, score double"
@@ -321,6 +341,7 @@ def search_batch(
     k: int = 10,
     cfg: IndexConfig | None = None,
     mode: str = "or",
+    exclude_ids=None,
 ) -> DataFrame:
     """Top-k for a whole query set in one job → (query_id, rank,
     doc_id, score). Postings join a broadcast query-term table, then
@@ -353,7 +374,8 @@ def search_batch(
         F.broadcast(qdf), on="term"
     )
     fn = _score_bucket_factory(
-        weights, avgdl, cfg, k, with_query_id=True, required_terms=required
+        weights, avgdl, cfg, k, with_query_id=True, required_terms=required,
+        exclude_ids=exclude_ids,
     )
     per_bucket = cand.groupBy("query_id", "bucket").applyInPandas(
         fn, schema="query_id int, doc_id long, score double"

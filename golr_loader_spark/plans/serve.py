@@ -100,6 +100,19 @@ class LocalSearcher:
         self.postings = pads.dataset(f"{root}/postings", format="parquet")
         self._rgix = _RowGroupIndex(f"{root}/postings")
         self.term_stats = pads.dataset(f"{root}/term_stats", format="parquet")
+        # tombstones (plans.maintenance.delete_docs): Lucene liveDocs —
+        # deleted docs are masked out of every result until compaction
+        import glob as _glob
+        import os as _os
+
+        self.tombstones = None
+        if _os.path.isdir(f"{root}/tombstones"):
+            files = _glob.glob(f"{root}/tombstones/*.parquet")
+            if files:
+                import numpy as _np
+
+                tomb = pa.concat_tables([pq.read_table(f, columns=["doc_id"]) for f in files])
+                self.tombstones = _np.unique(tomb["doc_id"].to_numpy(zero_copy_only=False))
         stats = pq.read_table(f"{root}/stats").to_pylist()
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}
         self.n_docs = max(int(r["n_docs"]) for r in stats) if stats else 0
@@ -159,7 +172,8 @@ class LocalSearcher:
         if not len(blocks):
             return []
         score_group = _score_bucket_factory(
-            weights, self.avgdl, self.cfg, k, with_query_id=False
+            weights, self.avgdl, self.cfg, k, with_query_id=False,
+            exclude_ids=self.tombstones,
         )
         parts = [
             score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
