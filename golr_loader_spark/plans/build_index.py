@@ -407,11 +407,21 @@ def build_index(
     )
 
 
-def write_index(index: InvertedIndex, root: str, term_partitions: int = 8) -> None:
+def write_index(
+    index: InvertedIndex,
+    root: str,
+    term_partitions: int = 8,
+    documents: DataFrame | None = None,
+) -> None:
     """Persist index tables as parquet (Iceberg stand-in — the sandbox
     image lacks the Iceberg runtime jars; the layout below mirrors an
     Iceberg table bucketed by term: range-partition + in-file sort by
-    term gives parquet row-group min/max pruning for query-term scans)."""
+    term gives parquet row-group min/max pruning for query-term scans).
+
+    ``documents`` (optional): also persist a ``{root}/docs`` manifest
+    (doc_id, content_sha256) — doc-level membership for upsert
+    accounting (plans.maintenance.upsert_docs) and the per-row
+    sha256 invariant surfaced at the index root."""
     (
         index.postings.repartitionByRange(term_partitions, "term")
         .sortWithinPartitions("term", "field", "bucket", "block_id")
@@ -430,6 +440,15 @@ def write_index(index: InvertedIndex, root: str, term_partitions: int = 8) -> No
         .parquet(f"{root}/term_stats")
     )
     index.stats.coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
+    if documents is not None:
+        sha = (
+            F.col("content_sha256")
+            if "content_sha256" in documents.columns
+            else F.lit(None).cast("string")
+        )
+        documents.select("doc_id", sha.alias("content_sha256")).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/docs")
 
 
 def read_index(

@@ -101,14 +101,19 @@ def compact_postings(
         m = int(keep.sum())
         if m == 0:
             return pd.DataFrame({c: [] for c in _POSTING_COLS})
+        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        # multi-segment lists (incremental/upsert appends) interleave
+        # doc ranges across blocks — re-sort so the compacted list is
+        # globally doc_id-ordered (smallest deltas, format contract)
+        order = np.argsort(ids, kind="stable")
         rb = _encode_groups(
             pa.array([term]),
             pa.array([fld]),
             np.array([bucket]),
             np.array([0, m], dtype=np.int64),
-            ids[keep],
-            tfs[keep],
-            dls[keep],
+            ids[order],
+            tfs[order],
+            dls[order],
             cfg,
         )
         return rb.to_pandas()
@@ -145,6 +150,106 @@ def compact_index(
         stats=derived_stats(new_postings, n_docs),
         cfg=index.cfg,
     )
+
+
+def upsert_docs(
+    spark: SparkSession,
+    root: str,
+    documents: DataFrame,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """Solr-style add/overwrite into a persisted index root: incoming
+    docs REPLACE existing docs with the same ``doc_id`` and extend the
+    corpus otherwise. Returns {"updated": n, "added": n}.
+
+    Requires the ``{root}/docs`` manifest (write_index(...,
+    documents=...)) — membership is a semi-join against it, so the
+    updated/added split and the n_docs accounting are exact.
+
+    Mechanics (Lucene's update = delete + add, applied eagerly):
+      1. postings of existing versions are physically removed by a
+         targeted compaction (only lists containing the updated ids
+         change; the tombstone broadcast masks them);
+      2. the new docs' postings are built with the build's own
+         pipeline and appended as a fresh segment — per-bucket WAND
+         scoring is segment-order-insensitive (accumulation per doc),
+         the same property the incremental stream relies on;
+      3. term/corpus stats are recomputed over the merged block table;
+      4. incoming ids are withdrawn from ``{root}/tombstones`` (a
+         deleted doc that is re-upserted becomes live again) and the
+         docs manifest is rewritten.
+    A later ``compact_root`` re-packs the segments into globally
+    doc_id-sorted lists."""
+    import shutil
+
+    from golr_loader_spark.functions.tokenize import tokenize
+    from golr_loader_spark.plans.build_index import (
+        build_postings,
+        read_index,
+        write_index,
+    )
+
+    cfg = cfg or IndexConfig()
+    docs_path = f"{root}/docs"
+    if not os.path.isdir(docs_path):
+        raise ValueError(
+            "upsert requires the {root}/docs manifest — persist with "
+            "write_index(..., documents=flattened_docs)"
+        )
+    meta = spark.read.parquet(docs_path)
+    incoming = documents.select("doc_id").distinct()
+    existing_ids = np.array(
+        sorted(
+            r["doc_id"]
+            for r in meta.join(incoming, "doc_id", "left_semi").collect()
+        ),
+        dtype=np.int64,
+    )
+    n_incoming = incoming.count()
+
+    ix = read_index(spark, root, cfg)
+    base = (
+        compact_postings(ix.postings, existing_ids, cfg)
+        if len(existing_ids)
+        else ix.postings
+    )
+    from pyspark import StorageLevel
+
+    fresh = build_postings(tokenize(documents, cfg), cfg)
+    merged = base.unionByName(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+    merged.count()  # materialize once: 3 table writes + stats reuse it
+    n_docs = ix.n_docs - len(existing_ids) + n_incoming
+    new_ix = InvertedIndex(
+        postings=merged,
+        term_stats=derived_term_stats(merged),
+        stats=derived_stats(merged, n_docs),
+        cfg=cfg,
+    )
+    tmp = f"{root}/.upsert_tmp"
+    new_meta = meta.join(incoming, "doc_id", "left_anti").unionByName(
+        documents.select(
+            "doc_id",
+            (
+                F.col("content_sha256")
+                if "content_sha256" in documents.columns
+                else F.lit(None).cast("string")
+            ).alias("content_sha256"),
+        )
+    )
+    new_meta.write.mode("overwrite").parquet(f"{tmp}/docs")
+    write_index(new_ix, tmp)
+    # withdraw re-upserted ids from the tombstone set
+    tomb = load_tombstone_ids(spark, root)
+    live_again = set(int(r["doc_id"]) for r in incoming.collect())
+    remaining = [i for i in tomb.tolist() if i not in live_again]
+    shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
+    if remaining:
+        delete_docs(spark, root, remaining)
+    for t in ("postings", "term_stats", "stats", "docs"):
+        shutil.rmtree(f"{root}/{t}", ignore_errors=True)
+        os.rename(f"{tmp}/{t}", f"{root}/{t}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"updated": int(len(existing_ids)), "added": int(n_incoming - len(existing_ids))}
 
 
 def compact_root(spark: SparkSession, root: str, cfg: IndexConfig | None = None) -> int:

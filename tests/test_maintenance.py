@@ -123,3 +123,66 @@ def test_persisted_delete_then_compact_root(spark, corpus, cfg, tmp_path):
     ls2 = LocalSearcher(root, cfg)
     assert ls2.tombstones is None
     assert ls2.search("def return", k=10) == _top(search(rebuilt, "def return", k=10, cfg=cfg))
+
+
+def test_upsert_replaces_adds_and_revives(spark, corpus, cfg, tmp_path):
+    """update = delete + add (eager): changed docs are re-ranked by
+    their NEW content, brand-new docs join the corpus, a previously
+    deleted doc that is re-upserted becomes live again — and the
+    whole index is rank-identical to a fresh build of the final
+    corpus state."""
+    from golr_loader_spark.plans.maintenance import upsert_docs
+
+    root = str(tmp_path / "ix_up")
+    ix = build_index(corpus, cfg)
+    write_index(ix, root, term_partitions=4, documents=corpus)
+
+    # delete one doc; it will be revived by the upsert below
+    revived = int(corpus.select("doc_id").first()["doc_id"])
+    delete_docs(spark, root, [revived])
+
+    # batch: 30 changed docs (content swapped for another doc's),
+    # 10 brand-new docs, plus the revived one unchanged
+    n0 = corpus.count()
+    changed = (
+        corpus.filter((F.col("doc_id") % 20 == 3) | (F.col("doc_id") == revived))
+        .withColumn("content", F.reverse(F.col("content")))
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    )
+    new_docs = corpus.limit(10).select(
+        *[
+            (F.col("doc_id") + 100000).alias("doc_id")
+            if c == "doc_id"
+            else F.col(c)
+            for c in corpus.columns
+        ]
+    )
+    batch = changed.unionByName(new_docs)
+    res = upsert_docs(spark, root, batch, cfg)
+    assert res["updated"] == changed.count()
+    assert res["added"] == 10
+    assert len(load_tombstone_ids(spark, root)) == 0  # revived
+
+    # final corpus state = originals minus changed + changed + new
+    final = (
+        corpus.join(changed.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(changed)
+        .unionByName(new_docs)
+    )
+    rebuilt = build_index(final, cfg)
+    after = read_index(spark, root, cfg)
+    assert after.n_docs == rebuilt.n_docs == n0 + 10
+    for q in QUERIES:
+        assert _top(search(after, q, k=10, cfg=cfg)) == _top(
+            search(rebuilt, q, k=10, cfg=cfg)
+        ), q
+    # compaction of the segmented index preserves rank identity
+    compact_root(spark, root, cfg)  # no tombstones -> returns 0, no-op
+    delete_docs(spark, root, [revived])
+    assert compact_root(spark, root, cfg) == 1
+    after2 = read_index(spark, root, cfg)
+    rebuilt2 = build_index(final.filter(F.col("doc_id") != revived), cfg)
+    for q in QUERIES:
+        assert _top(search(after2, q, k=10, cfg=cfg)) == _top(
+            search(rebuilt2, q, k=10, cfg=cfg)
+        ), q
