@@ -292,6 +292,156 @@ def _score_bucket_factory(
     return score_group
 
 
+def _score_bucket_multi_factory(
+    weights: dict[tuple[int, str, str], float],
+    avgdl_by_field: dict[str, float],
+    cfg: IndexConfig,
+    k: int,
+    query_terms: dict[int, set],
+    required_terms: dict | None = None,
+    exclude_ids: "np.ndarray | None" = None,
+):
+    """Per-BUCKET scorer for the batch path: scores EVERY query of the
+    batch inside one group call, decoding each (term, field) posting
+    list exactly once and reusing it across all queries that touch it.
+
+    Why not per-(query, bucket) groups: that plan joins postings to a
+    query-term table BEFORE the shuffle, duplicating every block once
+    per matching query — with hot terms shared by most of the batch
+    ("def", "return"), shuffle volume multiplies by the batch size.
+    Here each block crosses the wire once; per-bucket work is shared:
+    decode is cached per (term, field), block upper bounds are reused,
+    and only the per-query theta/pruning/accumulation differ. Rank and
+    scores are bit-identical to the single-query scorer (same decode,
+    same (field, term) accumulation order, same pruning rule);
+    parallelism is n_buckets (cfg.bucket_bits — size it to the
+    cluster), no longer n_queries × n_buckets."""
+    k1, b = cfg.k1, cfg.b
+    excl = (
+        np.unique(np.asarray(exclude_ids, dtype=np.int64))
+        if exclude_ids is not None and len(exclude_ids)
+        else None
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups: dict[tuple, pd.DataFrame] = {}
+        meta: dict[tuple, tuple] = {}
+        for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
+            rows = rows.sort_values("block_id")
+            groups[(term, field)] = rows
+            meta[(term, field)] = (
+                rows["max_tf"].to_numpy(np.float64),
+                rows["min_dl"].to_numpy(np.float64),
+            )
+        cache: dict[tuple, tuple] = {}
+
+        def decoded(key: tuple):
+            """(ids, tfs, dls, n_per_block, live_mask|None) — decoded
+            once per bucket, shared by every query touching the list."""
+            if key not in cache:
+                rows = groups[key]
+                n_per_block = rows["n"].to_numpy(np.int64)
+                firsts = rows["doc_id_first"].to_numpy(np.int64)
+                deltas = varint_decode(b"".join(rows["doc_ids"])).astype(np.int64)
+                g = np.cumsum(deltas)
+                starts = np.concatenate([[0], np.cumsum(n_per_block)])[:-1]
+                ids = g + np.repeat(firsts - g[starts], n_per_block)
+                tfs = varint_decode(b"".join(rows["tfs"])).astype(np.float64)
+                dls = varint_decode(b"".join(rows["dls"])).astype(np.float64)
+                live = (
+                    np.isin(ids, excl, invert=True) if excl is not None else None
+                )
+                cache[key] = (ids, tfs, dls, n_per_block, live)
+            return cache[key]
+
+        outs = []
+        for qid, qterms in query_terms.items():
+            lists = []
+            for (term, field), rows in groups.items():
+                if term not in qterms:
+                    continue
+                wt = weights.get((qid, term, field))
+                if wt is None:
+                    continue
+                mt, md = meta[(term, field)]
+                avg = avgdl_by_field[field]
+                ubs = wt * mt / (mt + k1 * ((1.0 - b) + b * md / avg))
+                lists.append((field, term, (term, field), wt, avg, ubs))
+            if not lists:
+                continue
+            required = required_terms.get(qid, set()) if required_terms else set()
+            if required and not required <= {t for _f, t, *_ in lists}:
+                continue
+            lists.sort(key=lambda x: (x[0], x[1]))  # oracle's accumulation order
+            max_ub = np.array([ubs.max() for *_x, ubs in lists])
+            sum_max_ub = max_ub.sum()
+
+            theta = -np.inf
+            si = int(np.argmax(max_ub))
+            s_field, _t, s_key, s_wt, s_avg, _u = lists[si]
+            s_ids, s_tf, s_dl, _nb, s_live = decoded(s_key)
+            if s_live is not None:
+                s_ids, s_tf, s_dl = s_ids[s_live], s_tf[s_live], s_dl[s_live]
+            if len(s_ids) >= k and not required:
+                partial = s_wt * s_tf / (s_tf + k1 * ((1.0 - b) + b * s_dl / s_avg))
+                theta = np.partition(partial, len(partial) - k)[len(partial) - k]
+
+            acc_ids, acc_contribs, acc_terms = [], [], []
+            pruned_any = False
+            for li, (field, term, key, wt, avg, ubs) in enumerate(lists):
+                others = sum_max_ub - max_ub[li]
+                keep = ubs + others >= theta
+                if not keep.all():
+                    pruned_any = True
+                ids, tf, dl, n_per_block, live = decoded(key)
+                if keep.all() and live is None:
+                    pass  # full cached arrays
+                else:
+                    mask = np.repeat(keep, n_per_block)
+                    if live is not None:
+                        mask &= live
+                    ids, tf, dl = ids[mask], tf[mask], dl[mask]
+                if not len(ids):
+                    continue
+                contrib = wt * tf / (tf + k1 * ((1.0 - b) + b * dl / avg))
+                acc_ids.append(ids)
+                acc_contribs.append(contrib)
+                acc_terms.append(term)
+            if not acc_ids:
+                continue
+            uniq = np.unique(np.concatenate(acc_ids))
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            for ids, contrib in zip(acc_ids, acc_contribs):
+                scores[np.searchsorted(uniq, ids)] += contrib
+            if pruned_any and np.isfinite(theta):
+                ok = scores >= theta
+                uniq, scores = uniq[ok], scores[ok]
+            if required:
+                n_match = np.zeros(len(uniq), dtype=np.int32)
+                for t in required:
+                    t_ids = np.unique(
+                        np.concatenate(
+                            [i for i, lt in zip(acc_ids, acc_terms) if lt == t]
+                        )
+                    )
+                    n_match[np.searchsorted(uniq, t_ids)] += 1
+                ok = n_match == len(required)
+                uniq, scores = uniq[ok], scores[ok]
+            order = np.lexsort((uniq, -scores))[:k]
+            out = pd.DataFrame({"doc_id": uniq[order], "score": scores[order]})
+            out.insert(0, "query_id", np.int32(qid))
+            outs.append(out)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int32),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "score": pd.Series([], dtype=np.float64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return score_bucket
+
+
 def search(
     index: InvertedIndex,
     query: str,
@@ -344,8 +494,12 @@ def search_batch(
     exclude_ids=None,
 ) -> DataFrame:
     """Top-k for a whole query set in one job → (query_id, rank,
-    doc_id, score). Postings join a broadcast query-term table, then
-    one applyInPandas per (query, bucket); a per-query window takes
+    doc_id, score). SHARED-SCAN plan: postings are filtered to the
+    union of all query terms and each block is shuffled ONCE to its
+    bucket group; the per-bucket scorer then serves every query from a
+    shared decode cache (see _score_bucket_multi_factory — the old
+    per-(query, bucket) plan duplicated each hot block once per
+    matching query in the shuffle). A per-query window takes the
     global top-k (W3/W4 of SURVEY.md §2.6)."""
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
@@ -369,15 +523,15 @@ def search_batch(
             # strict MUST: unmatched term → impossible requirement
             required[qid] = qt if qt <= present else {"\x00_absent_term"}
     avgdl = _avgdl(index)
-    qdf = spark.createDataFrame(qterms, "query_id int, term string")
-    cand = index.postings.filter(F.col("field").isin(list(cfg.fields))).join(
-        F.broadcast(qdf), on="term"
+    cand = index.postings.filter(
+        F.col("term").isin(all_terms) & F.col("field").isin(list(cfg.fields))
     )
-    fn = _score_bucket_factory(
-        weights, avgdl, cfg, k, with_query_id=True, required_terms=required,
+    query_term_sets = {qid: set(analyze_query(q)) for qid, q in queries.items()}
+    fn = _score_bucket_multi_factory(
+        weights, avgdl, cfg, k, query_term_sets, required_terms=required,
         exclude_ids=exclude_ids,
     )
-    per_bucket = cand.groupBy("query_id", "bucket").applyInPandas(
+    per_bucket = cand.groupBy("bucket").applyInPandas(
         fn, schema="query_id int, doc_id long, score double"
     )
     from pyspark.sql import Window
