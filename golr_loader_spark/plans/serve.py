@@ -141,8 +141,13 @@ class LocalSearcher:
             columns=["term", "field", "df"],
         ).to_pylist()
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        """→ [(doc_id, score)] ranked (score desc, doc_id asc)."""
+    def search(
+        self, query: str, k: int = 10, mode: str = "or"
+    ) -> list[tuple[int, float]]:
+        """→ [(doc_id, score)] ranked (score desc, doc_id asc).
+        ``mode="and"``: conjunctive (Lucene MUST) — mirrors the
+        distributed ``plans.bm25.search`` semantics exactly, including
+        the strict empty result when a query term has no postings."""
         terms = analyze_query(query)
         if not terms:
             return []
@@ -157,6 +162,9 @@ class LocalSearcher:
             for r in ts
             if r["field"] in self.cfg.fields
         }
+        required = set(terms) if mode == "and" else None
+        if required and not required <= {t for (t, _f) in weights}:
+            return []  # strict MUST: an absent term empties the result
         raw = self._rgix.read(terms)
         if raw is not None:
             mask = pc.and_(
@@ -173,7 +181,7 @@ class LocalSearcher:
             return []
         score_group = _score_bucket_factory(
             weights, self.avgdl, self.cfg, k, with_query_id=False,
-            exclude_ids=self.tombstones,
+            required_terms=required, exclude_ids=self.tombstones,
         )
         parts = [
             score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
@@ -187,9 +195,9 @@ class LocalSearcher:
         ]
 
     def search_many(
-        self, queries: dict[int, str], k: int = 10
+        self, queries: dict[int, str], k: int = 10, mode: str = "or"
     ) -> dict[int, list[tuple[int, float]]]:
-        return {qid: self.search(q, k) for qid, q in queries.items()}
+        return {qid: self.search(q, k, mode=mode) for qid, q in queries.items()}
 
 
 def p95_latency_ms(searcher: LocalSearcher, queries: list[str], k: int = 10) -> float:

@@ -57,3 +57,22 @@ def test_local_empty_and_unknown(spark, roots):
     ls = LocalSearcher(r1, cfg)
     assert ls.search("", k=5) == []
     assert ls.search("xyzzyq plugh", k=5) == []
+
+
+def test_local_and_mode_matches_distributed(spark, roots):
+    """Conjunctive (MUST) serving parity: LocalSearcher mode='and'
+    is identical to the distributed engine's AND mode, including the
+    strict empty result when a term is absent from the corpus."""
+    docs, cfg, ix, r1, _r2 = roots
+    ls = LocalSearcher(r1, cfg)
+    for q in ["def return", "main util scan", "def zq0007", "def xyzzyq"]:
+        local = ls.search(q, k=10, mode="and")
+        dist = [
+            (r["doc_id"], r["score"])
+            for r in search(ix, q, k=10, cfg=cfg, mode="and").collect()
+        ]
+        assert local == dist, q
+    # AND results are a subset of OR results' doc set scored equally
+    both = ls.search("def return", k=400, mode="and")
+    any_ = dict(ls.search("def return", k=400, mode="or"))
+    assert both and all(s == any_[d] for d, s in both)
