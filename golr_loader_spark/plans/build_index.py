@@ -384,7 +384,7 @@ def derived_term_stats(postings: DataFrame) -> DataFrame:
 
 
 def build_index(
-    documents: DataFrame, cfg: IndexConfig | None = None
+    documents: DataFrame, cfg: IndexConfig | None = None, n_docs: int | None = None
 ) -> InvertedIndex:
     """documents → in-memory InvertedIndex (no persistence).
 
@@ -392,13 +392,18 @@ def build_index(
     compact block table persisted (postings are ~50× smaller than the
     flat tokens the round-1 design persisted). avgdl and term_stats
     are aggregations over that block table, not extra corpus passes —
-    the serial stats barrier between tokenize and encode is gone."""
+    the serial stats barrier between tokenize and encode is gone.
+
+    ``n_docs``: pass the corpus size when the caller already knows it
+    (ids unique by construction) — skips the count job, which is pure
+    serial driver time in the build's critical path."""
     from pyspark import StorageLevel
 
     cfg = cfg or IndexConfig()
     tokens = tokenize(documents, cfg)
     postings = build_postings(tokens, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = documents.count()  # ids unique by construction
+    if n_docs is None:
+        n_docs = documents.count()  # ids unique by construction
     return InvertedIndex(
         postings=postings,
         term_stats=derived_term_stats(postings),
