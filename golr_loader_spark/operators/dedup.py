@@ -87,14 +87,17 @@ def ngram_jaccard_pairs(
     sh = word_shingles(df, id_col, text_col, n)
     # per-shingle df via groupBy (map-side partial agg keeps hot
     # stop-shingles cheap). The filtering joins deliberately run
-    # against the SMALL derived sets only — `hot` (df > cap, a
-    # handful) and `shared` (2 ≤ df ≤ cap) — so both stay broadcast
-    # joins; joining sh against the full cold vocabulary (df ≤ cap
-    # includes the df=1 majority) would force a sort-merge join that
-    # sorts the largest intermediate (measured 6.5× slower at sf0.1).
+    # against the SMALL derived sets only — `hot` (df > cap) and
+    # `shared` (2 ≤ df ≤ cap) — which AQE broadcasts when they fit;
+    # joining sh against the full cold vocabulary (df ≤ cap includes
+    # the df=1 majority) would force a sort-merge join that sorts the
+    # largest intermediate (measured 6.5× slower at sf0.1). No
+    # broadcast HINT: both sets are data-dependent in size.
     counts = sh.groupBy("shingle").count().cache()
     hot = counts.filter(F.col("count") > max_shingle_df)
-    sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti").cache()
+    # hot is data-dependent (could be millions of shingles at corpus
+    # scale) — let AQE pick broadcast when it fits, never force it
+    sh = sh.join(hot.select("shingle"), "shingle", "left_anti").cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     # only shingles shared by ≥2 docs can produce a pair — dropping
     # df=1 shingles (the vast majority) shrinks the self-join input
@@ -251,6 +254,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silent non-fixpoint would return SPLIT clusters — a
+        # dedup pass downstream would then silently keep duplicates
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (graph diameter exceeds max_iter) — raise max_iter"
+        )
     return labels
 
 

@@ -1027,7 +1027,7 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
 
 
 def q33_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Benchmark decontamination: training docs sharing any 5-gram
+    """Benchmark decontamination: training docs sharing any 4-gram
     with the held-out set (doc_id % 50 == 0 plays the benchmark).
     4-grams give meaningful overlap density on the short test texts;
     published recipes use 8-13-grams on web-scale documents."""

@@ -46,7 +46,9 @@ def asof_join(
         # at equal ts the right row must sort BEFORE the left row to
         # be visible (or AFTER it, for strict inequality)
         F.lit(1 if allow_exact else 0).alias("_side"),
-        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(
+            dict(right.dtypes)[right_tiebreak] if right_tiebreak else "long"
+        ).alias("_tb"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(p) for c, p in zip(payload, pay)],
         *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in keys],
     )
@@ -54,8 +56,10 @@ def asof_join(
         *keys,
         F.col(ts).alias("_ts"),
         F.lit(1 - (1 if allow_exact else 0)).alias("_side"),
+        # native type: a lossy cast (e.g. a UUID string -> long) would
+        # turn every tiebreak NULL and make 'larger wins' nondeterministic
         (
-            F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0)
+            F.col(right_tiebreak) if right_tiebreak else F.lit(0)
         ).alias("_tb"),
         *[F.col(c).alias(p) for c, p in zip(payload, pay)],
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}") for c in lcols if c not in keys],

@@ -134,16 +134,28 @@ def score_exact(
 # ------------------------------------------------------------ block-max
 
 
+def query_analyzer(cfg: IndexConfig) -> str:
+    """The analyzer to parse QUERIES with: when every configured field
+    shares one analyzer, use it (a simple-analyzer index must not have
+    its queries code-split — 'foo_bar' would become {foo, bar,
+    foo_bar}, and conjunctive mode would then demand postings that a
+    simple index can never contain). Mixed-analyzer configs keep the
+    'code' default: its token set is the common denominator the
+    default content+path config indexes in every field."""
+    analyzers = {an for (an, _b) in cfg.fields.values()}
+    return next(iter(analyzers)) if len(analyzers) == 1 else "code"
+
+
 def _score_bucket_factory(
     weights: dict[tuple[str, str], float],
     avgdl_by_field: dict[str, float],
     cfg: IndexConfig,
     k: int,
-    with_query_id: bool,
-    required_terms: set[str] | dict[int, set[str]] | None = None,
+    required_terms: set[str] | None = None,
     exclude_ids: "np.ndarray | None" = None,
 ):
-    """Per-(bucket[, query]) group scorer. pdf columns: term, field,
+    """Per-bucket single-query scorer (the batch path uses
+    _score_bucket_multi_factory). pdf columns: term, field,
     block_id, n, doc_id_first, doc_ids, tfs, dls, max_tf, min_dl.
     Block upper bound: ub = wt·max_tf/(max_tf + k1(1−b+b·min_dl/avgdl))
     ≥ wt·w(tf, dl) for every posting in the block (w is monotone ↑tf,
@@ -155,8 +167,7 @@ def _score_bucket_factory(
     field). Block-max pruning is disabled there — a pruned block would
     silently erase a doc's term membership — and the filter runs after
     full accumulation, so surviving scores stay bit-identical to the
-    disjunctive scorer's. A set applies to all groups; a dict maps
-    query_id → set for the batch path.
+    disjunctive scorer's.
 
     ``exclude_ids`` drops tombstoned docs at decode time (Lucene
     liveDocs semantics: deleted docs vanish from results immediately,
@@ -193,24 +204,15 @@ def _score_bucket_factory(
         return ids, tfs, dls
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(pdf["query_id"].iloc[0]) if with_query_id else None
-
         def empty() -> pd.DataFrame:
-            out = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": np.int64, "score": np.float64}
             )
-            if with_query_id:
-                out.insert(0, "query_id", pd.Series([], dtype=np.int32))
-            return out
 
-        required = (
-            required_terms.get(qid, set())
-            if isinstance(required_terms, dict)
-            else required_terms
-        )
+        required = required_terms
         lists = []  # [(field, term, rows, wt, avgdl, ubs, max_ub)]
         for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
-            wt = weights.get((qid, term, field) if with_query_id else (term, field))
+            wt = weights.get((term, field))
             if wt is None:
                 continue
             rows = rows.sort_values("block_id")
@@ -284,10 +286,7 @@ def _score_bucket_factory(
             uniq, scores = uniq[ok], scores[ok]
         # top-k by (score desc, doc_id asc)
         order = np.lexsort((uniq, -scores))[:k]
-        out = pd.DataFrame({"doc_id": uniq[order], "score": scores[order]})
-        if with_query_id:
-            out.insert(0, "query_id", qid)
-        return out
+        return pd.DataFrame({"doc_id": uniq[order], "score": scores[order]})
 
     return score_group
 
@@ -457,7 +456,7 @@ def search(
     analyzed query term; a term absent from the corpus empties the
     result. Scores of surviving docs are identical between modes."""
     cfg = cfg or index.cfg
-    terms = analyze_query(query)
+    terms = analyze_query(query, query_analyzer(cfg))
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -476,7 +475,7 @@ def search(
         F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
     )
     fn = _score_bucket_factory(
-        weights, avgdl, cfg, k, with_query_id=False, required_terms=required,
+        weights, avgdl, cfg, k, required_terms=required,
         exclude_ids=exclude_ids,
     )
     per_bucket = cand.groupBy("bucket").applyInPandas(
@@ -503,7 +502,8 @@ def search_batch(
     global top-k (W3/W4 of SURVEY.md §2.6)."""
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
-    qterms = [(qid, t) for qid, q in queries.items() for t in analyze_query(q)]
+    qan = query_analyzer(cfg)
+    qterms = [(qid, t) for qid, q in queries.items() for t in analyze_query(q, qan)]
     if not qterms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
     all_terms = sorted({t for _, t in qterms})
@@ -518,7 +518,7 @@ def search_batch(
     if mode == "and":
         required = {}
         for qid, q in queries.items():
-            qt = set(analyze_query(q))
+            qt = set(analyze_query(q, qan))
             present = {t for (qqid, t, _f) in weights if qqid == qid}
             # strict MUST: unmatched term → impossible requirement
             required[qid] = qt if qt <= present else {"\x00_absent_term"}
@@ -526,7 +526,7 @@ def search_batch(
     cand = index.postings.filter(
         F.col("term").isin(all_terms) & F.col("field").isin(list(cfg.fields))
     )
-    query_term_sets = {qid: set(analyze_query(q)) for qid, q in queries.items()}
+    query_term_sets = {qid: set(analyze_query(q, qan)) for qid, q in queries.items()}
     fn = _score_bucket_multi_factory(
         weights, avgdl, cfg, k, query_term_sets, required_terms=required,
         exclude_ids=exclude_ids,

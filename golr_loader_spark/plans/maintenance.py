@@ -70,6 +70,30 @@ def load_tombstone_ids(spark: SparkSession, root: str) -> np.ndarray:
     return np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
 
 
+def _swap_tables(root: str, tmp: str, tables: tuple) -> None:
+    """Move freshly-written tables from ``tmp`` into ``root`` with the
+    narrowest practical crash window: each old table is atomically
+    renamed ASIDE (never deleted before its replacement exists), the
+    new one renamed in, and the aside copies removed only after every
+    table swapped. A crash mid-swap leaves the old table recoverable
+    in ``{root}/.gc`` (never a root with a missing table + no backup);
+    callers order the tombstone rewrite AFTER the swap so the worst
+    crash outcome is conservative (a re-upserted doc stays masked
+    until the idempotent operation is retried), never resurrection or
+    a lost table."""
+    import shutil
+
+    gc = f"{root}/.gc"
+    shutil.rmtree(gc, ignore_errors=True)
+    os.makedirs(gc)
+    for t in tables:
+        if os.path.isdir(f"{root}/{t}"):
+            os.rename(f"{root}/{t}", f"{gc}/{t}")
+        os.rename(f"{tmp}/{t}", f"{root}/{t}")
+    shutil.rmtree(gc, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def compact_postings(
     postings: DataFrame, tombstone_ids: np.ndarray, cfg: IndexConfig
 ) -> DataFrame:
@@ -198,14 +222,16 @@ def upsert_docs(
         )
     meta = spark.read.parquet(docs_path)
     incoming = documents.select("doc_id").distinct()
+    # ONE driver job resolves membership AND the id list: left-join
+    # incoming against the manifest and collect the (id, known) pairs
+    marked = incoming.join(
+        meta.select("doc_id", F.lit(True).alias("_known")), "doc_id", "left"
+    ).collect()
+    incoming_ids = [int(r["doc_id"]) for r in marked]
     existing_ids = np.array(
-        sorted(
-            r["doc_id"]
-            for r in meta.join(incoming, "doc_id", "left_semi").collect()
-        ),
-        dtype=np.int64,
+        sorted(r["doc_id"] for r in marked if r["_known"]), dtype=np.int64
     )
-    n_incoming = incoming.count()
+    n_incoming = len(incoming_ids)
 
     ix = read_index(spark, root, cfg)
     base = (
@@ -238,17 +264,17 @@ def upsert_docs(
     )
     new_meta.write.mode("overwrite").parquet(f"{tmp}/docs")
     write_index(new_ix, tmp)
-    # withdraw re-upserted ids from the tombstone set
+    # read the surviving tombstones BEFORE the swap, rewrite them
+    # AFTER it: a crash between swap and rewrite leaves re-upserted
+    # ids still masked (conservative; retrying the upsert fixes it) —
+    # never resurrection against old postings
     tomb = load_tombstone_ids(spark, root)
-    live_again = set(int(r["doc_id"]) for r in incoming.collect())
+    live_again = set(incoming_ids)
     remaining = [i for i in tomb.tolist() if i not in live_again]
+    _swap_tables(root, tmp, ("postings", "term_stats", "stats", "docs"))
     shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
     if remaining:
         delete_docs(spark, root, remaining)
-    for t in ("postings", "term_stats", "stats", "docs"):
-        shutil.rmtree(f"{root}/{t}", ignore_errors=True)
-        os.rename(f"{tmp}/{t}", f"{root}/{t}")
-    shutil.rmtree(tmp, ignore_errors=True)
     return {"updated": int(len(existing_ids)), "added": int(n_incoming - len(existing_ids))}
 
 
@@ -269,9 +295,20 @@ def compact_root(spark: SparkSession, root: str, cfg: IndexConfig | None = None)
     new_ix.postings.count()  # materialize BEFORE overwriting the source
     tmp = f"{root}/.compact_tmp"
     write_index(new_ix, tmp)
-    for t in ("postings", "term_stats", "stats"):
-        shutil.rmtree(f"{root}/{t}")
-        os.rename(f"{tmp}/{t}", f"{root}/{t}")
-    shutil.rmtree(tmp, ignore_errors=True)
+    tables = ["postings", "term_stats", "stats"]
+    docs_path = f"{root}/docs"
+    if os.path.isdir(docs_path):
+        # prune compacted-away ids from the docs manifest — a stale
+        # entry would make a later upsert of that id count as
+        # "updated" and undercount n_docs (corrupting idf/avgdl)
+        meta = spark.read.parquet(docs_path)
+        tomb_df = spark.createDataFrame(
+            [(int(i),) for i in tomb], "doc_id long"
+        )
+        meta.join(tomb_df, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/docs")
+        tables.append("docs")
+    _swap_tables(root, tmp, tuple(tables))
     shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
     return len(tomb)

@@ -29,7 +29,11 @@ import pyarrow.parquet as pq
 
 from golr_loader_spark.config import IndexConfig
 from golr_loader_spark.functions.tokenize import analyze_query
-from golr_loader_spark.plans.bm25 import _score_bucket_factory, bm25_idf
+from golr_loader_spark.plans.bm25 import (
+    _score_bucket_factory,
+    bm25_idf,
+    query_analyzer,
+)
 
 
 class _RowGroupIndex:
@@ -148,7 +152,7 @@ class LocalSearcher:
         ``mode="and"``: conjunctive (Lucene MUST) — mirrors the
         distributed ``plans.bm25.search`` semantics exactly, including
         the strict empty result when a query term has no postings."""
-        terms = analyze_query(query)
+        terms = analyze_query(query, query_analyzer(self.cfg))
         if not terms:
             return []
         ts = self._term_rows(terms)
@@ -180,7 +184,7 @@ class LocalSearcher:
         if not len(blocks):
             return []
         score_group = _score_bucket_factory(
-            weights, self.avgdl, self.cfg, k, with_query_id=False,
+            weights, self.avgdl, self.cfg, k,
             required_terms=required, exclude_ids=self.tombstones,
         )
         parts = [

@@ -39,16 +39,16 @@ def incremental_index_stream(
     spark: SparkSession,
     corpus_dir: str,
     index_root: str,
-    stats_df: DataFrame,
     cfg: IndexConfig | None = None,
     checkpoint_dir: str | None = None,
 ):
     """Watch ``corpus_dir`` for new corpus parquet files; fold each
     micro-batch into ``index_root``. Returns the StreamingQuery.
 
-    ``stats_df`` (field, n_docs, avgdl) is supplied by the caller —
-    global BM25 stats are a corpus-level property; production refresh
-    is periodic (re-running the stats job), not per-micro-batch.
+    Since the single-pass encoder needs no corpus statistic, each
+    micro-batch is self-contained; global BM25 stats (field, n_docs,
+    avgdl) enter only at READ time — ``merged_incremental_index``
+    takes them from the caller's periodic stats job.
     Exactly-once: foreachBatch writes are idempotent per epoch via
     commit subdirs keyed by batch id.
     """

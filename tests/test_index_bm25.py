@@ -169,3 +169,29 @@ def test_empty_query_and_no_hits(spark, corpus_ix):
     assert search(ix, "%%% !!!", k=5, cfg=cfg).count() == 0
     # all subtokens absent from the corpus vocabulary
     assert search(ix, "xyzzyq plugh", k=5, cfg=cfg).count() == 0
+
+
+def test_simple_analyzer_conjunctive_compound_tokens(spark):
+    """On a simple-analyzer index, queries must be simple-analyzed too:
+    code-splitting 'foo_bar' into {foo, bar, foo_bar} would demand
+    postings a simple index can never contain, making mode='and'
+    falsely empty (and OR scoring weight-skewed)."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import query_analyzer, search
+    from golr_loader_spark.plans.build_index import build_index
+
+    cfg = IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=4)
+    docs = spark.createDataFrame(
+        [
+            (0, "foo_bar baz qux"),
+            (1, "foo_bar other words"),
+            (2, "baz alone here"),
+        ],
+        "doc_id long, text string",
+    )
+    assert query_analyzer(cfg) == "simple"
+    ix = build_index(docs, cfg)
+    hits = [r["doc_id"] for r in search(ix, "foo_bar baz", k=10, cfg=cfg, mode="and").collect()]
+    assert hits == [0]  # only doc 0 has BOTH tokens
+    hits_or = {r["doc_id"] for r in search(ix, "foo_bar baz", k=10, cfg=cfg).collect()}
+    assert hits_or == {0, 1, 2}

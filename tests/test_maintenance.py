@@ -186,3 +186,38 @@ def test_upsert_replaces_adds_and_revives(spark, corpus, cfg, tmp_path):
         assert _top(search(after2, q, k=10, cfg=cfg)) == _top(
             search(rebuilt2, q, k=10, cfg=cfg)
         ), q
+
+
+def test_compact_prunes_docs_manifest(spark, corpus, cfg, tmp_path):
+    """delete → compact → upsert the SAME id must count as 'added'
+    (not 'updated') with correct n_docs — i.e. compaction prunes the
+    docs manifest, otherwise idf/avgdl are computed against a phantom
+    corpus size forever after."""
+    from golr_loader_spark.plans.maintenance import upsert_docs
+
+    root = str(tmp_path / "ix_mp")
+    ix = build_index(corpus, cfg)
+    write_index(ix, root, term_partitions=4, documents=corpus)
+    n0 = corpus.count()
+
+    victim = int(corpus.select("doc_id").first()["doc_id"])
+    delete_docs(spark, root, [victim])
+    assert compact_root(spark, root, cfg) == 1
+    assert read_index(spark, root, cfg).n_docs == n0 - 1
+    # the manifest must no longer list the compacted-away doc
+    assert (
+        spark.read.parquet(f"{root}/docs").filter(F.col("doc_id") == victim).count()
+        == 0
+    )
+
+    res = upsert_docs(
+        spark, root, corpus.filter(F.col("doc_id") == victim), cfg
+    )
+    assert res == {"updated": 0, "added": 1}
+    after = read_index(spark, root, cfg)
+    assert after.n_docs == n0
+    rebuilt = build_index(corpus, cfg)
+    for q in QUERIES[:3]:
+        assert _top(search(after, q, k=10, cfg=cfg)) == _top(
+            search(rebuilt, q, k=10, cfg=cfg)
+        ), q

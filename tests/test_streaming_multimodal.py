@@ -45,7 +45,7 @@ def test_incremental_index_matches_batch(spark, tmp_path):
 
     root = str(tmp_path / "inc_ix")
     q = incremental_index_stream(
-        spark, src, root, stats, cfg, checkpoint_dir=str(tmp_path / "ckpt")
+        spark, src, root, cfg, checkpoint_dir=str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
 
