@@ -112,6 +112,124 @@ def _engine_bm25_topk(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     )
 
 
+def _engine_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search on the REAL engine index (Solr's core serving
+    operation — the reference loads docs into Solr to facet on them):
+    decode the query terms' doc_id streams per bucket, join the match
+    set against the facet table on (bucket, doc_id), count per
+    (facet, value), top-10 per facet by (count desc, value asc).
+    SQL_Q36 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import build_facets, facet_counts
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    fx = build_facets(d, ["lang", "source"], cfg)
+    return facet_counts(ix, fx, "data query spark", cfg=cfg, top=10)
+
+
+def _engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query on the REAL engine index (Lucene PhraseQuery
+    analog): conjunctive candidates from decoded doc_id streams,
+    consecutive-token verification against the corpus, BM25 scoring
+    from decoded postings (corpus-level idf/avgdl). SQL_Q37 is the
+    DuckDB twin; the same round-to-4-then-rank discipline as the
+    other engine rows, rank attached driver-side to ≤20 rows."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.phrase import phrase_search
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        phrase_search(ix, d, "data query", k=1000, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
+def _engine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query on the REAL engine index (Lucene PrefixQuery,
+    SCORING_BOOLEAN rewrite): driver-side term-dictionary expansion,
+    then disjunctive block-max scoring of every expanded term.
+    SQL_Q38 is the DuckDB twin; round-to-4-then-rank, rank attached
+    driver-side to ≤20 rows."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import search_prefix
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        search_prefix(ix, "s", k=200, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
+def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
+    SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
+    term dictionary ('sart'~2 expands to fast/part/sort/spark on this
+    corpus), then disjunctive block-max scoring. SQL_Q39 is the
+    DuckDB twin (duckdb levenshtein); round-to-4-then-rank, rank
+    attached driver-side to <=20 rows."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import search_fuzzy
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        search_fuzzy(ix, "sart", max_edits=2, k=200, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -120,15 +238,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["engine_bm25_wand"] = _engine_bm25_wand
     out["engine_bm25_and"] = _engine_bm25_and
+    out["engine_facets"] = _engine_facets
+    out["engine_phrase"] = _engine_phrase
+    out["engine_prefix"] = _engine_prefix
+    out["engine_fuzzy"] = _engine_fuzzy
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from golr_loader_spark.operators.relational import QUERIES, SQL_Q24, SQL_Q31
+    from golr_loader_spark.operators.relational import (
+        QUERIES,
+        SQL_Q24,
+        SQL_Q31,
+        SQL_Q36,
+        SQL_Q37,
+        SQL_Q38,
+        SQL_Q39,
+    )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
     # the engine's simple-analyzer WAND run is rank-identical to the
     # relational BM25 restatement — same oracle certifies both
     out["engine_bm25_wand"] = SQL_Q24
     out["engine_bm25_and"] = SQL_Q31
+    out["engine_facets"] = SQL_Q36
+    out["engine_phrase"] = SQL_Q37
+    out["engine_prefix"] = SQL_Q38
+    out["engine_fuzzy"] = SQL_Q39
     return out

@@ -1107,6 +1107,139 @@ FROM events GROUP BY event_type
 """
 
 
+# Oracle for the engine's faceted search (plans/facets.py —
+# engine_facets in __spark_entry__.py): top facet values by count over
+# ALL docs matching any of the simple-analyzed query terms, the Solr
+# facet semantics the reference's loader targets. Same tokenizer twin
+# as SQL_Q24 (string_split on lowered text).
+SQL_Q36 = """
+WITH matched AS (
+  SELECT DISTINCT doc_id
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term IN ('data','query','spark')
+), fv AS (
+  SELECT 'lang' AS facet, lang AS value
+  FROM documents JOIN matched USING (doc_id)
+  UNION ALL
+  SELECT 'source' AS facet, source AS value
+  FROM documents JOIN matched USING (doc_id)
+), counts AS (
+  SELECT facet, value, CAST(count(*) AS BIGINT) AS n
+  FROM fv GROUP BY facet, value
+), ranked AS (
+  SELECT facet, value, n,
+         row_number() OVER (PARTITION BY facet ORDER BY n DESC, value ASC) AS rank
+  FROM counts)
+SELECT facet, value, n, rank FROM ranked WHERE rank <= 10
+"""
+
+
+# Oracle for the engine's phrase search (plans/phrase.py —
+# engine_phrase in __spark_entry__.py): conjunctive BM25 of the
+# phrase terms restricted to docs containing the CONSECUTIVE token
+# sequence. With the simple analyzer the token stream is lower(text)
+# split on single spaces, so the phrase test is a literal substring
+# match on ' '||lower(text)||' ' — bit-identical on both sides.
+SQL_Q37 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('data','query')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+matched AS (
+  SELECT doc_id FROM documents
+  WHERE contains(' ' || lower(text) || ' ', ' data query ')),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id) JOIN matched USING (doc_id)),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
+# Oracle for the engine's prefix query (bm25.search_prefix —
+# engine_prefix in __spark_entry__.py): Lucene PrefixQuery under the
+# SCORING_BOOLEAN rewrite — every term matching the prefix joins the
+# disjunction with its own idf weight; per-doc score folds in term
+# order (single field ⇒ the module's (field, term) order).
+SQL_Q38 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term LIKE 's%'),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
+# Oracle for the engine's fuzzy query (bm25.search_fuzzy —
+# engine_fuzzy in __spark_entry__.py): Lucene FuzzyQuery under the
+# SCORING_BOOLEAN rewrite — every vocabulary term within 2 Levenshtein
+# edits of 'sart' joins the disjunction with its own idf weight
+# (expands to {fast, part, sort, spark} on this corpus).
+SQL_Q39 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE levenshtein(term, 'sart') <= 2),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #

@@ -484,6 +484,123 @@ def search(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_prefix(
+    index: InvertedIndex,
+    prefix: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = 1024,
+    exclude_ids=None,
+) -> DataFrame:
+    """Prefix query (Lucene PrefixQuery with the SCORING_BOOLEAN
+    rewrite): expand the prefix against the term dictionary, then
+    score the union of expanded terms' postings as a disjunctive BM25
+    — each doc's score sums the contributions of every prefix-matching
+    term it contains, floats folded in the module's (field, term)
+    order. The expansion is a driver-side term-dictionary range seek
+    (term_stats is vocabulary-sized metadata, exactly Lucene's
+    TermsEnum.seekCeil); ``max_expansions`` guards hot prefixes the
+    way Lucene's TooManyClauses does. Tie-break (score desc, doc_id
+    asc) as everywhere."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    p = prefix.strip().lower()
+    if not p:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n = index.n_docs
+    rows = (
+        index.term_stats.filter(
+            F.col("term").startswith(p) & F.col("field").isin(list(cfg.fields))
+        )
+        .select("term", "field", "df")
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if len({r["term"] for r in rows}) > max_expansions:
+        raise ValueError(
+            f"prefix '{p}' expands to >{max_expansions} terms "
+            "(Lucene TooManyClauses analog) — raise max_expansions"
+        )
+    weights = {
+        (r["term"], r["field"]): (
+            cfg.fields[r["field"]][1] * bm25_idf(n, int(r["df"]))
+        )
+        * (cfg.k1 + 1.0)
+        for r in rows
+    }
+    avgdl = _avgdl(index)
+    cand = index.postings.filter(
+        F.col("term").startswith(p) & F.col("field").isin(list(cfg.fields))
+    )
+    fn = _score_bucket_factory(weights, avgdl, cfg, k, exclude_ids=exclude_ids)
+    per_bucket = cand.groupBy("bucket").applyInPandas(
+        fn, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_fuzzy(
+    index: InvertedIndex,
+    query_term: str,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = 64,
+    exclude_ids=None,
+) -> DataFrame:
+    """Fuzzy query (Lucene FuzzyQuery under the SCORING_BOOLEAN
+    rewrite): expand ``query_term`` to every vocabulary term within
+    ``max_edits`` Levenshtein edits — the distance predicate runs
+    JVM-side (``F.levenshtein``) as a filter ON the term-dictionary
+    table, the Spark analog of Lucene's LevenshteinAutomata walk over
+    the terms index, so the corpus is never touched during expansion —
+    then score the expanded disjunction with the normal block-max
+    scorer. ``prefix_length``: like Lucene, require the first p chars
+    to match exactly (cuts the dictionary scan with a pushed-down
+    startswith). ``max_expansions`` caps the clause count
+    (TooManyClauses analog). Tie-break (score desc, doc_id asc)."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    q = query_term.strip().lower()
+    if not q:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n = index.n_docs
+    ts = index.term_stats.filter(F.col("field").isin(list(cfg.fields)))
+    if prefix_length > 0:
+        ts = ts.filter(F.col("term").startswith(q[:prefix_length]))
+    rows = (
+        ts.filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+        .select("term", "field", "df")
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    terms = sorted({r["term"] for r in rows})
+    if len(terms) > max_expansions:
+        raise ValueError(
+            f"fuzzy '{q}'~{max_edits} expands to {len(terms)} terms "
+            f"(> max_expansions={max_expansions})"
+        )
+    weights = {
+        (r["term"], r["field"]): (
+            cfg.fields[r["field"]][1] * bm25_idf(n, int(r["df"]))
+        )
+        * (cfg.k1 + 1.0)
+        for r in rows
+    }
+    avgdl = _avgdl(index)
+    cand = index.postings.filter(
+        F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
+    )
+    fn = _score_bucket_factory(weights, avgdl, cfg, k, exclude_ids=exclude_ids)
+    per_bucket = cand.groupBy("bucket").applyInPandas(
+        fn, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_batch(
     index: InvertedIndex,
     queries: dict[int, str],

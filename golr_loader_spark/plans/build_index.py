@@ -417,6 +417,7 @@ def write_index(
     root: str,
     term_partitions: int = 8,
     documents: DataFrame | None = None,
+    facets: DataFrame | None = None,
 ) -> None:
     """Persist index tables as parquet (Iceberg stand-in — the sandbox
     image lacks the Iceberg runtime jars; the layout below mirrors an
@@ -454,6 +455,16 @@ def write_index(
         documents.select("doc_id", sha.alias("content_sha256")).write.mode(
             "overwrite"
         ).parquet(f"{root}/docs")
+    if facets is not None:
+        # (doc_id, bucket, facet, value) from plans.facets.build_facets
+        # — doc_id-sorted within files so the serving path can
+        # searchsorted-join matched ids without a per-query sort
+        (
+            facets.repartitionByRange(max(2, term_partitions // 2), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{root}/facets")
+        )
 
 
 def read_index(

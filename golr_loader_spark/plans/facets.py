@@ -1,0 +1,206 @@
+"""Faceted search over the compressed inverted index.
+
+Facet counting is THE serving operation the reference builds its Solr
+core for: golr-loader flattens graph rows into documents precisely so
+Solr can answer "top facet values among docs matching q" over closure
+fields (the reference's loader POSTs docs and leaves faceting to Solr
+— GolrLoader.java:498-515; every *_closure / category field in
+SolrDocUtil.java exists to be faceted on). This module re-expresses
+that query as a Spark plan over the engine-owned index:
+
+1. ``matching_doc_ids`` — decode ONLY the doc_id streams of the query
+   terms' posting blocks, per doc-range bucket (no scores, no tf/dl
+   decode). Disjunctive = union of term membership; conjunctive
+   (Lucene MUST, ``mode="and"``) = intersection. Numpy set ops inside
+   ``applyInPandas``; per-bucket work is bounded by the range salt
+   exactly as scoring is.
+2. ``facet_counts`` — equi-join the matched ids against the facet
+   table on (bucket, doc_id) — both sides carry the same monotone
+   range bucket, so a bucket-partitioned layout co-locates the join —
+   then one map-side-combinable groupBy(facet, value) count and a
+   per-facet top-N window over the (tiny) distinct-value set.
+
+Solr semantics reproduced: counts are over ALL matching docs (not the
+top-k page), one count per (doc, facet, value) even for multi-valued
+fields (``build_facets`` explodes arrays and dedupes), values ordered
+by (count desc, value asc), ``min_count`` / ``top`` knobs =
+facet.mincount / facet.limit. Deleted docs (tombstones) vanish from
+counts immediately via ``exclude_ids``, matching the liveDocs
+semantics of the scoring path.
+
+At 100 TB: the only wide operations are the (bucket, doc_id) join —
+co-partitioned when both tables are bucket-partitioned, and AQE
+broadcast when the match set is small — and a groupBy whose output
+cardinality is the number of distinct facet values, with map-side
+partial aggregation doing the heavy lifting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.functions.codec import varint_decode
+from golr_loader_spark.functions.tokenize import analyze_query
+from golr_loader_spark.plans.bm25 import query_analyzer
+from golr_loader_spark.plans.build_index import InvertedIndex, bucket_of
+
+
+def build_facets(
+    documents: DataFrame,
+    facet_cols: list[str],
+    cfg: IndexConfig | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents → facet table (doc_id, bucket, facet, value).
+
+    Array columns explode (Solr multiValued fields — the closure-id
+    lists of the reference's docs); scalars pass through. Values are
+    cast to string (Solr facet values are strings) and deduped so a
+    doc counts once per (facet, value). NULL values are dropped
+    (Solr's facet.missing=false default)."""
+    cfg = cfg or IndexConfig()
+    dtypes = dict(documents.dtypes)
+    parts = []
+    for c in facet_cols:
+        base = documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(c).alias("facet"),
+            (F.explode(F.col(c)) if dtypes[c].startswith("array") else F.col(c)).alias(
+                "_v"
+            ),
+        )
+        parts.append(base.select("doc_id", "facet", F.col("_v").cast("string").alias("value")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.filter(F.col("value").isNotNull())
+        .distinct()
+        .withColumn(
+            "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+        )
+    )
+
+
+def _match_bucket_factory(
+    term_fields: dict[str, list[str]],
+    required: set[str] | None,
+    exclude_ids: "np.ndarray | None",
+):
+    """Per-bucket matcher: decode doc_id streams only. pdf columns
+    used: term, field, doc_id_first, doc_ids. Membership of a term =
+    union over its configured fields (a MUST term is satisfied by any
+    field, mirroring the scorer's conjunctive filter)."""
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, list[np.ndarray]] = {}
+        for (term, _field), rows in pdf.groupby(["term", "field"], sort=False):
+            if term not in term_fields:
+                continue
+            ids = [
+                np.cumsum(varint_decode(buf).astype(np.int64)) + np.int64(first)
+                for first, buf in zip(rows["doc_id_first"], rows["doc_ids"])
+            ]
+            per_term.setdefault(term, []).extend(ids)
+        if not per_term:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+        sets = {t: np.unique(np.concatenate(a)) for t, a in per_term.items()}
+        if required is not None:
+            if not required <= set(sets):
+                return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+            out = None
+            for t in sorted(required):
+                out = sets[t] if out is None else np.intersect1d(out, sets[t], assume_unique=True)
+                if not len(out):
+                    break
+        else:
+            out = np.unique(np.concatenate(list(sets.values())))
+        if exclude_ids is not None and len(exclude_ids) and len(out):
+            out = out[~np.isin(out, exclude_ids, assume_unique=True)]
+        return pd.DataFrame({"doc_id": out.astype(np.int64)})
+
+    return match_group
+
+
+def matching_doc_ids(
+    index: InvertedIndex,
+    query: str,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    exclude_ids=None,
+) -> DataFrame:
+    """All doc_ids matching ``query`` → (bucket, doc_id). Disjunctive
+    by default; ``mode="and"`` = Lucene MUST (empty when a query term
+    has no postings at all, same strictness as ``bm25.search``)."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    terms = analyze_query(query, query_analyzer(cfg))
+    if not terms:
+        return spark.createDataFrame([], "bucket int, doc_id long")
+    required = set(terms) if mode == "and" else None
+    if required is not None:
+        present = {
+            r["term"]
+            for r in index.term_stats.filter(
+                F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
+            )
+            .select("term")
+            .distinct()
+            .collect()
+        }
+        if not required <= present:
+            return spark.createDataFrame([], "bucket int, doc_id long")
+    cand = index.postings.filter(
+        F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
+    ).select("bucket", "term", "field", "doc_id_first", "doc_ids")
+    term_fields = {t: list(cfg.fields) for t in terms}
+    fn = _match_bucket_factory(term_fields, required, _as_id_array(exclude_ids))
+    return (
+        cand.groupBy("bucket")
+        .applyInPandas(fn, schema="doc_id long")
+        .withColumn(
+            "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+        )
+        .select("bucket", "doc_id")
+    )
+
+
+def _as_id_array(exclude_ids) -> "np.ndarray | None":
+    if exclude_ids is None:
+        return None
+    arr = np.asarray(exclude_ids, dtype=np.int64)
+    return np.unique(arr) if len(arr) else None
+
+
+def facet_counts(
+    index: InvertedIndex,
+    facets: DataFrame,
+    query: str,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    top: int = 10,
+    min_count: int = 1,
+    exclude_ids=None,
+) -> DataFrame:
+    """Solr-style facet counts over all docs matching ``query`` →
+    (facet, value, n, rank), top-``top`` values per facet by
+    (n desc, value asc), n ≥ ``min_count``."""
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    counts = (
+        m.join(facets, on=["bucket", "doc_id"])
+        .groupBy("facet", "value")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    # per-facet top-N: the window input is the distinct-value set
+    # (facet cardinality, not corpus cardinality) — small by definition
+    w = Window.partitionBy("facet").orderBy(F.desc("n"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("facet", "value", "n", "rank")
+    )

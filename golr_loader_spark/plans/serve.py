@@ -101,6 +101,8 @@ class LocalSearcher:
         self, root: str, cfg: IndexConfig | None = None, preload_term_stats: bool = True
     ):
         self.cfg = cfg or IndexConfig()
+        self._root = root
+        self._facet_arrays = None
         self.postings = pads.dataset(f"{root}/postings", format="parquet")
         self._rgix = _RowGroupIndex(f"{root}/postings")
         self.term_stats = pads.dataset(f"{root}/term_stats", format="parquet")
@@ -202,6 +204,105 @@ class LocalSearcher:
         self, queries: dict[int, str], k: int = 10, mode: str = "or"
     ) -> dict[int, list[tuple[int, float]]]:
         return {qid: self.search(q, k, mode=mode) for qid, q in queries.items()}
+
+    # ------------------------------------------------------------ facets
+
+    def _load_facets(self):
+        """Lazy one-time load of {root}/facets (written by write_index
+        from plans.facets.build_facets) into parallel numpy arrays
+        sorted by doc_id. Facet tables are docs × facet-fields rows —
+        the serving-node analog of Lucene doc values; the distributed
+        plans.facets.facet_counts is the path for corpus-scale tables."""
+        if getattr(self, "_facet_arrays", None) is not None:
+            return self._facet_arrays
+        import glob as _glob
+        import numpy as _np
+
+        files = sorted(_glob.glob(f"{self._root}/facets/*.parquet"))
+        if not files:
+            self._facet_arrays = False
+            return False
+        tbl = pa.concat_tables(
+            [pq.read_table(f, columns=["doc_id", "facet", "value"]) for f in files]
+        )
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = _np.argsort(ids, kind="stable")
+        self._facet_arrays = (
+            ids[order],
+            tbl["facet"].to_numpy(zero_copy_only=False)[order],
+            tbl["value"].to_numpy(zero_copy_only=False)[order],
+        )
+        return self._facet_arrays
+
+    def matching_ids(self, query: str, mode: str = "or"):
+        """All doc_ids matching the analyzed query (no scores) — the
+        decode-only membership read, mirroring the distributed
+        plans.facets.matching_doc_ids semantics (incl. tombstone
+        masking and strict conjunctive empties)."""
+        import numpy as _np
+
+        from golr_loader_spark.plans.facets import _match_bucket_factory
+
+        terms = analyze_query(query, query_analyzer(self.cfg))
+        if not terms:
+            return _np.empty(0, dtype=_np.int64)
+        required = set(terms) if mode == "and" else None
+        if required is not None:
+            present = {r["term"] for r in self._term_rows(terms)
+                       if r["field"] in self.cfg.fields}
+            if not required <= present:
+                return _np.empty(0, dtype=_np.int64)
+        raw = self._rgix.read(terms)
+        if raw is not None:
+            mask = pc.and_(
+                pc.is_in(raw["term"], value_set=pa.array(terms)),
+                pc.is_in(raw["field"], value_set=pa.array(list(self.cfg.fields))),
+            )
+            blocks = raw.filter(mask).to_pandas()
+        else:
+            blocks = self.postings.to_table(
+                filter=pc.field("term").isin(terms)
+                & pc.field("field").isin(list(self.cfg.fields)),
+            ).to_pandas()
+        if not len(blocks):
+            return _np.empty(0, dtype=_np.int64)
+        # the matcher unions per-term membership across ALL buckets
+        # before intersecting terms, so one call over the whole block
+        # set is exactly the per-bucket union of the distributed path
+        fn = _match_bucket_factory(
+            {t: list(self.cfg.fields) for t in terms}, required, self.tombstones
+        )
+        return fn(blocks)["doc_id"].to_numpy(_np.int64)
+
+    def facet_counts(
+        self, query: str, mode: str = "or", top: int = 10, min_count: int = 1
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Solr-style facets for one query → {facet: [(value, n), …]}
+        ordered (n desc, value asc), n ≥ min_count, ≤ top per facet.
+        Same counts as the distributed plans.facets.facet_counts."""
+        import numpy as _np
+
+        loaded = self._load_facets()
+        if loaded is False:
+            raise FileNotFoundError(f"{self._root}/facets not written")
+        f_ids, f_facets, f_values = loaded
+        matched = self.matching_ids(query, mode=mode)
+        out: dict[str, list[tuple[str, int]]] = {}
+        if not len(matched):
+            return out
+        # sorted-array membership: facet doc_ids are pre-sorted on disk
+        pos = _np.searchsorted(matched, f_ids)
+        pos[pos >= len(matched)] = 0
+        hit = matched[pos] == f_ids
+        pairs = pd.DataFrame({"facet": f_facets[hit], "value": f_values[hit]})
+        counts = pairs.groupby(["facet", "value"], sort=False).size()
+        for facet, grp in counts.groupby(level=0):
+            vals = sorted(
+                ((int(n), v) for (_f, v), n in grp.items() if n >= min_count),
+                key=lambda x: (-x[0], x[1]),
+            )[:top]
+            out[str(facet)] = [(v, n) for n, v in vals]
+        return out
 
 
 def p95_latency_ms(searcher: LocalSearcher, queries: list[str], k: int = 10) -> float:

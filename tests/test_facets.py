@@ -1,0 +1,154 @@
+"""Faceted search (plans/facets.py) — Solr facet semantics over the
+compressed index: counts over ALL matching docs, multi-valued fields
+count once per (doc, value), (count desc, value asc) order,
+mincount/limit knobs, tombstoned docs excluded immediately.
+
+Brute-force twin computed with plain DataFrame ops over the raw
+corpus — no index, no decode — so a codec or matcher bug can't hide
+in a shared code path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.plans.build_index import build_index
+from golr_loader_spark.plans.facets import (
+    build_facets,
+    facet_counts,
+    matching_doc_ids,
+)
+
+ROWS = [
+    # doc_id, text, lang, tags
+    (0, "spark engine scan", "en", ["infra", "query"]),
+    (1, "spark spark join", "en", ["query"]),
+    (2, "delta index scan", "de", ["infra"]),
+    (3, "spark index merge", "de", ["infra", "infra"]),  # dup tag: counts once
+    (4, "other words here", "fr", ["misc"]),
+    (5, "scan only doc", "en", None),  # null-tag doc still facets on lang
+    (6, "spark scan pair", "fr", []),
+]
+SCHEMA = "doc_id long, text string, lang string, tags array<string>"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def ix(docs, cfg):
+    return build_index(docs.select("doc_id", "text"), cfg)
+
+
+def _brute_matching(mode: str, terms: set[str]) -> set[int]:
+    out = set()
+    for doc_id, text, _lang, _tags in ROWS:
+        toks = set(text.split())
+        hit = terms <= toks if mode == "and" else bool(terms & toks)
+        if hit:
+            out.add(doc_id)
+    return out
+
+
+@pytest.mark.parametrize("mode,query", [("or", "spark scan"), ("and", "spark scan")])
+def test_matching_doc_ids(spark, ix, cfg, mode, query):
+    got = {
+        r["doc_id"]
+        for r in matching_doc_ids(ix, query, cfg=cfg, mode=mode).collect()
+    }
+    assert got == _brute_matching(mode, set(query.split()))
+
+
+def test_and_mode_absent_term_is_empty(spark, ix, cfg):
+    assert matching_doc_ids(ix, "spark xyzzyq", cfg=cfg, mode="and").count() == 0
+    # disjunctive still matches on the present term
+    assert matching_doc_ids(ix, "spark xyzzyq", cfg=cfg, mode="or").count() > 0
+
+
+def test_facet_counts_match_brute_force(spark, docs, ix, cfg):
+    fx = build_facets(docs, ["lang", "tags"], cfg)
+    got = facet_counts(ix, fx, "spark scan", cfg=cfg, top=10)
+    rows = {(r["facet"], r["value"]): (r["n"], r["rank"]) for r in got.collect()}
+
+    matched = _brute_matching("or", {"spark", "scan"})
+    brute: dict[tuple[str, str], int] = {}
+    for doc_id, _t, lang, tags in ROWS:
+        if doc_id not in matched:
+            continue
+        brute[("lang", lang)] = brute.get(("lang", lang), 0) + 1
+        for tag in set(tags or []):
+            brute[("tags", tag)] = brute.get(("tags", tag), 0) + 1
+    assert {k: v[0] for k, v in rows.items()} == brute
+    # rank = (n desc, value asc) within each facet
+    for facet in {"lang", "tags"}:
+        vals = sorted(
+            ((v, k[1]) for k, (v, _r) in
+             {k: r for k, r in rows.items() if k[0] == facet}.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        ranks = [rows[(facet, value)][1] for _n, value in vals]
+        assert ranks == list(range(1, len(vals) + 1))
+
+
+def test_min_count_and_top(spark, docs, ix, cfg):
+    fx = build_facets(docs, ["lang"], cfg)
+    # "spark scan" matches docs 0,1,2,3,5,6 → lang counts en=3 de=2 fr=1
+    assert {
+        (r["value"], r["n"])
+        for r in facet_counts(ix, fx, "spark scan", cfg=cfg, min_count=2).collect()
+    } == {("en", 3), ("de", 2)}
+    top1 = facet_counts(ix, fx, "spark scan", cfg=cfg, top=1).collect()
+    assert [(r["value"], r["n"], r["rank"]) for r in top1] == [("en", 3, 1)]
+
+
+def test_local_searcher_facets_match_distributed(spark, docs, ix, cfg, tmp_path):
+    """The serving path (LocalSearcher.facet_counts over the persisted
+    facet table) must produce the same counts and order as the
+    distributed plans.facets.facet_counts, in both modes."""
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    fx = build_facets(docs, ["lang", "tags"], cfg)
+    root = str(tmp_path / "ix_facets")
+    write_index(ix, root, term_partitions=2, facets=fx)
+    ls = LocalSearcher(root, cfg)
+    for mode in ("or", "and"):
+        want: dict[str, list[tuple[str, int]]] = {}
+        for r in facet_counts(ix, fx, "spark scan", cfg=cfg, mode=mode).orderBy(
+            "facet", "rank"
+        ).collect():
+            want.setdefault(r["facet"], []).append((r["value"], r["n"]))
+        got = ls.facet_counts("spark scan", mode=mode)
+        assert got == want, mode
+        # decode-only membership parity too
+        import numpy as np
+
+        dist = np.sort(
+            np.array(
+                [r["doc_id"] for r in matching_doc_ids(ix, "spark scan", cfg=cfg, mode=mode).collect()],
+                dtype=np.int64,
+            )
+        )
+        assert np.array_equal(ls.matching_ids("spark scan", mode=mode), dist)
+
+
+def test_tombstones_drop_from_counts(spark, docs, ix, cfg):
+    import numpy as np
+
+    fx = build_facets(docs, ["lang"], cfg)
+    got = {
+        (r["value"], r["n"])
+        for r in facet_counts(
+            ix, fx, "spark scan", cfg=cfg, exclude_ids=np.array([0, 1], dtype=np.int64)
+        ).collect()
+    }
+    assert got == {("en", 1), ("de", 2), ("fr", 1)}

@@ -1,0 +1,184 @@
+"""Phrase search (plans/phrase.py): consecutive-token semantics,
+rank identity with the exact scorer on the verified doc set, strict
+empties, and the code-analyzer guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.plans.build_index import build_index
+from golr_loader_spark.plans.phrase import decode_postings, phrase_search
+
+ROWS = [
+    (0, "data query spark engine"),      # contains "data query"
+    (1, "query data spark"),             # both terms, wrong order
+    (2, "data query data query runs"),   # phrase twice
+    (3, "big data  query gap"),          # double space → empty token between
+    (4, "unrelated words entirely"),
+    (5, "the data query"),               # phrase at end
+    (6, "a a a"),                        # self-overlap corpus
+]
+SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def ix(docs, cfg):
+    return build_index(docs, cfg)
+
+
+def test_phrase_membership(spark, docs, ix, cfg):
+    got = [r["doc_id"] for r in phrase_search(ix, docs, "data query", k=10, cfg=cfg).collect()]
+    # docs 0, 2, 5 contain the consecutive pair; 1 (order), 3 (empty
+    # token between), 4 (absent) must not
+    assert set(got) == {0, 2, 5}
+
+
+def test_phrase_scores_match_exact_fold(spark, docs, ix, cfg):
+    """Scores equal the conjunctive BM25 of the phrase terms computed
+    from raw tokens (the score_exact discipline), restricted to the
+    phrase-verified docs — decode + semi-join must not perturb tf/dl
+    or the float fold order."""
+    from golr_loader_spark.functions.tokenize import tokenize
+    from golr_loader_spark.plans.bm25 import score_exact
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in phrase_search(ix, docs, "data query", k=10, cfg=cfg).collect()
+    }
+    toks = tokenize(docs, cfg)
+    exact = {
+        r["doc_id"]: r["score"]
+        for r in score_exact(
+            toks, None, ix.n_docs, ix.avgdl_by_field, ["data", "query"], cfg, k=10
+        ).collect()
+        if r["doc_id"] in got
+    }
+    assert got == exact  # bit-identical floats, not approx
+
+
+def test_phrase_overlap_and_empties(spark, docs, ix, cfg):
+    # self-overlapping phrase: "a a" occurs in "a a a"
+    assert {r["doc_id"] for r in phrase_search(ix, docs, "a a", k=10, cfg=cfg).collect()} == {6}
+    # absent term → empty (conjunctive candidate gen is strict)
+    assert phrase_search(ix, docs, "data xyzzyq", k=10, cfg=cfg).count() == 0
+    assert phrase_search(ix, docs, "   ", k=10, cfg=cfg).count() == 0
+
+
+def test_code_analyzer_guard(spark, docs):
+    cfg_code = IndexConfig(fields={"text": ("code", 1.0)}, bucket_bits=2, id_space_bits=3)
+    ix2 = build_index(docs, cfg_code)
+    with pytest.raises(NotImplementedError):
+        phrase_search(ix2, docs, "data query", cfg=cfg_code)
+
+
+def test_prefix_search_matches_exact_expansion(spark, docs, ix, cfg):
+    """search_prefix == score_exact over the terms the prefix expands
+    to (SCORING_BOOLEAN rewrite), bit-identical floats; hot prefixes
+    trip the TooManyClauses guard."""
+    from golr_loader_spark.functions.tokenize import tokenize
+    from golr_loader_spark.plans.bm25 import score_exact, search_prefix
+
+    # 'd' expands to {data} (ROWS vocabulary); 'q' to {query, quit?}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_prefix(ix, "da", k=10, cfg=cfg).collect()
+    }
+    toks = tokenize(docs, cfg)
+    vocab = sorted(
+        r["term"] for r in toks.select("term").distinct().collect()
+        if r["term"].startswith("da")
+    )
+    exact = {
+        r["doc_id"]: r["score"]
+        for r in score_exact(
+            toks, None, ix.n_docs, ix.avgdl_by_field, vocab, cfg, k=10
+        ).collect()
+    }
+    assert got == exact and len(got) > 0
+    with pytest.raises(ValueError):
+        # every ROWS term starts with one of a..z — expanding '' is
+        # nonsense, but a 1-term cap must trip on any multi-term prefix
+        search_prefix(ix, "d", k=5, cfg=cfg, max_expansions=0)
+    assert search_prefix(ix, "zzz", k=5, cfg=cfg).count() == 0
+
+
+def test_fuzzy_search_matches_exact_expansion(spark, docs, ix, cfg):
+    """search_fuzzy == score_exact over the edit-distance-expanded
+    vocabulary (SCORING_BOOLEAN rewrite), incl. the prefix_length
+    pushdown and the max_expansions guard."""
+    import re
+
+    from golr_loader_spark.functions.tokenize import tokenize
+    from golr_loader_spark.plans.bm25 import score_exact, search_fuzzy
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    toks = tokenize(docs, cfg)
+    vocab = [r["term"] for r in toks.select("term").distinct().collect()]
+    expanded = sorted(t for t in vocab if lev("dta", t) <= 1)
+    assert "data" in expanded  # the expansion is non-trivial
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_fuzzy(ix, "dta", max_edits=1, k=10, cfg=cfg).collect()
+    }
+    exact = {
+        r["doc_id"]: r["score"]
+        for r in score_exact(
+            toks, None, ix.n_docs, ix.avgdl_by_field, expanded, cfg, k=10
+        ).collect()
+    }
+    assert got == exact and len(got) > 0
+    # prefix_length=1 restricts the dictionary slice to 'd*'
+    got_p = {
+        r["doc_id"]: r["score"]
+        for r in search_fuzzy(
+            ix, "dta", max_edits=1, prefix_length=1, k=10, cfg=cfg
+        ).collect()
+    }
+    exp_p = sorted(t for t in expanded if t.startswith("d"))
+    exact_p = {
+        r["doc_id"]: r["score"]
+        for r in score_exact(
+            toks, None, ix.n_docs, ix.avgdl_by_field, exp_p, cfg, k=10
+        ).collect()
+    }
+    assert got_p == exact_p
+    with pytest.raises(ValueError):
+        search_fuzzy(ix, "dta", max_edits=3, k=5, cfg=cfg, max_expansions=1)
+    assert search_fuzzy(ix, "zzzzzzzz", max_edits=1, k=5, cfg=cfg).count() == 0
+
+
+def test_decode_postings_roundtrip(spark, docs, ix, cfg):
+    """decode_postings inverts the block encoder for the chosen terms:
+    (doc_id, tf, dl) rows equal the tokenizer's output."""
+    from golr_loader_spark.functions.tokenize import tokenize
+
+    flat = decode_postings(ix, ["data", "query"], cfg)
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in flat.collect()
+    }
+    toks = tokenize(docs, cfg).filter(F.col("term").isin(["data", "query"]))
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in toks.collect()
+    }
+    assert got == want
