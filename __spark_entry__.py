@@ -230,6 +230,37 @@ def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-Like-This on the REAL engine index (Solr/Lucene MLT — the
+    'similar entities' query the reference's Solr cores serve):
+    re-analyze doc 7's text, select its top-10 terms by tf x idf
+    (rounded, term-asc tie-break), disjunctive block-max BM25 over
+    them excluding the source doc. SQL_Q40 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import more_like_this
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        more_like_this(ix, d, 7, k=200, cfg=cfg, max_query_terms=10)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -242,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_phrase"] = _engine_phrase
     out["engine_prefix"] = _engine_prefix
     out["engine_fuzzy"] = _engine_fuzzy
+    out["engine_mlt"] = _engine_mlt
     return out
 
 
@@ -254,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q37,
         SQL_Q38,
         SQL_Q39,
+        SQL_Q40,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -265,4 +298,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_phrase"] = SQL_Q37
     out["engine_prefix"] = SQL_Q38
     out["engine_fuzzy"] = SQL_Q39
+    out["engine_mlt"] = SQL_Q40
     return out

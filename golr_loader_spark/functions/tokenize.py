@@ -133,6 +133,26 @@ def analyze_query(text: str, analyzer: str = "code") -> list[str]:
     return sorted(terms)
 
 
+def analyze_with_tf(text: str, analyzer: str = "code") -> dict[str, int]:
+    """Driver-side analysis of ONE string keeping term frequencies —
+    the term-vector read that More-Like-This needs (Lucene re-analyzes
+    stored text when term vectors are absent; same here). Token rules
+    are identical to the distributed tokenizer's."""
+    import re
+    from collections import Counter
+
+    tf: Counter[str] = Counter()
+    if analyzer == "simple":
+        tf.update(t for t in text.lower().split(" ") if t)
+    else:
+        for tok in re.findall(_RAW_TOKEN, text):
+            subs = re.findall(_SUBWORD, tok)
+            tf.update(s.lower() for s in subs)
+            if len(subs) > 1:
+                tf[tok.lower()] += 1
+    return dict(tf)
+
+
 def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     """documents → (doc_id, field, term, tf, dl).
 

@@ -1240,6 +1240,48 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# Oracle for the engine's More-Like-This (bm25.more_like_this —
+# engine_mlt in __spark_entry__.py): Lucene MLT term selection — each
+# source-doc term scored by tf(source) × idf, rounded to 1e-6 with
+# term-asc tie-break, top 10 kept — then a disjunctive BM25 over the
+# selected terms excluding the source doc itself.
+SQL_Q40 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+tdf AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+src AS (SELECT term, tf FROM toks WHERE doc_id = 7 AND term <> ''),
+interest AS (
+  SELECT s.term,
+         round(s.tf * ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)), 6) AS sc
+  FROM src s JOIN tdf d USING (term)),
+sel AS (SELECT term FROM interest ORDER BY sc DESC, term ASC LIMIT 10),
+qt AS (SELECT * FROM toks WHERE term IN (SELECT term FROM sel)),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)
+  WHERE qt.doc_id <> 7),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #

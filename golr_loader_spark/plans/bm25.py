@@ -601,6 +601,99 @@ def search_fuzzy(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def more_like_this(
+    index: InvertedIndex,
+    documents: DataFrame,
+    doc_id: int,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 1,
+    max_doc_freq: int | None = None,
+    id_col: str = "doc_id",
+    exclude_self: bool = True,
+    exclude_ids=None,
+) -> DataFrame:
+    """More-Like-This (Solr/Lucene MLT — the 'similar entities' query
+    the reference's Solr cores serve): re-analyze the source doc's
+    stored text, pick its most interesting terms, run them as a
+    disjunctive BM25 query.
+
+    Term selection is Lucene MLT's: score each source term by
+    tf(term, source) × idf(term), filter by doc-frequency bounds
+    (min_doc_freq / max_doc_freq — the noise / stop-term gates), keep
+    the top ``max_query_terms``. Selection ranks by the ROUNDED
+    (1e-6) interestingness with term-asc tie-break — the module float
+    discipline, so the selection is reproducible across runtimes.
+
+    The source text is ONE point lookup on the documents table
+    (predicate-pushdown on ``id_col``); term stats come from the
+    in-index term dictionary; the search itself is the normal
+    block-max scorer. ``exclude_self`` drops the source doc via the
+    same decode-time masking tombstones use."""
+    import numpy as np
+
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    text_col = next(iter(cfg.fields))
+    row = (
+        documents.filter(F.col(id_col) == doc_id)
+        .select(F.col(text_col).alias("_t"))
+        .collect()
+    )
+    if not row:
+        return spark.createDataFrame([], "doc_id long, score double")
+    from golr_loader_spark.functions.tokenize import analyze_with_tf
+
+    tf = analyze_with_tf(row[0]["_t"], query_analyzer(cfg))
+    if not tf:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n = index.n_docs
+    stats = (
+        index.term_stats.filter(
+            F.col("term").isin(list(tf)) & F.col("field").isin(list(cfg.fields))
+        )
+        .select("term", "field", "df")
+        .collect()
+    )
+    # interestingness per TERM: tf in source × idf (df summed over the
+    # configured fields, as one Lucene MLT field-aggregated gate)
+    df_by_term: dict[str, int] = {}
+    for r in stats:
+        df_by_term[r["term"]] = df_by_term.get(r["term"], 0) + int(r["df"])
+    cand = []
+    for t, d in df_by_term.items():
+        if d < min_doc_freq or (max_doc_freq is not None and d > max_doc_freq):
+            continue
+        cand.append((round(tf[t] * bm25_idf(n, d), 6), t))
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    terms = sorted(t for _s, t in cand[:max_query_terms])
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    weights = {
+        (r["term"], r["field"]): (
+            cfg.fields[r["field"]][1] * bm25_idf(n, int(r["df"]))
+        )
+        * (cfg.k1 + 1.0)
+        for r in stats
+        if r["term"] in set(terms)
+    }
+    excl = np.asarray(exclude_ids, dtype=np.int64) if exclude_ids is not None else np.empty(0, np.int64)
+    if exclude_self:
+        excl = np.union1d(excl, np.array([doc_id], dtype=np.int64))
+    avgdl = _avgdl(index)
+    pcand = index.postings.filter(
+        F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
+    )
+    fn = _score_bucket_factory(
+        weights, avgdl, cfg, k, exclude_ids=excl if len(excl) else None
+    )
+    per_bucket = pcand.groupBy("bucket").applyInPandas(
+        fn, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_batch(
     index: InvertedIndex,
     queries: dict[int, str],

@@ -167,6 +167,37 @@ def test_fuzzy_search_matches_exact_expansion(spark, docs, ix, cfg):
     assert search_fuzzy(ix, "zzzzzzzz", max_edits=1, k=5, cfg=cfg).count() == 0
 
 
+def test_more_like_this_selection_and_exclusion(spark, docs, ix, cfg):
+    """MLT picks the source doc's top tf×idf terms, respects the
+    doc-frequency gates, and masks the source doc from results."""
+    from golr_loader_spark.plans.bm25 import more_like_this
+
+    got = more_like_this(ix, docs, 0, k=10, cfg=cfg).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 0 not in ids  # exclude_self
+    # doc 0 = "data query spark engine": docs sharing its terms rank
+    assert set(ids) >= {2, 5}  # both contain data+query
+    with_self = more_like_this(ix, docs, 0, k=10, cfg=cfg, exclude_self=False).collect()
+    assert 0 in [r["doc_id"] for r in with_self]  # and it ranks (it matches itself)
+    # max_doc_freq gate: every ROWS term has df <= 4; a cap of 0 kills all
+    assert (
+        more_like_this(ix, docs, 0, k=10, cfg=cfg, max_doc_freq=0).count() == 0
+    )
+    # max_query_terms=1 keeps only the single MOST interesting term —
+    # for doc 0 that is 'engine' (tf=1, df=1 → max idf), which only
+    # the source itself contains: with exclude_self the result is
+    # empty, without it exactly the source
+    assert more_like_this(ix, docs, 0, k=10, cfg=cfg, max_query_terms=1).count() == 0
+    assert [
+        r["doc_id"]
+        for r in more_like_this(
+            ix, docs, 0, k=10, cfg=cfg, max_query_terms=1, exclude_self=False
+        ).collect()
+    ] == [0]
+    # missing source doc → empty
+    assert more_like_this(ix, docs, 999, k=10, cfg=cfg).count() == 0
+
+
 def test_decode_postings_roundtrip(spark, docs, ix, cfg):
     """decode_postings inverts the block encoder for the chosen terms:
     (doc_id, tf, dl) rows equal the tokenizer's output."""
