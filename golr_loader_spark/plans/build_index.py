@@ -418,6 +418,7 @@ def write_index(
     term_partitions: int = 8,
     documents: DataFrame | None = None,
     facets: DataFrame | None = None,
+    store_fields: list[str] | None = None,
 ) -> None:
     """Persist index tables as parquet (Iceberg stand-in — the sandbox
     image lacks the Iceberg runtime jars; the layout below mirrors an
@@ -464,6 +465,18 @@ def write_index(
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(f"{root}/facets")
+        )
+    if documents is not None and store_fields:
+        # stored fields (Solr stored="true"): doc_id-range-partitioned
+        # + in-file doc_id sort, so fetching a hit page is a few
+        # row-group-pruned point reads, never a table scan
+        (
+            documents.select("doc_id", *store_fields)
+            .repartitionByRange(max(2, term_partitions // 2), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(4 << 20))
+            .parquet(f"{root}/stored")
         )
 
 

@@ -305,6 +305,90 @@ class LocalSearcher:
         return out
 
 
+    # ------------------------------------------------- stored fields
+
+    def fetch(self, doc_ids: list[int], fields: list[str] | None = None) -> dict[int, dict]:
+        """Point-fetch stored fields for a hit page (Solr fl=...):
+        {root}/stored is doc_id-range-partitioned and in-file sorted,
+        so the predicate prunes to a few row groups — a page of k hits
+        costs O(k) row-group reads, not a scan."""
+        import os as _os
+
+        if not _os.path.isdir(f"{self._root}/stored"):
+            raise FileNotFoundError(f"{self._root}/stored not written")
+        ds = pads.dataset(f"{self._root}/stored", format="parquet")
+        cols = ["doc_id"] + (fields or [c for c in ds.schema.names if c != "doc_id"])
+        tbl = ds.to_table(filter=pc.field("doc_id").isin(doc_ids), columns=cols)
+        rows = tbl.to_pylist()
+        return {int(r["doc_id"]): {c: r[c] for c in cols if c != "doc_id"} for r in rows}
+
+    def search_fetch(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        fields: list[str] | None = None,
+        highlight_field: str | None = None,
+        frag_size: int = 80,
+    ) -> list[dict]:
+        """search + stored-field retrieval (+ optional highlighting) —
+        the full Solr response shape: [{doc_id, score, <fields>,
+        [highlight]}]."""
+        hits = self.search(query, k=k, mode=mode)
+        if not hits:
+            return []
+        stored = self.fetch(
+            [d for d, _s in hits],
+            list({*(fields or []), *( [highlight_field] if highlight_field else [] )}) or None,
+        )
+        terms = analyze_query(query, query_analyzer(self.cfg))
+        out = []
+        for doc_id, score in hits:
+            row = {"doc_id": doc_id, "score": score}
+            row.update(stored.get(doc_id, {}))
+            if highlight_field and highlight_field in row and row[highlight_field]:
+                row["highlight"] = highlight(
+                    str(row[highlight_field]), terms, frag_size=frag_size
+                )
+            out.append(row)
+        return out
+
+
+def highlight(text: str, terms: list[str], frag_size: int = 80, pre: str = "<em>", post: str = "</em>") -> str:
+    """Solr-style highlighter for whitespace-token text: the best
+    fragment of ~frag_size chars centered on the densest run of query
+    terms, with each matching token wrapped in <em></em>. Token-exact
+    (a term matches a whole lowercased token, mirroring the simple
+    analyzer), no regex on user input."""
+    toks = text.split(" ")
+    low = [t.lower() for t in toks]
+    tset = set(terms)
+    match = [i for i, t in enumerate(low) if t in tset]
+    if not match:
+        return text[:frag_size]
+    # densest window: most matches within a frag_size-char span,
+    # earliest span wins ties
+    starts = [0]
+    for t in toks[:-1]:
+        starts.append(starts[-1] + len(t) + 1)
+    best_i, best_n = 0, 0
+    for i in match:
+        n = sum(1 for j in match if 0 <= starts[j] - starts[i] <= frag_size)
+        if n > best_n:
+            best_i, best_n = i, n
+    lo = best_i
+    hi = best_i
+    while hi + 1 < len(toks) and starts[hi + 1] - starts[lo] <= frag_size:
+        hi += 1
+    frag = [
+        (pre + toks[i] + post) if low[i] in tset else toks[i]
+        for i in range(lo, hi + 1)
+    ]
+    prefix = "…" if lo > 0 else ""
+    suffix = "…" if hi + 1 < len(toks) else ""
+    return prefix + " ".join(frag) + suffix
+
+
 def p95_latency_ms(searcher: LocalSearcher, queries: list[str], k: int = 10) -> float:
     """Measure per-query serving latency (for BENCH reporting)."""
     import time

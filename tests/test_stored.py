@@ -1,0 +1,73 @@
+"""Stored fields + highlighting (Solr stored="true" / hl=on parity):
+write_index(store_fields=...), LocalSearcher.fetch / search_fetch,
+and the token-exact highlighter."""
+
+from __future__ import annotations
+
+import pytest
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.plans.build_index import build_index, write_index
+from golr_loader_spark.plans.serve import LocalSearcher, highlight
+
+ROWS = [
+    (0, "spark query engine for big data workloads", "en"),
+    (1, "query planner and spark catalyst internals", "en"),
+    (2, "nothing relevant in this one", "de"),
+    (3, "spark spark spark and more spark here", "fr"),
+]
+SCHEMA = "doc_id long, text string, lang string"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=2)
+
+
+@pytest.fixture(scope="module")
+def root(spark, cfg, tmp_path_factory):
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    ix = build_index(docs.select("doc_id", "text"), cfg)
+    root = str(tmp_path_factory.mktemp("stored") / "ix")
+    write_index(
+        ix, root, term_partitions=2, documents=docs, store_fields=["text", "lang"]
+    )
+    return root
+
+
+def test_fetch_roundtrip(spark, root, cfg):
+    ls = LocalSearcher(root, cfg)
+    got = ls.fetch([0, 3], ["lang"])
+    assert got == {0: {"lang": "en"}, 3: {"lang": "fr"}}
+    full = ls.fetch([1])
+    assert full[1]["text"] == ROWS[1][1] and full[1]["lang"] == "en"
+
+
+def test_search_fetch_with_highlight(spark, root, cfg):
+    ls = LocalSearcher(root, cfg)
+    hits = ls.search_fetch(
+        "spark query", k=4, fields=["lang"], highlight_field="text"
+    )
+    assert [h["doc_id"] for h in hits] == [
+        d for d, _s in ls.search("spark query", k=4)
+    ]
+    by_id = {h["doc_id"]: h for h in hits}
+    assert by_id[0]["lang"] == "en"
+    assert "<em>spark</em>" in by_id[0]["highlight"]
+    assert "<em>query</em>" in by_id[0]["highlight"]
+    # stored text rides along when requested via highlight_field
+    assert by_id[0]["text"] == ROWS[0][1]
+
+
+def test_highlight_fragment_selection():
+    # densest window wins: the matches cluster at the end
+    text = "aaa bbb ccc ddd " * 6 + "spark query spark"
+    frag = highlight(text, ["spark", "query"], frag_size=30)
+    assert frag.startswith("…")
+    assert "<em>spark</em> <em>query</em> <em>spark</em>" in frag
+    # no match → plain truncation, no markers
+    assert "<em>" not in highlight("nothing here", ["spark"], frag_size=10)
+    # token-exact: 'sparkly' must NOT highlight for term 'spark'
+    assert "<em>" not in highlight("sparkly things", ["spark"])
+    # case-insensitive on the text side
+    assert "<em>Spark</em>" in highlight("Spark rules", ["spark"])
