@@ -46,6 +46,18 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _df_sums(rows) -> dict[tuple[str, str], int]:
+    """Aggregate collected term_stats rows to (term, field) → Σdf.
+    After a fast upsert the term_stats table carries one row per
+    SEGMENT per (term, field) — df is the sum (a superseded copy
+    still counts once until compaction, Lucene's stale-df contract)."""
+    agg: dict[tuple[str, str], int] = {}
+    for r in rows:
+        key = (r["term"], r["field"])
+        agg[key] = agg.get(key, 0) + int(r["df"])
+    return agg
+
+
 def _idf_table(index: InvertedIndex, terms: list[str]) -> dict[tuple[str, str], float]:
     """(term, field) → idf for the query terms (tiny driver-side lookup;
     the join-shaped analog of the reference's node-by-id point lookups,
@@ -56,7 +68,7 @@ def _idf_table(index: InvertedIndex, terms: list[str]) -> dict[tuple[str, str], 
         .select("term", "field", "df")
         .collect()
     )
-    return {(r["term"], r["field"]): bm25_idf(n, int(r["df"])) for r in rows}
+    return {k: bm25_idf(n, d) for k, d in _df_sums(rows).items()}
 
 
 def _avgdl(index: InvertedIndex) -> dict[str, float]:
@@ -134,6 +146,67 @@ def score_exact(
 # ------------------------------------------------------------ block-max
 
 
+_DEAD_EVERYWHERE = np.iinfo(np.int64).max
+
+
+def _norm_excl(exclude_ids):
+    """Normalize an exclusion spec to ``(ids sorted asc, dead_below)``
+    or None. Two accepted shapes:
+
+    * a plain int array — docs dead in EVERY segment (hard deletes);
+    * an ``(ids, dead_below)`` pair — Lucene per-segment liveDocs: a
+      posting of doc X stored in segment s is dead iff
+      ``s < dead_below[X]`` (an upsert at segment e tombstones the
+      older copies with dead_below = e; hard deletes use int64 max).
+
+    Duplicate ids keep the MAX dead_below — the latest operation wins
+    (delete after upsert ⇒ dead everywhere)."""
+    if exclude_ids is None:
+        return None
+    if isinstance(exclude_ids, tuple):
+        ids, db = exclude_ids
+        ids = np.asarray(ids, dtype=np.int64)
+        db = np.asarray(db, dtype=np.int64)
+        if not len(ids):
+            return None
+        order = np.argsort(ids, kind="stable")
+        ids, db = ids[order], db[order]
+        uniq, idx = np.unique(ids, return_index=True)
+        if len(uniq) != len(ids):
+            db = np.maximum.reduceat(db, idx)
+            ids = uniq
+        return ids, db
+    arr = np.unique(np.asarray(exclude_ids, dtype=np.int64))
+    if not len(arr):
+        return None
+    return arr, np.full(len(arr), _DEAD_EVERYWHERE, dtype=np.int64)
+
+
+def _live_of(ids: np.ndarray, segs: np.ndarray, excl) -> np.ndarray:
+    """Boolean live-mask for postings ``ids`` stored in segments
+    ``segs`` under normalized exclusion ``excl``."""
+    t_ids, t_db = excl
+    pos = np.minimum(np.searchsorted(t_ids, ids), len(t_ids) - 1)
+    hit = t_ids[pos] == ids
+    return ~(hit & (segs < t_db[pos]))
+
+
+def _row_segments(rows: pd.DataFrame) -> np.ndarray:
+    """Per-block segment numbers (0 for pre-segment indexes)."""
+    if "segment" in rows.columns:
+        return rows["segment"].to_numpy(np.int64)
+    return np.zeros(len(rows), dtype=np.int64)
+
+
+def _sort_blocks(rows: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic block order within a list: (segment, block_id).
+    Appended segments restart block_id at 0, so block_id alone would
+    leave equal keys to an unstable sort — nondeterministic float
+    accumulation order."""
+    cols = [c for c in ("segment", "block_id") if c in rows.columns]
+    return rows.sort_values(cols, kind="stable")
+
+
 def query_analyzer(cfg: IndexConfig) -> str:
     """The analyzer to parse QUERIES with: when every configured field
     shares one analyzer, use it (a simple-analyzer index must not have
@@ -172,16 +245,15 @@ def _score_bucket_factory(
     ``exclude_ids`` drops tombstoned docs at decode time (Lucene
     liveDocs semantics: deleted docs vanish from results immediately,
     while corpus/block statistics stay stale until compaction — see
-    plans.maintenance). Masking inside the decoder keeps every
-    consumer — theta seeding, pruning, accumulation, MUST filtering —
-    consistent on live postings only; the stored block bounds still
-    cover the masked postings, so pruning stays admissible."""
+    plans.maintenance). Accepts a plain id array (dead everywhere) or
+    an ``(ids, dead_below)`` pair for per-SEGMENT liveDocs (see
+    ``_norm_excl`` — how fast upserts kill only the older copies of a
+    doc). Masking inside the decoder keeps every consumer — theta
+    seeding, pruning, accumulation, MUST filtering — consistent on
+    live postings only; the stored block bounds still cover the masked
+    postings, so pruning stays admissible."""
     k1, b = cfg.k1, cfg.b
-    excl = (
-        np.unique(np.asarray(exclude_ids, dtype=np.int64))
-        if exclude_ids is not None and len(exclude_ids)
-        else None
-    )
+    excl = _norm_excl(exclude_ids)
 
     def decode_list(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decode ALL of a list's blocks in three varint calls (the
@@ -198,7 +270,8 @@ def _score_bucket_factory(
         tfs = varint_decode(b"".join(rows["tfs"])).astype(np.float64)
         dls = varint_decode(b"".join(rows["dls"])).astype(np.float64)
         if excl is not None:
-            keep = np.isin(ids, excl, invert=True)
+            segs = np.repeat(_row_segments(rows), n_per_block)
+            keep = _live_of(ids, segs, excl)
             if not keep.all():
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         return ids, tfs, dls
@@ -215,7 +288,7 @@ def _score_bucket_factory(
             wt = weights.get((term, field))
             if wt is None:
                 continue
-            rows = rows.sort_values("block_id")
+            rows = _sort_blocks(rows)
             avg = avgdl_by_field[field]
             mt = rows["max_tf"].to_numpy(np.float64)
             md = rows["min_dl"].to_numpy(np.float64)
@@ -316,17 +389,13 @@ def _score_bucket_multi_factory(
     parallelism is n_buckets (cfg.bucket_bits — size it to the
     cluster), no longer n_queries × n_buckets."""
     k1, b = cfg.k1, cfg.b
-    excl = (
-        np.unique(np.asarray(exclude_ids, dtype=np.int64))
-        if exclude_ids is not None and len(exclude_ids)
-        else None
-    )
+    excl = _norm_excl(exclude_ids)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         groups: dict[tuple, pd.DataFrame] = {}
         meta: dict[tuple, tuple] = {}
         for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
-            rows = rows.sort_values("block_id")
+            rows = _sort_blocks(rows)
             groups[(term, field)] = rows
             meta[(term, field)] = (
                 rows["max_tf"].to_numpy(np.float64),
@@ -348,7 +417,9 @@ def _score_bucket_multi_factory(
                 tfs = varint_decode(b"".join(rows["tfs"])).astype(np.float64)
                 dls = varint_decode(b"".join(rows["dls"])).astype(np.float64)
                 live = (
-                    np.isin(ids, excl, invert=True) if excl is not None else None
+                    _live_of(ids, np.repeat(_row_segments(rows), n_per_block), excl)
+                    if excl is not None
+                    else None
                 )
                 cache[key] = (ids, tfs, dls, n_per_block, live)
             return cache[key]
@@ -523,11 +594,8 @@ def search_prefix(
             "(Lucene TooManyClauses analog) — raise max_expansions"
         )
     weights = {
-        (r["term"], r["field"]): (
-            cfg.fields[r["field"]][1] * bm25_idf(n, int(r["df"]))
-        )
-        * (cfg.k1 + 1.0)
-        for r in rows
+        (t, f): (cfg.fields[f][1] * bm25_idf(n, d)) * (cfg.k1 + 1.0)
+        for (t, f), d in _df_sums(rows).items()
     }
     avgdl = _avgdl(index)
     cand = index.postings.filter(
@@ -584,11 +652,8 @@ def search_fuzzy(
             f"(> max_expansions={max_expansions})"
         )
     weights = {
-        (r["term"], r["field"]): (
-            cfg.fields[r["field"]][1] * bm25_idf(n, int(r["df"]))
-        )
-        * (cfg.k1 + 1.0)
-        for r in rows
+        (t, f): (cfg.fields[f][1] * bm25_idf(n, d)) * (cfg.k1 + 1.0)
+        for (t, f), d in _df_sums(rows).items()
     }
     avgdl = _avgdl(index)
     cand = index.postings.filter(
@@ -670,13 +735,11 @@ def more_like_this(
     terms = sorted(t for _s, t in cand[:max_query_terms])
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
+    tset = set(terms)
     weights = {
-        (r["term"], r["field"]): (
-            cfg.fields[r["field"]][1] * bm25_idf(n, int(r["df"]))
-        )
-        * (cfg.k1 + 1.0)
-        for r in stats
-        if r["term"] in set(terms)
+        (t, f): (cfg.fields[f][1] * bm25_idf(n, d)) * (cfg.k1 + 1.0)
+        for (t, f), d in _df_sums(stats).items()
+        if t in tset
     }
     excl = np.asarray(exclude_ids, dtype=np.int64) if exclude_ids is not None else np.empty(0, np.int64)
     if exclude_self:

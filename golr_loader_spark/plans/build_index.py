@@ -331,7 +331,13 @@ def build_postings(
         "doc_id_first long, doc_ids binary, tfs binary, dls binary, "
         "max_tf int, min_dl int, tf_sum long"
     )
-    return flat.mapInArrow(_encode_batches(cfg), spark_schema)
+    # segment 0 = the base build. Fast upserts append blocks under
+    # higher segment numbers; per-segment liveDocs (bm25._norm_excl)
+    # kill only the superseded copies. Compaction folds everything
+    # back to segment 0.
+    return flat.mapInArrow(_encode_batches(cfg), spark_schema).withColumn(
+        "segment", F.lit(0)
+    )
 
 
 @dataclass
@@ -483,8 +489,15 @@ def write_index(
 def read_index(
     spark: SparkSession, root: str, cfg: IndexConfig | None = None
 ) -> InvertedIndex:
+    # mergeSchema: a root can mix base files and appended upsert
+    # segments; files predating the segment column read as null → 0
+    postings = spark.read.option("mergeSchema", "true").parquet(f"{root}/postings")
+    if "segment" not in postings.columns:
+        postings = postings.withColumn("segment", F.lit(0))
+    else:
+        postings = postings.fillna({"segment": 0})
     return InvertedIndex(
-        postings=spark.read.parquet(f"{root}/postings"),
+        postings=postings,
         term_stats=spark.read.parquet(f"{root}/term_stats"),
         stats=spark.read.parquet(f"{root}/stats"),
         cfg=cfg or IndexConfig(),

@@ -89,23 +89,37 @@ def build_facets(
 def _match_bucket_factory(
     term_fields: dict[str, list[str]],
     required: set[str] | None,
-    exclude_ids: "np.ndarray | None",
+    exclude_ids,
 ):
     """Per-bucket matcher: decode doc_id streams only. pdf columns
-    used: term, field, doc_id_first, doc_ids. Membership of a term =
-    union over its configured fields (a MUST term is satisfied by any
-    field, mirroring the scorer's conjunctive filter)."""
+    used: term, field, doc_id_first, doc_ids (+ segment). Membership
+    of a term = union over its configured fields (a MUST term is
+    satisfied by any field, mirroring the scorer's conjunctive
+    filter). ``exclude_ids`` takes either exclusion shape
+    (bm25._norm_excl) — per-segment liveDocs mask each block by ITS
+    segment, so a fast-upserted doc matches through its newest copy
+    only."""
+    from golr_loader_spark.plans.bm25 import _live_of, _norm_excl
+
+    excl = _norm_excl(exclude_ids)
 
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        has_seg = "segment" in pdf.columns
         per_term: dict[str, list[np.ndarray]] = {}
         for (term, _field), rows in pdf.groupby(["term", "field"], sort=False):
             if term not in term_fields:
                 continue
-            ids = [
-                np.cumsum(varint_decode(buf).astype(np.int64)) + np.int64(first)
-                for first, buf in zip(rows["doc_id_first"], rows["doc_ids"])
-            ]
-            per_term.setdefault(term, []).extend(ids)
+            segs = (
+                rows["segment"].to_numpy(np.int64)
+                if has_seg
+                else np.zeros(len(rows), dtype=np.int64)
+            )
+            for first, buf, seg in zip(rows["doc_id_first"], rows["doc_ids"], segs):
+                ids = np.cumsum(varint_decode(buf).astype(np.int64)) + np.int64(first)
+                if excl is not None:
+                    ids = ids[_live_of(ids, np.full(len(ids), seg), excl)]
+                if len(ids):
+                    per_term.setdefault(term, []).append(ids)
         if not per_term:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
         sets = {t: np.unique(np.concatenate(a)) for t, a in per_term.items()}
@@ -119,8 +133,6 @@ def _match_bucket_factory(
                     break
         else:
             out = np.unique(np.concatenate(list(sets.values())))
-        if exclude_ids is not None and len(exclude_ids) and len(out):
-            out = out[~np.isin(out, exclude_ids, assume_unique=True)]
         return pd.DataFrame({"doc_id": out.astype(np.int64)})
 
     return match_group
@@ -154,11 +166,14 @@ def matching_doc_ids(
         }
         if not required <= present:
             return spark.createDataFrame([], "bucket int, doc_id long")
+    sel = ["bucket", "term", "field", "doc_id_first", "doc_ids"]
+    if "segment" in index.postings.columns:
+        sel.append("segment")
     cand = index.postings.filter(
         F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
-    ).select("bucket", "term", "field", "doc_id_first", "doc_ids")
+    ).select(*sel)
     term_fields = {t: list(cfg.fields) for t in terms}
-    fn = _match_bucket_factory(term_fields, required, _as_id_array(exclude_ids))
+    fn = _match_bucket_factory(term_fields, required, exclude_ids)
     return (
         cand.groupBy("bucket")
         .applyInPandas(fn, schema="doc_id long")
@@ -167,13 +182,6 @@ def matching_doc_ids(
         )
         .select("bucket", "doc_id")
     )
-
-
-def _as_id_array(exclude_ids) -> "np.ndarray | None":
-    if exclude_ids is None:
-        return None
-    arr = np.asarray(exclude_ids, dtype=np.int64)
-    return np.unique(arr) if len(arr) else None
 
 
 def facet_counts(

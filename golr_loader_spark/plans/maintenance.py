@@ -48,26 +48,51 @@ from golr_loader_spark.plans.build_index import (
 
 _POSTING_COLS = [
     "term", "field", "bucket", "block_id", "n", "doc_id_first",
-    "doc_ids", "tfs", "dls", "max_tf", "min_dl", "tf_sum",
+    "doc_ids", "tfs", "dls", "max_tf", "min_dl", "tf_sum", "segment",
 ]
 
+_DEAD_EVERYWHERE = np.iinfo(np.int64).max
 
-def delete_docs(spark: SparkSession, root: str, ids: Iterable[int]) -> None:
+
+def delete_docs(
+    spark: SparkSession, root: str, ids: Iterable[int], dead_below: int | None = None
+) -> None:
     """Append a delete batch to ``{root}/tombstones`` (idempotent at
-    query time: the mask is a set union)."""
+    query time: the mask is a set union). ``dead_below`` defaults to
+    "dead in every segment" (a hard delete); fast upserts pass their
+    new segment number so only OLDER copies of the doc die."""
+    db = _DEAD_EVERYWHERE if dead_below is None else int(dead_below)
     ids = [int(i) for i in ids]
-    spark.createDataFrame([(i,) for i in ids], "doc_id long").write.mode(
-        "append"
-    ).parquet(f"{root}/tombstones")
+    spark.createDataFrame(
+        [(i, db) for i in ids], "doc_id long, dead_below long"
+    ).write.mode("append").parquet(f"{root}/tombstones")
+
+
+def load_tombstones(spark: SparkSession, root: str) -> tuple[np.ndarray, np.ndarray]:
+    """Current tombstone set as the ``(ids, dead_below)`` pair the
+    scorers accept (bm25._norm_excl semantics; duplicate ids resolve
+    to the MAX dead_below — latest operation wins). Tables written
+    before the segment upgrade carry no dead_below column → hard
+    deletes."""
+    path = f"{root}/tombstones"
+    if not os.path.isdir(path):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    t = spark.read.option("mergeSchema", "true").parquet(path)
+    if "dead_below" not in t.columns:
+        t = t.withColumn("dead_below", F.lit(_DEAD_EVERYWHERE))
+    else:
+        t = t.fillna({"dead_below": _DEAD_EVERYWHERE})
+    rows = t.groupBy("doc_id").agg(F.max("dead_below").alias("db")).collect()
+    rows.sort(key=lambda r: r["doc_id"])
+    return (
+        np.array([r["doc_id"] for r in rows], dtype=np.int64),
+        np.array([r["db"] for r in rows], dtype=np.int64),
+    )
 
 
 def load_tombstone_ids(spark: SparkSession, root: str) -> np.ndarray:
-    """Current tombstone set for ``exclude_ids`` (empty if none)."""
-    path = f"{root}/tombstones"
-    if not os.path.isdir(path):
-        return np.empty(0, dtype=np.int64)
-    rows = spark.read.parquet(path).select("doc_id").distinct().collect()
-    return np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+    """Back-compat: just the tombstoned ids (hard and segment alike)."""
+    return load_tombstones(spark, root)[0]
 
 
 def _swap_tables(root: str, tmp: str, tables: tuple) -> None:
@@ -104,15 +129,21 @@ def compact_postings(
     re-packs underfull blocks to ``cfg.block_size``; lists losing all
     postings disappear. Delta/varint streams, block-max bounds, and
     tf_sum are all recomputed by the build's own encoder, so a
-    compacted index is byte-compatible with a fresh build."""
+    compacted index is byte-compatible with a fresh build. All
+    surviving postings land in segment 0 (the Lucene merge: segment
+    tombstones from fast upserts are resolved physically).
+
+    ``tombstone_ids``: plain id array (dead everywhere) or the
+    ``(ids, dead_below)`` pair from ``load_tombstones``."""
+    from golr_loader_spark.plans.bm25 import _live_of, _norm_excl
+
     spark = postings.sparkSession
-    tomb_b = spark.sparkContext.broadcast(
-        np.unique(np.asarray(tombstone_ids, dtype=np.int64))
-    )
+    tomb_b = spark.sparkContext.broadcast(_norm_excl(tombstone_ids))
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, fld, bucket = key
-        pdf = pdf.sort_values("block_id")
+        sort_cols = [c for c in ("segment", "block_id") if c in pdf.columns]
+        pdf = pdf.sort_values(sort_cols, kind="stable")
         n_per_block = pdf["n"].to_numpy(np.int64)
         firsts = pdf["doc_id_first"].to_numpy(np.int64)
         deltas = varint_decode(b"".join(pdf["doc_ids"])).astype(np.int64)
@@ -121,7 +152,16 @@ def compact_postings(
         ids = g + np.repeat(firsts - g[starts], n_per_block)
         tfs = varint_decode(b"".join(pdf["tfs"])).astype(np.int64)
         dls = varint_decode(b"".join(pdf["dls"])).astype(np.int64)
-        keep = np.isin(ids, tomb_b.value, invert=True)
+        excl = tomb_b.value
+        if excl is not None:
+            segs = (
+                np.repeat(pdf["segment"].to_numpy(np.int64), n_per_block)
+                if "segment" in pdf.columns
+                else np.zeros(len(ids), dtype=np.int64)
+            )
+            keep = _live_of(ids, segs, excl)
+        else:
+            keep = np.ones(len(ids), dtype=bool)
         m = int(keep.sum())
         if m == 0:
             return pd.DataFrame({c: [] for c in _POSTING_COLS})
@@ -140,31 +180,43 @@ def compact_postings(
             dls[order],
             cfg,
         )
-        return rb.to_pandas()
+        out = rb.to_pandas()
+        out["segment"] = np.int32(0)
+        return out
 
     schema = (
         "term string, field string, bucket int, block_id int, n int, "
         "doc_id_first long, doc_ids binary, tfs binary, dls binary, "
-        "max_tf int, min_dl int, tf_sum long"
+        "max_tf int, min_dl int, tf_sum long, segment int"
     )
     return postings.groupBy("term", "field", "bucket").applyInPandas(fn, schema)
 
 
 def compact_index(
     index: InvertedIndex,
-    tombstone_ids: np.ndarray,
+    tombstone_ids,
     n_docs_removed: int | None = None,
 ) -> InvertedIndex:
     """→ new InvertedIndex without the tombstoned docs.
 
-    ``n_docs_removed`` defaults to the distinct tombstone count —
-    exact when callers tombstone live corpus ids (the delete-API
-    contract, mirroring Solr's delete-by-id of known documents)."""
+    ``n_docs_removed`` defaults to the number of HARD-deleted ids
+    (dead in every segment) — exact when callers tombstone live
+    corpus ids (the delete-API contract, mirroring Solr's
+    delete-by-id). Segment tombstones (superseded upsert copies)
+    resolve physically but do not change the doc count — the doc's
+    newest copy survives."""
     from pyspark import StorageLevel
 
-    tomb = np.unique(np.asarray(tombstone_ids, dtype=np.int64))
-    removed = len(tomb) if n_docs_removed is None else int(n_docs_removed)
-    new_postings = compact_postings(index.postings, tomb, index.cfg).persist(
+    from golr_loader_spark.plans.bm25 import _norm_excl
+
+    excl = _norm_excl(tombstone_ids)
+    if n_docs_removed is not None:
+        removed = int(n_docs_removed)
+    else:
+        removed = (
+            0 if excl is None else int((excl[1] == _DEAD_EVERYWHERE).sum())
+        )
+    new_postings = compact_postings(index.postings, tombstone_ids, index.cfg).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     n_docs = index.n_docs - removed
@@ -234,9 +286,22 @@ def upsert_docs(
     n_incoming = len(incoming_ids)
 
     ix = read_index(spark, root, cfg)
+    # fold the existing versions (dead everywhere — they are being
+    # replaced) AND any pending segment tombstones from earlier fast
+    # upserts into ONE compaction mask; hard deletes stay pending so
+    # their stats-staleness contract is unchanged
+    t_ids, t_db = load_tombstones(spark, root)
+    seg_mask = t_db != _DEAD_EVERYWHERE
+    comb_ids = np.concatenate([existing_ids, t_ids[seg_mask]])
+    comb_db = np.concatenate(
+        [
+            np.full(len(existing_ids), _DEAD_EVERYWHERE, dtype=np.int64),
+            t_db[seg_mask],
+        ]
+    )
     base = (
-        compact_postings(ix.postings, existing_ids, cfg)
-        if len(existing_ids)
+        compact_postings(ix.postings, (comb_ids, comb_db), cfg)
+        if len(comb_ids)
         else ix.postings
     )
     from pyspark import StorageLevel
@@ -264,13 +329,17 @@ def upsert_docs(
     )
     new_meta.write.mode("overwrite").parquet(f"{tmp}/docs")
     write_index(new_ix, tmp)
-    # read the surviving tombstones BEFORE the swap, rewrite them
-    # AFTER it: a crash between swap and rewrite leaves re-upserted
-    # ids still masked (conservative; retrying the upsert fixes it) —
-    # never resurrection against old postings
-    tomb = load_tombstone_ids(spark, root)
+    # surviving tombstones = HARD deletes not re-upserted (segment
+    # tombstones were resolved physically in the compaction above).
+    # Read BEFORE the swap, rewrite AFTER it: a crash between swap and
+    # rewrite leaves re-upserted ids still masked (conservative;
+    # retrying the upsert fixes it) — never resurrection against old
+    # postings
     live_again = set(incoming_ids)
-    remaining = [i for i in tomb.tolist() if i not in live_again]
+    remaining = [
+        int(i) for i, db in zip(t_ids, t_db)
+        if db == _DEAD_EVERYWHERE and int(i) not in live_again
+    ]
     _swap_tables(root, tmp, ("postings", "term_stats", "stats", "docs"))
     shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
     if remaining:
@@ -280,18 +349,22 @@ def upsert_docs(
 
 def compact_root(spark: SparkSession, root: str, cfg: IndexConfig | None = None) -> int:
     """Compact a PERSISTED index in place: fold ``{root}/tombstones``
-    into the postings, rewrite postings/term_stats/stats, clear the
-    tombstone table. Returns the number of docs removed."""
+    into the postings (hard deletes removed, superseded upsert copies
+    resolved, appended segments merged back to segment 0), rewrite
+    postings/term_stats/stats, clear the tombstone table. Returns the
+    number of docs removed (hard deletes only — resolving a
+    superseded copy does not remove a doc)."""
     import shutil
 
     from golr_loader_spark.plans.build_index import read_index, write_index
 
     cfg = cfg or IndexConfig()
-    tomb = load_tombstone_ids(spark, root)
-    if not len(tomb):
+    t_ids, t_db = load_tombstones(spark, root)
+    if not len(t_ids):
         return 0
+    tomb = t_ids[t_db == _DEAD_EVERYWHERE]  # hard deletes: leave the corpus
     ix = read_index(spark, root, cfg)
-    new_ix = compact_index(ix, tomb)
+    new_ix = compact_index(ix, (t_ids, t_db))
     new_ix.postings.count()  # materialize BEFORE overwriting the source
     tmp = f"{root}/.compact_tmp"
     write_index(new_ix, tmp)
@@ -312,3 +385,144 @@ def compact_root(spark: SparkSession, root: str, cfg: IndexConfig | None = None)
     _swap_tables(root, tmp, tuple(tables))
     shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
     return len(tomb)
+
+
+def upsert_docs_fast(
+    spark: SparkSession,
+    root: str,
+    documents: DataFrame,
+    cfg: IndexConfig | None = None,
+    term_partitions: int = 2,
+) -> dict:
+    """Lucene-style add/overwrite: O(batch) work, never O(index).
+
+    Where ``upsert_docs`` (the exact path) rewrites the whole block
+    table to keep statistics exact, this path does what Lucene does on
+    every update: APPEND the new docs' postings as a fresh segment
+    (new parquet files — no existing file is read or rewritten) and
+    tombstone the superseded copies with a SEGMENT-scoped liveDocs
+    entry (dead_below = the new segment number), so queries mask the
+    old copies immediately while the new ones — same doc_id, higher
+    segment — stay live.
+
+    What stays exact: result membership and n_docs accounting.
+    What goes stale until ``compact_root`` (exactly Lucene's contract
+    between update and merge): df still counts superseded copies once
+    more than live reality, and avgdl's numerator keeps their dl mass.
+    ``compact_root`` merges segments, drops dead copies, recomputes
+    stats, and restores bit-exactness with a fresh rebuild.
+
+    At 100 TB this is the difference between an update batch costing
+    O(batch) and costing a full-index rewrite; tombstone resolution is
+    deferred to scheduled compactions, amortized across many batches.
+
+    Crash contract: postings append before tombstones. A crash in the
+    window leaves BOTH copies live (transient double-count of the
+    updated docs); retrying the upsert appends again and its
+    tombstones kill every copy but the newest — self-healing, never
+    data loss. Stats writes are last and swap atomically."""
+    import shutil
+
+    from golr_loader_spark.functions.tokenize import tokenize
+    from golr_loader_spark.plans.build_index import build_postings
+
+    cfg = cfg or IndexConfig()
+    docs_path = f"{root}/docs"
+    if not os.path.isdir(docs_path):
+        raise ValueError(
+            "upsert requires the {root}/docs manifest — persist with "
+            "write_index(..., documents=flattened_docs)"
+        )
+    meta = spark.read.parquet(docs_path)
+    incoming = documents.select("doc_id").distinct()
+    marked = incoming.join(
+        meta.select("doc_id", F.lit(True).alias("_known")), "doc_id", "left"
+    ).collect()
+    incoming_ids = [int(r["doc_id"]) for r in marked]
+    existing_ids = sorted(int(r["doc_id"]) for r in marked if r["_known"])
+    n_added = len(incoming_ids) - len(existing_ids)
+
+    cur = spark.read.option("mergeSchema", "true").parquet(f"{root}/postings")
+    if "segment" in cur.columns:
+        max_seg = cur.agg(F.max("segment")).collect()[0][0] or 0
+    else:
+        max_seg = 0
+    new_seg = int(max_seg) + 1
+
+    from pyspark import StorageLevel
+
+    fresh = (
+        build_postings(tokenize(documents, cfg), cfg)
+        .withColumn("segment", F.lit(new_seg))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # per-field dl mass of the fresh segment, for the stats update —
+    # reads the persisted fresh blocks, not the corpus again
+    fresh_sums = {
+        r["field"]: int(r["s"])
+        for r in fresh.groupBy("field").agg(F.sum("tf_sum").alias("s")).collect()
+    }
+    # 1. append the segment (sorted small files: footer stats still
+    #    prune term lookups in both read paths)
+    (
+        fresh.repartitionByRange(max(1, term_partitions), "term")
+        .sortWithinPartitions("term", "field", "bucket", "block_id")
+        .write.mode("append")
+        .option("parquet.block.size", str(4 << 20))
+        .parquet(f"{root}/postings")
+    )
+    # 2. append the segment's term stats (readers SUM df/cf per
+    #    (term, field) across segments)
+    from golr_loader_spark.plans.build_index import derived_term_stats
+
+    derived_term_stats(fresh).write.mode("append").parquet(f"{root}/term_stats")
+    # 3. tombstone the superseded copies (old segments only) and
+    #    withdraw any pending tombstones on re-upserted ids (revive)
+    t_ids, t_db = load_tombstones(spark, root)
+    live_again = set(incoming_ids)
+    keep_rows = [
+        (int(i), int(db)) for i, db in zip(t_ids, t_db) if int(i) not in live_again
+    ] + [(int(i), new_seg) for i in existing_ids]
+    shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
+    if keep_rows:
+        spark.createDataFrame(
+            keep_rows, "doc_id long, dead_below long"
+        ).write.mode("append").parquet(f"{root}/tombstones")
+    # 4. stats: n_docs exact; avgdl numerator keeps the dead copies'
+    #    mass until compaction (documented staleness)
+    old_stats = {
+        r["field"]: (float(r["avgdl"]), int(r["n_docs"]))
+        for r in spark.read.parquet(f"{root}/stats").collect()
+    }
+    n_old = max((n for _a, n in old_stats.values()), default=0)
+    n_new = n_old + n_added
+    fields = set(old_stats) | set(fresh_sums)
+    stats_rows = []
+    for fld in sorted(fields):
+        avg_old, _n = old_stats.get(fld, (0.0, n_old))
+        total = avg_old * n_old + fresh_sums.get(fld, 0)
+        stats_rows.append((fld, total / n_new if n_new else 0.0, n_new))
+    tmp = f"{root}/.stats_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.createDataFrame(
+        stats_rows, "field string, avgdl double, n_docs long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stats")
+    # 5. docs manifest rewrite (metadata-sized)
+    new_meta = meta.join(incoming, "doc_id", "left_anti").unionByName(
+        documents.select(
+            "doc_id",
+            (
+                F.col("content_sha256")
+                if "content_sha256" in documents.columns
+                else F.lit(None).cast("string")
+            ).alias("content_sha256"),
+        )
+    )
+    new_meta.write.mode("overwrite").parquet(f"{tmp}/docs")
+    _swap_tables(root, tmp, ("stats", "docs"))
+    fresh.unpersist()
+    return {
+        "updated": len(existing_ids),
+        "added": n_added,
+        "segment": new_seg,
+    }

@@ -54,17 +54,29 @@ from golr_loader_spark.plans.facets import matching_doc_ids
 
 
 def decode_postings(
-    index: InvertedIndex, terms: list[str], cfg: IndexConfig | None = None
+    index: InvertedIndex,
+    terms: list[str],
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
 ) -> DataFrame:
     """Flatten the given terms' posting blocks back to row form →
     (term, field, bucket, doc_id, tf, dl). Reads only the matching
     blocks (parquet row-group pruning via the term predicate); useful
     for index introspection and for scoring an externally-filtered
-    doc set without re-tokenizing the corpus."""
+    doc set without re-tokenizing the corpus. ``exclude_ids`` (either
+    bm25._norm_excl shape) masks tombstoned/superseded postings by
+    each block's segment — a fast-upserted doc decodes from its newest
+    copy only."""
+    from golr_loader_spark.plans.bm25 import _live_of, _norm_excl
+
     cfg = cfg or index.cfg
+    excl = _norm_excl(exclude_ids)
+    sel = ["term", "field", "bucket", "doc_id_first", "doc_ids", "tfs", "dls"]
+    if "segment" in index.postings.columns:
+        sel.append("segment")
     cand = index.postings.filter(
         F.col("term").isin(list(terms)) & F.col("field").isin(list(cfg.fields))
-    ).select("term", "field", "bucket", "doc_id_first", "doc_ids", "tfs", "dls")
+    ).select(*sel)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,6 +87,14 @@ def decode_postings(
                 ids = np.cumsum(varint_decode(r.doc_ids).astype(np.int64)) + np.int64(
                     r.doc_id_first
                 )
+                tfs = varint_decode(r.tfs).astype(np.int32)
+                dls = varint_decode(r.dls).astype(np.int32)
+                if excl is not None:
+                    seg = np.int64(getattr(r, "segment", 0))
+                    keep = _live_of(ids, np.full(len(ids), seg), excl)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if not len(ids):
+                    continue
                 outs.append(
                     pd.DataFrame(
                         {
@@ -82,8 +102,8 @@ def decode_postings(
                             "field": r.field,
                             "bucket": np.int32(r.bucket),
                             "doc_id": ids,
-                            "tf": varint_decode(r.tfs).astype(np.int32),
-                            "dl": varint_decode(r.dls).astype(np.int32),
+                            "tf": tfs,
+                            "dl": dls,
                         }
                     )
                 )
@@ -156,7 +176,7 @@ def phrase_search(
     avgdl = index.avgdl_by_field
     avgdl_map = F.create_map(*[F.lit(x) for kv in avgdl.items() for x in kv])
 
-    flat = decode_postings(index, terms, cfg).join(
+    flat = decode_postings(index, terms, cfg, exclude_ids=exclude_ids).join(
         verified, on=["bucket", "doc_id"], how="left_semi"
     )
     contrib = (

@@ -111,41 +111,66 @@ class LocalSearcher:
         import glob as _glob
         import os as _os
 
+        # (ids, dead_below) pair — the scorers' per-segment liveDocs
+        # shape (bm25._norm_excl resolves duplicates to max dead_below)
         self.tombstones = None
         if _os.path.isdir(f"{root}/tombstones"):
             files = _glob.glob(f"{root}/tombstones/*.parquet")
             if files:
                 import numpy as _np
 
-                tomb = pa.concat_tables([pq.read_table(f, columns=["doc_id"]) for f in files])
-                self.tombstones = _np.unique(tomb["doc_id"].to_numpy(zero_copy_only=False))
+                ids_parts, db_parts = [], []
+                for f in files:
+                    t = pq.read_table(f)
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                    ids_parts.append(ids)
+                    if "dead_below" in t.schema.names:
+                        db_parts.append(
+                            t["dead_below"].to_numpy(zero_copy_only=False)
+                        )
+                    else:  # pre-segment tombstones: hard deletes
+                        db_parts.append(
+                            _np.full(len(ids), _np.iinfo(_np.int64).max, dtype=_np.int64)
+                        )
+                self.tombstones = (
+                    _np.concatenate(ids_parts),
+                    _np.concatenate(db_parts),
+                )
         stats = pq.read_table(f"{root}/stats").to_pylist()
         self.avgdl = {r["field"]: float(r["avgdl"]) for r in stats}
         self.n_docs = max(int(r["n_docs"]) for r in stats) if stats else 0
         # term_stats is vocabulary-sized metadata (the analog of
         # Lucene's in-memory term dictionary) — preload it into a dict
         # so each query pays ONE pruned parquet read (the postings),
-        # not two. Disable for truly huge vocabularies.
-        self._ts: dict[str, list[tuple[str, int]]] | None = None
+        # not two. Disable for truly huge vocabularies. Fast upserts
+        # append one row per SEGMENT per (term, field): df sums across
+        # them (Lucene's stale-df contract until compaction).
+        self._ts: dict[str, dict[str, int]] | None = None
         if preload_term_stats:
             tbl = self.term_stats.to_table(columns=["term", "field", "df"])
             self._ts = {}
             for t, f, d in zip(
                 tbl["term"].to_pylist(), tbl["field"].to_pylist(), tbl["df"].to_pylist()
             ):
-                self._ts.setdefault(t, []).append((f, int(d)))
+                by_field = self._ts.setdefault(t, {})
+                by_field[f] = by_field.get(f, 0) + int(d)
 
     def _term_rows(self, terms: list[str]) -> list[dict]:
         if self._ts is not None:
             return [
                 {"term": t, "field": f, "df": d}
                 for t in terms
-                for (f, d) in self._ts.get(t, ())
+                for (f, d) in self._ts.get(t, {}).items()
             ]
-        return self.term_stats.to_table(
+        rows = self.term_stats.to_table(
             filter=pc.field("term").isin(terms),
             columns=["term", "field", "df"],
         ).to_pylist()
+        agg: dict[tuple[str, str], int] = {}
+        for r in rows:
+            key = (r["term"], r["field"])
+            agg[key] = agg.get(key, 0) + int(r["df"])
+        return [{"term": t, "field": f, "df": d} for (t, f), d in agg.items()]
 
     def search(
         self, query: str, k: int = 10, mode: str = "or"
