@@ -261,6 +261,38 @@ def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query on the REAL engine index (Lucene BooleanQuery):
+    MUST data (gates and scores), SHOULD spark (scores when present),
+    MUST_NOT agg (disqualifies, decided inside the doc's own bucket —
+    no extra shuffle). SQL_Q41 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import search_boolean
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        search_boolean(
+            ix, must=["data"], should=["spark"], must_not=["agg"], k=200, cfg=cfg
+        )
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -274,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_prefix"] = _engine_prefix
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
+    out["engine_bool"] = _engine_bool
     return out
 
 
@@ -287,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q38,
         SQL_Q39,
         SQL_Q40,
+        SQL_Q41,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -299,4 +333,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_prefix"] = SQL_Q38
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
+    out["engine_bool"] = SQL_Q41
     return out

@@ -1282,6 +1282,44 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# Oracle for the engine's boolean query (bm25.search_boolean —
+# engine_bool in __spark_entry__.py): Lucene BooleanQuery with
+# MUST data, SHOULD spark, MUST_NOT agg — required terms gate AND
+# score, should terms score when present, prohibited terms
+# disqualify.
+SQL_Q41 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('data','spark')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+must_docs AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data'),
+neg_docs AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'agg'),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)
+  WHERE qt.doc_id IN (SELECT doc_id FROM must_docs)
+    AND qt.doc_id NOT IN (SELECT doc_id FROM neg_docs)),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #

@@ -225,11 +225,21 @@ def _score_bucket_factory(
     cfg: IndexConfig,
     k: int,
     required_terms: set[str] | None = None,
-    exclude_ids: "np.ndarray | None" = None,
+    exclude_ids=None,
+    prohibited_terms: set[str] | None = None,
 ):
     """Per-bucket single-query scorer (the batch path uses
     _score_bucket_multi_factory). pdf columns: term, field,
     block_id, n, doc_id_first, doc_ids, tfs, dls, max_tf, min_dl.
+
+    ``prohibited_terms`` (Lucene MUST_NOT): docs containing any
+    prohibited term in any configured field are dropped before the
+    top-k. Prohibited lists are decoded for MEMBERSHIP only — never
+    scored — and, because a doc's postings all live in its own
+    doc-range bucket, the membership test is complete within the
+    group. Block-max pruning is disabled in this mode (a pruned
+    scoring block below θ could hide a legit doc whose rank rises
+    once prohibited docs are removed).
     Block upper bound: ub = wt·max_tf/(max_tf + k1(1−b+b·min_dl/avgdl))
     ≥ wt·w(tf, dl) for every posting in the block (w is monotone ↑tf,
     ↓dl), so pruning on it stays admissible; the bound is closed here
@@ -283,8 +293,15 @@ def _score_bucket_factory(
             )
 
         required = required_terms
+        neg_sets: list[np.ndarray] = []
         lists = []  # [(field, term, rows, wt, avgdl, ubs, max_ub)]
         for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
+            if prohibited_terms and term in prohibited_terms:
+                if field in cfg.fields:
+                    ids, _tf, _dl = decode_list(_sort_blocks(rows))
+                    if len(ids):
+                        neg_sets.append(ids)
+                continue
             wt = weights.get((term, field))
             if wt is None:
                 continue
@@ -305,13 +322,14 @@ def _score_bucket_factory(
         sum_max_ub = max_ub.sum()
 
         # θ from the strongest list's exact partial scores (lower
-        # bounds). Conjunctive mode: no pruning — a dropped block would
-        # erase term membership, not just score mass.
+        # bounds). Conjunctive / MUST_NOT modes: no pruning — a
+        # dropped block would erase term membership / hide a doc whose
+        # rank rises after prohibited docs are removed.
         theta = -np.inf
         si = int(np.argmax(max_ub))
         s_field, s_term, s_rows, s_wt, s_avg, _ = lists[si]
         s_ids, s_tf, s_dl = decode_list(s_rows)
-        if len(s_ids) >= k and not required:
+        if len(s_ids) >= k and not required and not neg_sets and not prohibited_terms:
             partial = s_wt * s_tf / (s_tf + k1 * ((1.0 - b) + b * s_dl / s_avg))
             theta = np.partition(partial, len(partial) - k)[len(partial) - k]
 
@@ -356,6 +374,12 @@ def _score_bucket_factory(
                 )
                 n_match[np.searchsorted(uniq, t_ids)] += 1
             ok = n_match == len(required)
+            uniq, scores = uniq[ok], scores[ok]
+        if neg_sets:
+            # Lucene MUST_NOT: membership in any prohibited term's
+            # postings (any field) disqualifies
+            neg = np.unique(np.concatenate(neg_sets))
+            ok = ~np.isin(uniq, neg, assume_unique=True)
             uniq, scores = uniq[ok], scores[ok]
         # top-k by (score desc, doc_id asc)
         order = np.lexsort((uniq, -scores))[:k]
@@ -548,6 +572,62 @@ def search(
     fn = _score_bucket_factory(
         weights, avgdl, cfg, k, required_terms=required,
         exclude_ids=exclude_ids,
+    )
+    per_bucket = cand.groupBy("bucket").applyInPandas(
+        fn, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_boolean(
+    index: InvertedIndex,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Lucene BooleanQuery: MUST clauses are required AND score,
+    SHOULD clauses score when present, MUST_NOT clauses disqualify.
+    Clause strings are analyzed with the index's query analyzer.
+    Scoring = BM25 sum over the doc's matching (must ∪ should) terms,
+    the module's float discipline; tie-break (score desc, doc_id asc).
+
+    MUST_NOT is evaluated inside the bucket scorer: a doc's postings
+    all live in its own doc-range bucket, so prohibited-term
+    membership is decided locally — no extra shuffle, no driver-side
+    negative set."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    qan = query_analyzer(cfg)
+    m_terms = sorted({t for s in (must or []) for t in analyze_query(s, qan)})
+    s_terms = sorted({t for s in (should or []) for t in analyze_query(s, qan)})
+    n_terms = sorted({t for s in (must_not or []) for t in analyze_query(s, qan)})
+    scoring = sorted(set(m_terms) | set(s_terms))
+    if not scoring:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf = _idf_table(index, scoring)
+    weights = {
+        (t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0)
+        for (t, f), i in idf.items()
+        if f in cfg.fields
+    }
+    required = set(m_terms) if m_terms else None
+    if required and not required <= {t for (t, _f) in weights}:
+        return spark.createDataFrame([], "doc_id long, score double")
+    avgdl = _avgdl(index)
+    cand = index.postings.filter(
+        F.col("term").isin(scoring + n_terms) & F.col("field").isin(list(cfg.fields))
+    )
+    fn = _score_bucket_factory(
+        weights,
+        avgdl,
+        cfg,
+        k,
+        required_terms=required,
+        exclude_ids=exclude_ids,
+        prohibited_terms=set(n_terms) or None,
     )
     per_bucket = cand.groupBy("bucket").applyInPandas(
         fn, schema="doc_id long, score double"

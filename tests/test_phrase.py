@@ -198,6 +198,46 @@ def test_more_like_this_selection_and_exclusion(spark, docs, ix, cfg):
     assert more_like_this(ix, docs, 999, k=10, cfg=cfg).count() == 0
 
 
+def test_boolean_query_semantics(spark, docs, ix, cfg):
+    """search_boolean: MUST gates+scores, SHOULD scores, MUST_NOT
+    disqualifies; scores equal the exact fold over the doc's matching
+    scoring terms."""
+    from golr_loader_spark.functions.tokenize import tokenize
+    from golr_loader_spark.plans.bm25 import score_exact, search_boolean
+
+    # corpus recap: 0 "data query spark engine", 1 "query data spark",
+    # 2 "data query data query runs", 3 "big data  query gap",
+    # 4 "unrelated words entirely", 5 "the data query", 6 "a a a"
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_boolean(
+            ix, must=["data"], should=["query"], must_not=["spark"], k=10, cfg=cfg
+        ).collect()
+    }
+    # docs with data but NOT spark: 2, 3, 5
+    assert set(got) == {2, 3, 5}
+    toks = tokenize(docs, cfg)
+    exact = {
+        r["doc_id"]: r["score"]
+        for r in score_exact(
+            toks, None, ix.n_docs, ix.avgdl_by_field, ["data", "query"], cfg, k=10
+        ).collect()
+        if r["doc_id"] in got
+    }
+    assert got == exact  # bit-identical
+    # MUST with no postings → empty; empty scoring clauses → empty
+    assert search_boolean(ix, must=["xyzzyq"], should=["data"], k=5, cfg=cfg).count() == 0
+    assert search_boolean(ix, must_not=["data"], k=5, cfg=cfg).count() == 0
+    # pure SHOULD + MUST_NOT
+    only_not = {
+        r["doc_id"]
+        for r in search_boolean(
+            ix, should=["query"], must_not=["runs", "the"], k=10, cfg=cfg
+        ).collect()
+    }
+    assert only_not == {0, 1, 3}
+
+
 def test_decode_postings_roundtrip(spark, docs, ix, cfg):
     """decode_postings inverts the block encoder for the chosen terms:
     (doc_id, tf, dl) rows equal the tokenizer's output."""
