@@ -293,6 +293,50 @@ def _engine_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_rfacet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range facets on the REAL engine index (Solr facet.range):
+    width-50 histogram of n_chars over all docs matching any query
+    term. SQL_Q42 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import range_facet_counts
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    vals = d.select("doc_id", F.col("n_chars").alias("value"))
+    return range_facet_counts(ix, vals, "data query spark", width=50.0, cfg=cfg)
+
+
+def _engine_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing on the REAL engine index (Solr group.field):
+    BM25 over the query terms, top-2 docs per lang, top-5 langs by
+    their best doc; ranks computed on scores ROUNDED to 4 (the
+    cross-engine float discipline). SQL_Q43 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import build_facets, grouped_topk
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    fx = build_facets(d, ["lang"], cfg)
+    return grouped_topk(
+        ix, fx, "lang", "data query spark", cfg=cfg,
+        docs_per_group=2, k_groups=5, round_scores=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -307,6 +351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
+    out["engine_rfacet"] = _engine_rfacet
+    out["engine_collapse"] = _engine_collapse
     return out
 
 
@@ -321,6 +367,8 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q39,
         SQL_Q40,
         SQL_Q41,
+        SQL_Q42,
+        SQL_Q43,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -334,4 +382,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41
+    out["engine_rfacet"] = SQL_Q42
+    out["engine_collapse"] = SQL_Q43
     return out

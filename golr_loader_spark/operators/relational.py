@@ -1320,6 +1320,65 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# Oracle for the engine's range facets (facets.range_facet_counts —
+# engine_rfacet in __spark_entry__.py): Solr facet.range — histogram
+# of n_chars in width-50 bins over ALL docs matching any query term.
+SQL_Q42 = """
+WITH matched AS (
+  SELECT DISTINCT doc_id
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term IN ('data','query','spark'))
+SELECT CAST(floor(n_chars / 50.0) * 50.0 AS DOUBLE) AS lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents JOIN matched USING (doc_id)
+GROUP BY lo ORDER BY lo
+"""
+
+
+# Oracle for the engine's field collapsing (facets.grouped_topk —
+# engine_collapse in __spark_entry__.py): Solr group.field — BM25
+# over the query terms, top-2 docs per lang, top-5 langs ordered by
+# their best doc; scores rounded to 4 BEFORE every ranking (the
+# module's cross-engine float discipline).
+SQL_Q43 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('data','query','spark')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+fv AS (
+  SELECT s.doc_id, s.score, d.lang AS value
+  FROM scored s JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT value, doc_id, score,
+         row_number() OVER (PARTITION BY value ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fv),
+kept AS (SELECT * FROM ranked WHERE rank <= 2),
+heads AS (
+  SELECT value,
+         row_number() OVER (ORDER BY score DESC, value ASC) AS group_rank
+  FROM kept WHERE rank = 1)
+SELECT h.group_rank, k.value, k.rank, k.doc_id, k.score
+FROM kept k JOIN heads h USING (value)
+WHERE h.group_rank <= 5
+"""
+
+
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #

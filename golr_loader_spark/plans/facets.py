@@ -212,3 +212,126 @@ def facet_counts(
         .filter(F.col("rank") <= top)
         .select("facet", "value", "n", "rank")
     )
+
+
+def range_facet_counts(
+    index: InvertedIndex,
+    values: DataFrame,
+    query: str,
+    width: float,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    min_count: int = 1,
+    exclude_ids=None,
+) -> DataFrame:
+    """Solr range facets (facet.range): histogram of a numeric doc
+    value over ALL docs matching ``query`` → (lo, n) ordered by lo,
+    where lo = floor(value / width) * width is the bucket's inclusive
+    lower bound. ``values``: (doc_id, value). Same plan shape as
+    field facets — decode-only matching, (bucket, doc_id) equi-join,
+    map-side-combinable count over the (tiny) distinct-bin set."""
+    cfg = cfg or index.cfg
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    v = values.select(
+        F.col("doc_id"),
+        (F.floor(F.col("value") / F.lit(width)) * F.lit(width)).alias("lo"),
+    ).withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    return (
+        m.join(v, on=["bucket", "doc_id"])
+        .groupBy("lo")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy("lo")
+    )
+
+
+def grouped_topk(
+    index: InvertedIndex,
+    facets: DataFrame,
+    facet: str,
+    query: str,
+    cfg: IndexConfig | None = None,
+    docs_per_group: int = 2,
+    k_groups: int = 10,
+    mode: str = "or",
+    exclude_ids=None,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Solr field collapsing (group.field): BM25-score every matching
+    doc, keep the top ``docs_per_group`` per facet value, return the
+    top ``k_groups`` groups ordered by their best doc → (group_rank,
+    value, rank, doc_id, score). ``round_scores``: rank by the
+    ROUNDED score (the module's cross-engine float discipline — set
+    it when comparing against an external oracle).
+
+    Plan: the bucket scorer runs UNtruncated (the scored set is
+    bounded by the query terms' postings, not the corpus), a window
+    per facet value takes the in-group top-N (partitioned by value —
+    group cardinality ≫ 1, no single-partition funnel), and the group
+    ordering is a TakeOrderedAndProject over the ≤|values| group
+    heads with the ≤ k_groups winners broadcast back."""
+    import sys
+
+    from golr_loader_spark.plans.bm25 import (
+        _avgdl,
+        _idf_table,
+        _score_bucket_factory,
+    )
+    from golr_loader_spark.functions.tokenize import analyze_query
+    from golr_loader_spark.plans.bm25 import query_analyzer
+
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    terms = analyze_query(query, query_analyzer(cfg))
+    out_schema = "group_rank int, value string, rank int, doc_id long, score double"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    idf = _idf_table(index, terms)
+    weights = {
+        (t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0)
+        for (t, f), i in idf.items()
+        if f in cfg.fields
+    }
+    required = set(terms) if mode == "and" else None
+    if required and not required <= {t for (t, _f) in weights}:
+        return spark.createDataFrame([], out_schema)
+    cand = index.postings.filter(
+        F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
+    )
+    fn = _score_bucket_factory(
+        weights, _avgdl(index), cfg, sys.maxsize,
+        required_terms=required, exclude_ids=exclude_ids,
+    )
+    scored = (
+        cand.groupBy("bucket")
+        .applyInPandas(fn, schema="doc_id long, score double")
+        .withColumn(
+            "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+        )
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round("score", round_scores))
+    j = scored.join(
+        facets.filter(F.col("facet") == facet), on=["bucket", "doc_id"]
+    ).select("value", "doc_id", "score")
+    w_in = Window.partitionBy("value").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = j.withColumn("rank", F.row_number().over(w_in)).filter(
+        F.col("rank") <= docs_per_group
+    )
+    heads = (
+        ranked.filter(F.col("rank") == 1)
+        .orderBy(F.desc("score"), F.asc("value"))
+        .limit(k_groups)
+        .collect()
+    )
+    if not heads:
+        return spark.createDataFrame([], out_schema)
+    head_rows = [(i + 1, r["value"]) for i, r in enumerate(heads)]
+    heads_df = spark.createDataFrame(head_rows, "group_rank int, value string")
+    return (
+        ranked.join(F.broadcast(heads_df), on="value")
+        .select("group_rank", "value", "rank", "doc_id", "score")
+        .orderBy("group_rank", "rank")
+    )

@@ -141,6 +141,56 @@ def test_local_searcher_facets_match_distributed(spark, docs, ix, cfg, tmp_path)
         assert np.array_equal(ls.matching_ids("spark scan", mode=mode), dist)
 
 
+def test_range_facets(spark, docs, ix, cfg):
+    from pyspark.sql import functions as F
+
+    from golr_loader_spark.plans.facets import range_facet_counts
+
+    vals = docs.select("doc_id", F.length("text").alias("value"))
+    got = {
+        (r["lo"], r["n"])
+        for r in range_facet_counts(ix, vals, "spark scan", width=5.0, cfg=cfg).collect()
+    }
+    matched = _brute_matching("or", {"spark", "scan"})
+    brute: dict[float, int] = {}
+    for doc_id, text, _l, _t in ROWS:
+        if doc_id in matched:
+            lo = (len(text) // 5) * 5.0
+            brute[lo] = brute.get(lo, 0) + 1
+    assert got == set(brute.items())
+
+
+def test_grouped_topk_collapse(spark, docs, ix, cfg):
+    """Field collapsing: in-group ranks are per-value BM25 order,
+    groups ordered by their best doc, caps respected."""
+    from golr_loader_spark.plans.bm25 import search
+    from golr_loader_spark.plans.facets import grouped_topk
+
+    fx = build_facets(docs, ["lang"], cfg)
+    rows = grouped_topk(
+        ix, fx, "lang", "spark scan", cfg=cfg, docs_per_group=2, k_groups=2
+    ).collect()
+    # global BM25 order for reference
+    full = [
+        (r["doc_id"], r["score"])
+        for r in search(ix, "spark scan", k=10, cfg=cfg).collect()
+    ]
+    by_lang = {doc_id: lang for doc_id, _t, lang, _tags in ROWS}
+    # brute: group docs by lang, rank inside by global score order
+    order = {d: i for i, (d, _s) in enumerate(full)}
+    want_groups: dict[str, list[int]] = {}
+    for d, _s in full:
+        want_groups.setdefault(by_lang[d], []).append(d)
+    heads = sorted(want_groups, key=lambda v: (order[want_groups[v][0]], v))[:2]
+    got_groups: dict[str, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["group_rank"], r["rank"])):
+        got_groups.setdefault(r["value"], []).append(r["doc_id"])
+    assert list(got_groups) == heads
+    for v in heads:
+        assert got_groups[v] == want_groups[v][:2], v
+    assert all(r["rank"] <= 2 for r in rows)
+
+
 def test_tombstones_drop_from_counts(spark, docs, ix, cfg):
     import numpy as np
 
