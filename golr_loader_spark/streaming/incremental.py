@@ -65,7 +65,12 @@ def incremental_index_stream(
 
         docs = flatten_documents(batch_df)
         toks = tokenize(docs, cfg)
-        postings = build_postings(toks, cfg)
+        # each micro-batch IS a segment (epoch id): lists spanning
+        # commits then have a total (segment, block_id) order, so the
+        # scorer's float accumulation is deterministic across epochs
+        postings = build_postings(toks, cfg).withColumn(
+            "segment", F.lit(int(epoch_id))
+        )
         (
             postings.write.mode("overwrite").parquet(
                 f"{index_root}/postings/epoch={epoch_id}"
