@@ -172,6 +172,60 @@ class LocalSearcher:
             agg[key] = agg.get(key, 0) + int(r["df"])
         return [{"term": t, "field": f, "df": d} for (t, f), d in agg.items()]
 
+    def _read_blocks(self, terms: list[str]) -> pd.DataFrame:
+        raw = self._rgix.read(terms)
+        if raw is not None:
+            mask = pc.and_(
+                pc.is_in(raw["term"], value_set=pa.array(terms)),
+                pc.is_in(raw["field"], value_set=pa.array(list(self.cfg.fields))),
+            )
+            return raw.filter(mask).to_pandas()
+        # missing footer stats → per-query dataset scan fallback
+        return self.postings.to_table(
+            filter=pc.field("term").isin(terms)
+            & pc.field("field").isin(list(self.cfg.fields)),
+        ).to_pandas()
+
+    def _weights_of(self, ts: list[dict]) -> dict[tuple[str, str], float]:
+        return {
+            (r["term"], r["field"]): (
+                self.cfg.fields[r["field"]][1] * bm25_idf(self.n_docs, int(r["df"]))
+            )
+            * (self.cfg.k1 + 1.0)
+            for r in ts
+            if r["field"] in self.cfg.fields
+        }
+
+    def _score(
+        self,
+        weights: dict[tuple[str, str], float],
+        read_terms: list[str],
+        k: int,
+        required: set[str] | None = None,
+        prohibited: set[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Shared scoring core: read blocks for ``read_terms``
+        (scoring ∪ prohibited), run the SAME bucket scorer as the
+        distributed path per bucket group, merge top-k."""
+        blocks = self._read_blocks(read_terms)
+        if not len(blocks):
+            return []
+        score_group = _score_bucket_factory(
+            weights, self.avgdl, self.cfg, k,
+            required_terms=required, exclude_ids=self.tombstones,
+            prohibited_terms=prohibited,
+        )
+        parts = [
+            score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
+        ]
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["score", "doc_id"], ascending=[False, True], ignore_index=True
+        ).head(k)
+        return [
+            (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
+        ]
+
     def search(
         self, query: str, k: int = 10, mode: str = "or"
     ) -> list[tuple[int, float]]:
@@ -185,50 +239,114 @@ class LocalSearcher:
         ts = self._term_rows(terms)
         if not ts:
             return []
-        weights = {
-            (r["term"], r["field"]): (
-                self.cfg.fields[r["field"]][1] * bm25_idf(self.n_docs, int(r["df"]))
-            )
-            * (self.cfg.k1 + 1.0)
-            for r in ts
-            if r["field"] in self.cfg.fields
-        }
+        weights = self._weights_of(ts)
         required = set(terms) if mode == "and" else None
         if required and not required <= {t for (t, _f) in weights}:
             return []  # strict MUST: an absent term empties the result
-        raw = self._rgix.read(terms)
-        if raw is not None:
-            mask = pc.and_(
-                pc.is_in(raw["term"], value_set=pa.array(terms)),
-                pc.is_in(raw["field"], value_set=pa.array(list(self.cfg.fields))),
-            )
-            blocks = raw.filter(mask).to_pandas()
-        else:  # missing footer stats → per-query dataset scan fallback
-            blocks = self.postings.to_table(
-                filter=pc.field("term").isin(terms)
-                & pc.field("field").isin(list(self.cfg.fields)),
-            ).to_pandas()
-        if not len(blocks):
-            return []
-        score_group = _score_bucket_factory(
-            weights, self.avgdl, self.cfg, k,
-            required_terms=required, exclude_ids=self.tombstones,
-        )
-        parts = [
-            score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
-        ]
-        allp = pd.concat(parts, ignore_index=True)
-        allp = allp.sort_values(
-            ["score", "doc_id"], ascending=[False, True], ignore_index=True
-        ).head(k)
-        return [
-            (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
-        ]
+        return self._score(weights, terms, k, required=required)
 
     def search_many(
         self, queries: dict[int, str], k: int = 10, mode: str = "or"
     ) -> dict[int, list[tuple[int, float]]]:
         return {qid: self.search(q, k, mode=mode) for qid, q in queries.items()}
+
+    def search_boolean(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Serving-path Lucene BooleanQuery — same semantics as the
+        distributed ``bm25.search_boolean`` (MUST gates+scores,
+        SHOULD scores, MUST_NOT disqualifies)."""
+        qan = query_analyzer(self.cfg)
+        m = sorted({t for s in (must or []) for t in analyze_query(s, qan)})
+        sh = sorted({t for s in (should or []) for t in analyze_query(s, qan)})
+        n = sorted({t for s in (must_not or []) for t in analyze_query(s, qan)})
+        scoring = sorted(set(m) | set(sh))
+        if not scoring:
+            return []
+        weights = self._weights_of(self._term_rows(scoring))
+        required = set(m) if m else None
+        if required and not required <= {t for (t, _f) in weights}:
+            return []
+        return self._score(
+            weights, scoring + n, k, required=required,
+            prohibited=set(n) or None,
+        )
+
+    def _vocab_terms(self) -> list[str]:
+        if self._ts is not None:
+            return list(self._ts)
+        tbl = self.term_stats.to_table(columns=["term"])
+        return list(dict.fromkeys(tbl["term"].to_pylist()))
+
+    def search_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int = 1024
+    ) -> list[tuple[int, float]]:
+        """Serving-path PrefixQuery: expand against the in-memory term
+        dictionary (Lucene TermsEnum.seekCeil), then score the
+        disjunction — same SCORING_BOOLEAN semantics as
+        ``bm25.search_prefix``."""
+        p = prefix.strip().lower()
+        if not p:
+            return []
+        terms = sorted(t for t in self._vocab_terms() if t.startswith(p))
+        if not terms:
+            return []
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"prefix '{p}' expands to >{max_expansions} terms"
+            )
+        weights = self._weights_of(self._term_rows(terms))
+        return self._score(weights, terms, k)
+
+    def search_fuzzy(
+        self,
+        query_term: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        k: int = 10,
+        max_expansions: int = 64,
+    ) -> list[tuple[int, float]]:
+        """Serving-path FuzzyQuery: Levenshtein walk over the term
+        dictionary (bounded early-exit DP — the automata-free analog
+        of Lucene's LevenshteinAutomata), then the scored
+        disjunction."""
+        q = query_term.strip().lower()
+        if not q:
+            return []
+
+        def lev_le(a: str, b: str, m: int) -> bool:
+            if abs(len(a) - len(b)) > m:
+                return False
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                if min(cur) > m:
+                    return False
+                prev = cur
+            return prev[-1] <= m
+
+        pref = q[:prefix_length]
+        terms = sorted(
+            t
+            for t in self._vocab_terms()
+            if t.startswith(pref) and lev_le(q, t, max_edits)
+        )
+        if not terms:
+            return []
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"fuzzy '{q}'~{max_edits} expands to {len(terms)} terms"
+            )
+        weights = self._weights_of(self._term_rows(terms))
+        return self._score(weights, terms, k)
 
     # ------------------------------------------------------------ facets
 

@@ -59,6 +59,40 @@ def test_search_fetch_with_highlight(spark, root, cfg):
     assert by_id[0]["text"] == ROWS[0][1]
 
 
+def test_serve_query_types_match_distributed(spark, root, cfg):
+    """LocalSearcher's boolean/prefix/fuzzy serve the SAME results as
+    the distributed twins over the same persisted root."""
+    from golr_loader_spark.plans.bm25 import (
+        search_boolean,
+        search_fuzzy,
+        search_prefix,
+    )
+    from golr_loader_spark.plans.build_index import read_index
+
+    ix = read_index(spark, root, cfg)
+    ls = LocalSearcher(root, cfg)
+
+    def dist(df):
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+    assert ls.search_boolean(
+        must=["query"], should=["spark"], must_not=["catalyst"], k=5
+    ) == dist(
+        search_boolean(
+            ix, must=["query"], should=["spark"], must_not=["catalyst"], k=5, cfg=cfg
+        )
+    )
+    assert ls.search_prefix("sp", k=5) == dist(search_prefix(ix, "sp", k=5, cfg=cfg))
+    assert ls.search_fuzzy("quary", max_edits=1, k=5) == dist(
+        search_fuzzy(ix, "quary", max_edits=1, k=5, cfg=cfg)
+    )
+    # guards behave like the distributed side
+    assert ls.search_prefix("zzz", k=5) == []
+    assert ls.search_boolean(must=["zzzmissing"], should=["spark"], k=5) == []
+    with pytest.raises(ValueError):
+        ls.search_fuzzy("spark", max_edits=3, max_expansions=0)
+
+
 def test_highlight_fragment_selection():
     # densest window wins: the matches cluster at the end
     text = "aaa bbb ccc ddd " * 6 + "spark query spark"
