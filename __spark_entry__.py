@@ -167,6 +167,41 @@ def _engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_phrase_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query via POSITIONAL postings (IndexConfig(positions=
+    True)): Lucene-style position-chain matching inside the bucket
+    scorer — the corpus text is never read at query time, unlike
+    _engine_phrase's match+verify. scoring='terms' makes it
+    float-for-float the substring path, so SQL_Q37 is its exact twin
+    too; same round-to-4-then-rank discipline."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+        positions=True,
+    )
+    ix = build_index(d, cfg)
+    top = (
+        phrase_search_positional(
+            ix, "data query", k=1000, cfg=cfg, scoring="terms"
+        )
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def _engine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix query on the REAL engine index (Lucene PrefixQuery,
     SCORING_BOOLEAN rewrite): driver-side term-dictionary expansion,
@@ -347,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_bm25_and"] = _engine_bm25_and
     out["engine_facets"] = _engine_facets
     out["engine_phrase"] = _engine_phrase
+    out["engine_phrase_pos"] = _engine_phrase_pos
     out["engine_prefix"] = _engine_prefix
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
@@ -378,6 +414,9 @@ def oracle_sql() -> dict[str, str]:
     out["engine_bm25_and"] = SQL_Q31
     out["engine_facets"] = SQL_Q36
     out["engine_phrase"] = SQL_Q37
+    # the positional path with scoring='terms' is float-for-float the
+    # substring path on the simple analyzer — same oracle
+    out["engine_phrase_pos"] = SQL_Q37
     out["engine_prefix"] = SQL_Q38
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40

@@ -52,6 +52,14 @@ class IndexConfig:
     # ceil(log2 N) when documents carry dense ids (assign_dense_ids),
     # so range-bucketing splits the dense space evenly.
     id_space_bits: int = 64
+    # Index token positions (Lucene IndexOptions.DOCS_AND_FREQS_AND_
+    # POSITIONS analog). Each posting gains a varint-delta-encoded
+    # position list (count = tf), enabling positional phrase / sloppy
+    # phrase on ANY analyzer (the non-positional phrase path only
+    # supports the `simple` analyzer via substring verification).
+    # Costs ~1 varint per token occurrence of index size; off by
+    # default, like choosing DOCS_AND_FREQS in Lucene.
+    positions: bool = False
 
     @property
     def n_buckets(self) -> int:
@@ -69,12 +77,14 @@ class IndexConfig:
             "bucket_bits": self.bucket_bits,
             "min_term_len": self.min_term_len,
             "id_space_bits": self.id_space_bits,
+            "positions": self.positions,
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "IndexConfig":
         kwargs = {k: d[k] for k in (
-            "k1", "b", "block_size", "bucket_bits", "min_term_len", "id_space_bits"
+            "k1", "b", "block_size", "bucket_bits", "min_term_len",
+            "id_space_bits", "positions",
         ) if k in d}
         if "fields" in d:
             kwargs["fields"] = {

@@ -98,3 +98,22 @@ def decode_block(doc_id_first: int, doc_ids_buf: bytes, tfs_buf: bytes) -> tuple
     deltas = varint_decode(doc_ids_buf).astype(np.int64)
     ids = np.cumsum(deltas) + np.int64(doc_id_first)
     return ids, varint_decode(tfs_buf).astype(np.int64)
+
+
+def positions_encode(
+    flat_pos: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented position encode: ``flat_pos`` holds per-posting
+    ascending position lists back to back (segment i has
+    ``counts[i]`` values). Each segment is stored as first-absolute +
+    ascending deltas, LEB128. Returns (uint8 stream, per-segment byte
+    sizes) — one vectorized pass, shared by the tokenizer and the
+    compaction re-encoder."""
+    if len(flat_pos) == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(len(counts), dtype=np.int64)
+    starts = (np.cumsum(counts) - counts).astype(np.int64)
+    d = np.empty(len(flat_pos), dtype=np.uint64)
+    d[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
+    d[starts] = flat_pos[starts].astype(np.uint64)
+    stream, nb = varint_encode_with_sizes(d)
+    return stream, np.add.reduceat(nb, starts)

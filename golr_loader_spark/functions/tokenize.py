@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame
 from golr_loader_spark.config import IndexConfig
 
 TOKENS_SCHEMA = "doc_id long, field string, term string, tf int, dl int"
+# positional variant (IndexConfig.positions): per (doc, term) row a
+# varint-delta-encoded sorted position list, count = tf
+TOKENS_SCHEMA_POS = TOKENS_SCHEMA + ", positions binary"
 
 # raw lexical tokens: identifiers (incl. _) or integer literals
 _RAW_TOKEN = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
@@ -34,17 +37,52 @@ _RAW_TOKEN = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
 _SUBWORD = r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+"
 
 
-def _code_tokens(texts: pd.Series) -> pd.DataFrame:
+def _encode_pos_lists(cpos: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """Group-sorted token positions → per-group varint blobs (first
+    value absolute, then ascending deltas). One vectorized encode over
+    the whole batch; the final slice-up is O(output rows)."""
+    from golr_loader_spark.functions.codec import positions_encode
+
+    if len(cpos) == 0:
+        return []
+    counts = np.diff(np.append(group_starts, len(cpos)))
+    stream, seg = positions_encode(cpos, counts)
+    offs = np.concatenate([[0], np.cumsum(seg)])
+    blob = stream.tobytes()
+    return [blob[offs[i]: offs[i + 1]] for i in range(len(seg))]
+
+
+def _empty_tokens(positional: bool) -> pd.DataFrame:
+    cols = {"pos": [], "term": [], "tf": [], "dl": []}
+    if positional:
+        cols["positions"] = []
+    return pd.DataFrame(cols)
+
+
+def _code_tokens(texts: pd.Series, positional: bool = False) -> pd.DataFrame:
     """Vectorized: Series[str] indexed by doc position → DataFrame
     (doc index, term) with one row per token occurrence.
 
     The subword split runs only on the batch's UNIQUE raw tokens
     (factorize), then expands back by occurrence with numpy repeats —
     a corpus has millions of occurrences but only thousands of
-    distinct identifiers, so this removes ~99% of the regex work."""
+    distinct identifiers, so this removes ~99% of the regex work.
+
+    ``positional``: also emit per-(doc, term) sorted position lists
+    (varint-delta blobs). Token positions follow Lucene's
+    WordDelimiterGraph-with-preserveOriginal convention: each SUBWORD
+    advances the position counter by one, and the compound identifier
+    overlays the position of its first subword — so the phrase
+    "user data" matches ``user_data`` (consecutive subword positions)
+    and the phrase ``user_data parse`` matches too (compound at the
+    first subword's position, gap to the next raw token = its subword
+    width). Positions are unique per (doc, term): subwords of one raw
+    token occupy distinct slots, raw tokens occupy disjoint ranges,
+    and the compound term string can never equal its own first
+    subword (it contains a case or underscore boundary)."""
     raw = texts.str.findall(_RAW_TOKEN).explode().dropna()
     if raw.empty:
-        return pd.DataFrame({"pos": [], "term": [], "tf": [], "dl": []})
+        return _empty_tokens(positional)
     positions = raw.index.to_numpy(np.int64)
     codes, uniques = pd.factorize(raw.to_numpy(), sort=False)
 
@@ -86,11 +124,29 @@ def _code_tokens(texts: pd.Series) -> pd.DataFrame:
     # tf/dl aggregation on integer keys (pos, tkey) — no string groupby
     L = len(term_vocab)
     combined = out_pos * L + tkey
-    uniq_keys, tf = np.unique(combined, return_counts=True)
+    if not positional:
+        uniq_keys, tf = np.unique(combined, return_counts=True)
+        gstart = cpos = None
+    else:
+        # token position per emitted instance: subwords advance the
+        # counter by 1, the compound overlays its first subword's slot
+        occ_nsubs = nsubs[codes]
+        w_start = np.cumsum(occ_nsubs) - occ_nsubs
+        dchange = np.flatnonzero(np.diff(positions, prepend=positions[0] - 1) != 0)
+        drun = np.diff(np.append(dchange, len(positions)))
+        occ_start = w_start - np.repeat(w_start[dchange], drun)
+        flat_nsubs = np.repeat(occ_nsubs, counts)
+        flat_start = np.repeat(occ_start, counts)
+        tokpos = flat_start + np.where(within < flat_nsubs, within, 0)
+        order = np.lexsort((tokpos, combined))
+        combined, cpos = combined[order], tokpos[order]
+        uniq_keys, gstart, tf = np.unique(
+            combined, return_index=True, return_counts=True
+        )
     agg_pos = uniq_keys // L
     agg_term = term_vocab[uniq_keys % L]
     dl = np.bincount(out_pos, minlength=int(positions.max()) + 1 if len(positions) else 0)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "pos": agg_pos,
             "term": agg_term,
@@ -98,18 +154,46 @@ def _code_tokens(texts: pd.Series) -> pd.DataFrame:
             "dl": dl[agg_pos].astype(np.int32),
         }
     )
+    if positional:
+        out["positions"] = _encode_pos_lists(cpos, gstart)
+    return out
 
 
-def _simple_tokens(texts: pd.Series) -> pd.DataFrame:
+def _simple_tokens(texts: pd.Series, positional: bool = False) -> pd.DataFrame:
     # literal single-space split (keeps empty tokens), exactly
     # string_split(lower(text), ' ') — the analyzer must be
     # bit-identical to its ANSI-SQL twin, not merely close
     t = texts.str.lower().str.split(" ").explode().dropna()
-    tok = pd.DataFrame({"pos": t.index, "term": t.values})
-    tf = tok.groupby(["pos", "term"], sort=False).size().reset_index(name="tf")
-    tf["dl"] = tf.groupby("pos", sort=False)["tf"].transform("sum").to_numpy(np.int32)
-    tf["tf"] = tf["tf"].astype(np.int32)
-    return tf
+    if not positional:
+        tok = pd.DataFrame({"pos": t.index, "term": t.values})
+        tf = tok.groupby(["pos", "term"], sort=False).size().reset_index(name="tf")
+        tf["dl"] = tf.groupby("pos", sort=False)["tf"].transform("sum").to_numpy(np.int32)
+        tf["tf"] = tf["tf"].astype(np.int32)
+        return tf
+    # positional: token position = index in the split array, so
+    # "consecutive positions" ⇔ "consecutive tokens of the split" ⇔
+    # the ' t1 t2 ' substring test — the positional phrase path on
+    # this analyzer shares the non-positional path's ANSI-SQL twin
+    doc = t.index.to_numpy(np.int64)
+    if len(doc) == 0:
+        return _empty_tokens(positional)
+    toks = t.to_numpy()
+    change = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1) != 0)
+    run_len = np.diff(np.append(change, len(doc)))
+    tokpos = np.arange(len(doc), dtype=np.int64) - np.repeat(change, run_len)
+    codes, vocab = pd.factorize(toks, sort=False)
+    L = len(vocab)
+    combined = doc * L + codes
+    order = np.lexsort((tokpos, combined))
+    ckey, cpos = combined[order], tokpos[order]
+    uniq, gstart, tf = np.unique(ckey, return_index=True, return_counts=True)
+    agg_pos = uniq // L
+    out = pd.DataFrame(
+        {"pos": agg_pos, "term": vocab[uniq % L], "tf": tf.astype(np.int32)}
+    )
+    out["dl"] = out.groupby("pos", sort=False)["tf"].transform("sum").to_numpy(np.int32)
+    out["positions"] = _encode_pos_lists(cpos, gstart)
+    return out
 
 
 _ANALYZERS = {"code": _code_tokens, "path": _code_tokens, "simple": _simple_tokens}
@@ -131,6 +215,40 @@ def analyze_query(text: str, analyzer: str = "code") -> list[str]:
             if len(subs) > 1:
                 terms.add(tok.lower())
     return sorted(terms)
+
+
+def analyze_phrase(
+    text: str, analyzer: str = "code", min_len: int = 1
+) -> list[tuple[str, int]]:
+    """Ordered (term, position) sequence of a QUERY phrase, using the
+    same position convention as the positional index (see
+    ``_code_tokens``): ``simple`` → index in the single-space split;
+    ``code``/``path`` → one position per subword. Query phrases emit
+    subwords ONLY (no compound overlay — the compound is an index-side
+    artifact that shares its first subword's position, so emitting it
+    here would double-book position 0): the phrase ``user_data parse``
+    analyzes to ``user@0 data@1 parse@2``, exactly the indexed
+    positions of the text ``user_data parse``. ``min_len`` filtering
+    drops short terms but KEEPS the original position offsets (Lucene
+    stopword position-gap behavior), so the positional matcher
+    enforces the exact gap across the dropped token."""
+    import re
+
+    out: list[tuple[str, int]] = []
+    if analyzer == "simple":
+        for i, t in enumerate(text.lower().split(" ")):
+            if len(t) >= min_len:
+                out.append((t, i))
+        return out
+    p = 0
+    for tok in re.findall(_RAW_TOKEN, text):
+        subs = re.findall(_SUBWORD, tok)
+        for j, s in enumerate(subs):
+            s = s.lower()
+            if len(s) >= min_len:
+                out.append((s, p + j))
+        p += len(subs)
+    return out
 
 
 def analyze_with_tf(text: str, analyzer: str = "code") -> dict[str, int]:
@@ -166,6 +284,7 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     cfg = cfg or IndexConfig()
     field_spec = [(f, a) for f, (a, _b) in cfg.fields.items()]
     min_len = cfg.min_term_len
+    positional = cfg.positions
     cols = ["doc_id"] + [f for f, _ in field_spec]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -175,7 +294,7 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
             pdf = pdf.reset_index(drop=True)
             out = []
             for fname, analyzer in field_spec:
-                agg = _ANALYZERS[analyzer](pdf[fname])
+                agg = _ANALYZERS[analyzer](pdf[fname], positional=positional)
                 if not len(agg):
                     continue
                 if min_len > 1:
@@ -192,18 +311,18 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
                         .to_numpy(np.int32)
                     )
                 pos = agg["pos"].to_numpy(np.int64)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": pdf["doc_id"].to_numpy()[pos],
-                            "field": fname,
-                            "term": agg["term"].to_numpy(),
-                            "tf": agg["tf"].to_numpy(np.int32),
-                            "dl": agg["dl"].to_numpy(np.int32),
-                        }
-                    )
-                )
+                row = {
+                    "doc_id": pdf["doc_id"].to_numpy()[pos],
+                    "field": fname,
+                    "term": agg["term"].to_numpy(),
+                    "tf": agg["tf"].to_numpy(np.int32),
+                    "dl": agg["dl"].to_numpy(np.int32),
+                }
+                if positional:
+                    row["positions"] = agg["positions"].to_numpy()
+                out.append(pd.DataFrame(row))
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return documents.select(*cols).mapInPandas(run, schema=TOKENS_SCHEMA)
+    schema = TOKENS_SCHEMA_POS if positional else TOKENS_SCHEMA
+    return documents.select(*cols).mapInPandas(run, schema=schema)

@@ -66,6 +66,14 @@ POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
+# positional variant (IndexConfig.positions): per block one extra
+# binary column — the concatenation of each posting's varint-delta
+# position list. No extra length metadata is needed: posting i's list
+# has exactly tf_i values, so a sequential varint decode of the block
+# blob splits at cumsum(tfs). This is the Lucene .prx layout idea
+# expressed as one more parquet column.
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA.append(pa.field("poss", pa.binary()))
+
 
 def bucket_of(doc_id_col, bucket_bits: int, id_space_bits: int = 64):
     """Monotone doc_id → bucket (arithmetic shift keeps sign order).
@@ -130,6 +138,8 @@ def _encode_groups(
     flat_tfs: np.ndarray,
     flat_dls: np.ndarray,
     cfg: IndexConfig,
+    pos_data: np.ndarray | None = None,
+    pos_sizes: np.ndarray | None = None,
 ) -> pa.RecordBatch:
     """Vectorized core: encode posting groups (given by ``offs``
     boundaries over the flat arrays) into block rows. Every step —
@@ -181,6 +191,13 @@ def _encode_groups(
         pa.array(np.minimum.reduceat(dls_i, starts).astype(np.int32)),
         pa.array(np.add.reduceat(tfs_i, starts)),
     ]
+    if pos_sizes is not None:
+        # per-posting blobs are already contiguous in row order —
+        # block blob = slice of the flat stream (zero re-encode)
+        arrays.append(
+            _binary_from_segments(pos_data, np.add.reduceat(pos_sizes, starts))
+        )
+        return pa.RecordBatch.from_arrays(arrays, schema=POSTINGS_SCHEMA_POS)
     return pa.RecordBatch.from_arrays(arrays, schema=POSTINGS_SCHEMA)
 
 
@@ -207,6 +224,22 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
             ids = rb.column(3).to_numpy(zero_copy_only=False)
             tfs = rb.column(4).to_numpy(zero_copy_only=False)
             dls = rb.column(5).to_numpy(zero_copy_only=False)
+            if rb.num_columns > 6:
+                # positional: flat byte stream + per-row sizes straight
+                # from the Arrow binary buffers (no per-row objects)
+                pcol = rb.column(6)
+                pbufs = pcol.buffers()
+                poffs = np.frombuffer(pbufs[1], dtype=np.int32)[
+                    pcol.offset : pcol.offset + len(pcol) + 1
+                ].astype(np.int64)
+                pdata = (
+                    np.frombuffer(pbufs[2], dtype=np.uint8)
+                    if pbufs[2] is not None
+                    else np.empty(0, dtype=np.uint8)
+                )
+                psizes = np.diff(poffs)
+            else:
+                poffs = pdata = psizes = None
 
             # group keys without string compares: dictionary-encode.
             # Codes are appearance-ordered (not sort-ordered) — fine,
@@ -237,6 +270,14 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
                     pend["ids"] = np.concatenate([pend["ids"], ids[:head_len]])
                     pend["tfs"] = np.concatenate([pend["tfs"], tfs[:head_len]])
                     pend["dls"] = np.concatenate([pend["dls"], dls[:head_len]])
+                    if psizes is not None:
+                        pend["pdata"] = np.concatenate(
+                            [pend["pdata"], pdata[poffs[0] : poffs[head_len]]]
+                        )
+                        pend["psizes"] = np.concatenate(
+                            [pend["psizes"], psizes[:head_len]]
+                        )
+                        poffs, psizes = poffs[head_len:], psizes[head_len:]
                     terms, fields = terms[head_len:], fields[head_len:]
                     buckets, ids = buckets[head_len:], ids[head_len:]
                     tfs, dls, key = tfs[head_len:], dls[head_len:], key[head_len:]
@@ -260,6 +301,9 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
                 "tfs": tfs[last_lo:].copy(),
                 "dls": dls[last_lo:].copy(),
             }
+            if psizes is not None:
+                pend["pdata"] = pdata[poffs[last_lo] : poffs[-1]].copy()
+                pend["psizes"] = psizes[last_lo:].copy()
             if len(offs) > 2:
                 g_starts = offs[:-2].astype(np.int64)
                 yield _encode_groups(
@@ -271,6 +315,12 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
                     tfs[:last_lo],
                     dls[:last_lo],
                     cfg,
+                    pos_data=(
+                        pdata[poffs[0] : poffs[last_lo]]
+                        if psizes is not None
+                        else None
+                    ),
+                    pos_sizes=psizes[:last_lo] if psizes is not None else None,
                 )
         if pend is not None:
             out = _flush_pend(pend, cfg)
@@ -292,6 +342,8 @@ def _flush_pend(pend: dict, cfg: IndexConfig):
         pend["tfs"],
         pend["dls"],
         cfg,
+        pos_data=pend.get("pdata"),
+        pos_sizes=pend.get("psizes"),
     )
 
 
@@ -321,8 +373,12 @@ def build_postings(
     if "bucket" not in tk.columns:
         tk = tk.withColumn("bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits))
 
+    cols = ["term", "field", "bucket", "doc_id", "tf", "dl"]
+    positional = cfg.positions and "positions" in tk.columns
+    if positional:
+        cols.append("positions")
     flat = (
-        tk.select("term", "field", "bucket", "doc_id", "tf", "dl")
+        tk.select(*cols)
         .repartition("term", "field", "bucket")
         .sortWithinPartitions("term", "field", "bucket", "doc_id")
     )
@@ -331,6 +387,8 @@ def build_postings(
         "doc_id_first long, doc_ids binary, tfs binary, dls binary, "
         "max_tf int, min_dl int, tf_sum long"
     )
+    if positional:
+        spark_schema += ", poss binary"
     # segment 0 = the base build. Fast upserts append blocks under
     # higher segment numbers; per-segment liveDocs (bm25._norm_excl)
     # kill only the superseded copies. Compaction folds everything

@@ -135,10 +135,18 @@ def compact_postings(
 
     ``tombstone_ids``: plain id array (dead everywhere) or the
     ``(ids, dead_below)`` pair from ``load_tombstones``."""
+    from golr_loader_spark.functions.codec import positions_encode
     from golr_loader_spark.plans.bm25 import _live_of, _norm_excl
+    from golr_loader_spark.plans.phrase import _decode_positions
 
     spark = postings.sparkSession
     tomb_b = spark.sparkContext.broadcast(_norm_excl(tombstone_ids))
+    has_pos = "poss" in postings.columns
+    # output column order = schema order (poss before segment)
+    posting_cols = [c for c in _POSTING_COLS if c != "segment"]
+    if has_pos:
+        posting_cols.append("poss")
+    posting_cols.append("segment")
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, fld, bucket = key
@@ -152,6 +160,10 @@ def compact_postings(
         ids = g + np.repeat(firsts - g[starts], n_per_block)
         tfs = varint_decode(b"".join(pdf["tfs"])).astype(np.int64)
         dls = varint_decode(b"".join(pdf["dls"])).astype(np.int64)
+        if has_pos:
+            # absolute positions survive compaction unchanged; only
+            # the per-posting segmentation is re-derived post-mask
+            pos_flat = _decode_positions(b"".join(pdf["poss"]), tfs)
         excl = tomb_b.value
         if excl is not None:
             segs = (
@@ -164,12 +176,26 @@ def compact_postings(
             keep = np.ones(len(ids), dtype=bool)
         m = int(keep.sum())
         if m == 0:
-            return pd.DataFrame({c: [] for c in _POSTING_COLS})
+            return pd.DataFrame({c: [] for c in posting_cols})
+        if has_pos:
+            pos_flat = pos_flat[np.repeat(keep, tfs)]
         ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         # multi-segment lists (incremental/upsert appends) interleave
         # doc ranges across blocks — re-sort so the compacted list is
         # globally doc_id-ordered (smallest deltas, format contract)
         order = np.argsort(ids, kind="stable")
+        pos_kw = {}
+        if has_pos:
+            # gather each surviving posting's position run in the new
+            # doc order, then re-delta-encode (vectorized)
+            bounds = (np.cumsum(tfs) - tfs).astype(np.int64)
+            cnt_o = tfs[order]
+            total = int(cnt_o.sum())
+            gidx = np.repeat(bounds[order], cnt_o) + (
+                np.arange(total) - np.repeat(np.cumsum(cnt_o) - cnt_o, cnt_o)
+            )
+            pdat, psiz = positions_encode(pos_flat[gidx], cnt_o)
+            pos_kw = {"pos_data": pdat, "pos_sizes": psiz}
         rb = _encode_groups(
             pa.array([term]),
             pa.array([fld]),
@@ -179,6 +205,7 @@ def compact_postings(
             tfs[order],
             dls[order],
             cfg,
+            **pos_kw,
         )
         out = rb.to_pandas()
         out["segment"] = np.int32(0)
@@ -187,7 +214,9 @@ def compact_postings(
     schema = (
         "term string, field string, bucket int, block_id int, n int, "
         "doc_id_first long, doc_ids binary, tfs binary, dls binary, "
-        "max_tf int, min_dl int, tf_sum long, segment int"
+        "max_tf int, min_dl int, tf_sum long"
+        + (", poss binary" if has_pos else "")
+        + ", segment int"
     )
     return postings.groupBy("term", "field", "bucket").applyInPandas(fn, schema)
 

@@ -31,9 +31,17 @@ broadcasts when the candidate side is small, and the decode touches
 only the phrase terms' blocks. No driver-side materialization
 anywhere.
 
-Positions-in-the-index (decode-free verification) would change the
-block format; this composition keeps the single-pass build and gets
-exact phrase semantics certified by the DuckDB oracle (SQL_Q37).
+Two phrase paths:
+
+* ``phrase_search`` — match + verify against the corpus text
+  (simple analyzer only, where the token stream is a literal
+  substring of the text). Works on ANY index, positional or not.
+* ``phrase_search_positional`` — Lucene-style positional matching
+  over an ``IndexConfig(positions=True)`` index: any analyzer,
+  sloppy phrases (``slop``), and the corpus text is never read.
+  On the simple analyzer with slop=0 its matching semantics coincide
+  with the substring test, so it shares the same DuckDB oracle
+  family (SQL_Q37 / SQL_Q44).
 """
 
 from __future__ import annotations
@@ -47,7 +55,7 @@ from pyspark.sql import functions as F
 
 from golr_loader_spark.config import IndexConfig
 from golr_loader_spark.functions.codec import varint_decode
-from golr_loader_spark.functions.tokenize import analyze_query
+from golr_loader_spark.functions.tokenize import analyze_phrase, analyze_query
 from golr_loader_spark.plans.bm25 import _idf_table, query_analyzer
 from golr_loader_spark.plans.build_index import InvertedIndex, bucket_of
 from golr_loader_spark.plans.facets import matching_doc_ids
@@ -133,12 +141,13 @@ def phrase_search(
     Requires a single-``simple``-analyzer config: only there is the
     token stream a literal substring of the text (code/path analyzers
     reorder and duplicate subtokens, so consecutive-token semantics
-    need positional postings — not implemented)."""
+    need positional postings — see ``phrase_search_positional``)."""
     cfg = cfg or index.cfg
     if query_analyzer(cfg) != "simple":
         raise NotImplementedError(
             "phrase_search requires a single-'simple'-analyzer config; "
-            "code/path analyzers need positional postings"
+            "for code/path analyzers build a positional index and use "
+            "phrase_search_positional"
         )
     spark = index.postings.sparkSession
     terms = [t for t in phrase.lower().split(" ") if t]
@@ -203,3 +212,241 @@ def phrase_search(
         ).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """One block's concatenated position stream → flat ABSOLUTE
+    positions (length Σtf). Posting i's segment has exactly tf_i
+    varints (first absolute, rest ascending deltas), so the stream
+    needs no length metadata: split at cumsum(tfs), un-delta with a
+    segmented cumsum — all vectorized."""
+    if len(tfs) == 0:
+        return np.empty(0, dtype=np.int64)
+    vals = varint_decode(blob).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    c = np.cumsum(vals)
+    base = c[starts] - vals[starts]
+    return c - np.repeat(base, tfs)
+
+
+def phrase_search_positional(
+    index: InvertedIndex,
+    phrase: str,
+    k: int = 10,
+    slop: int = 0,
+    field: str | None = None,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+    scoring: str = "phrase",
+) -> DataFrame:
+    """Lucene (sloppy) PhraseQuery over a POSITIONAL index
+    (``IndexConfig(positions=True)``) — works with ANY analyzer,
+    unlike ``phrase_search``'s substring verification (simple-only).
+
+    **Matching** (per candidate doc, fully vectorized across every
+    occurrence in the bucket): the query analyzes to an ordered
+    (term, position) sequence; a doc matches when an increasing chain
+    of indexed occurrences realizes the sequence with total extra
+    displacement ≤ ``slop``. The chain is found greedily — for each
+    occurrence of the first term, each later term takes its EARLIEST
+    occurrence at distance ≥ the query-position gap; the greedy chain
+    minimizes the final span, so "span − query span ≤ slop" decides
+    ordered sloppy matches exactly. ``slop=0`` ⇔ exact phrase (every
+    gap exact), which on the ``simple`` analyzer coincides with the
+    ``' t1 t2 '`` substring semantics of ``phrase_search`` / SQL_Q37.
+
+    **Scoring**: ``scoring="phrase"`` (default — Lucene PhraseWeight):
+    tf = number of matching chains with distinct first-term
+    occurrences, idf = Σ idf(term_i) over the query sequence, folded
+    through the standard BM25 tf-normalization with the doc's dl and
+    the corpus avgdl. ``scoring="terms"``: the per-term BM25 sum over
+    the phrase's distinct terms in sorted term order — on a
+    single-field config this is float-for-float what ``phrase_search``
+    computes, so the two paths return IDENTICAL rows on the simple
+    analyzer with slop=0 (shared DuckDB oracle). Tie-break
+    (score desc, doc_id asc) either way, as in ``bm25.search``.
+
+    Note on query whitespace: ``phrase_search`` collapses runs of
+    spaces in the QUERY (its needle joins the nonempty tokens), while
+    the positional analyzer keeps the exact position gaps; use
+    single-spaced phrases when comparing the two paths.
+
+    **Plan shape**: one scan of the phrase terms' posting blocks
+    (parquet row-group pruning on the term predicate), one
+    groupBy(bucket) — the same single-exchange shape as
+    ``bm25.search``; candidates never leave their bucket and the
+    corpus text is never read. The chain walk is O(occurrences ×
+    phrase length) searchsorted passes, all numpy."""
+    from golr_loader_spark.plans.bm25 import _norm_excl
+
+    cfg = cfg or index.cfg
+    if "poss" not in index.postings.columns:
+        raise ValueError(
+            "phrase_search_positional needs a positional index — build "
+            "with IndexConfig(positions=True)"
+        )
+    field = field or next(iter(cfg.fields))
+    analyzer = cfg.fields[field][0]
+    seq = analyze_phrase(phrase, analyzer, cfg.min_term_len)
+    spark = index.postings.sparkSession
+    if not seq:
+        return spark.createDataFrame([], "doc_id long, score double")
+    uterms = sorted({t for t, _p in seq})
+    idf = _idf_table(index, uterms)
+    score_group = _phrase_bucket_factory(
+        seq, idf, field, index.avgdl_by_field[field], cfg, k, slop, scoring,
+        _norm_excl(exclude_ids),
+    )
+    if score_group is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    cand = index.postings.filter(
+        F.col("term").isin(uterms) & (F.col("field") == F.lit(field))
+    )
+    per_bucket = cand.groupBy("bucket").applyInPandas(
+        score_group, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _phrase_bucket_factory(
+    seq: list[tuple[str, int]],
+    idf: dict[tuple[str, str], float],
+    field: str,
+    avgdl: float,
+    cfg: IndexConfig,
+    k: int,
+    slop: int,
+    scoring: str,
+    excl,
+):
+    """The per-bucket positional matcher + scorer shared by the
+    distributed path and ``serve.LocalSearcher.search_phrase`` (same
+    factory pattern as ``bm25._score_bucket_factory``, so the two
+    paths are bit-identical by construction). ``excl`` is already
+    ``bm25._norm_excl``-normalized. Returns None when no phrase term
+    carries idf weight (guaranteed-empty result)."""
+    from golr_loader_spark.plans.bm25 import _live_of
+
+    terms_seq = [t for t, _p in seq]
+    qpos = [p for _t, p in seq]
+    uterms = sorted(set(terms_seq))
+    sum_idf = sum(idf.get((t, field), 0.0) for t in terms_seq)
+    if sum_idf <= 0.0:
+        return None
+    wt = cfg.fields[field][1] * sum_idf * (cfg.k1 + 1.0)
+    k1, b = cfg.k1, cfg.b
+    q_span = qpos[-1] - qpos[0]
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def empty() -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float64}
+            )
+
+        per_term: dict[str, tuple] = {}
+        for term, rows in pdf.groupby("term", sort=False):
+            ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+            for r in rows.itertuples(index=False):
+                tfs_b = varint_decode(r.tfs).astype(np.int64)
+                ids_b = np.cumsum(
+                    varint_decode(r.doc_ids).astype(np.int64)
+                ) + np.int64(r.doc_id_first)
+                dls_b = varint_decode(r.dls).astype(np.int64)
+                pos_b = _decode_positions(r.poss, tfs_b)
+                if excl is not None:
+                    seg = np.int64(getattr(r, "segment", 0) or 0)
+                    keep = _live_of(ids_b, np.full(len(ids_b), seg), excl)
+                    if not keep.all():
+                        pos_b = pos_b[np.repeat(keep, tfs_b)]
+                        ids_b, tfs_b, dls_b = ids_b[keep], tfs_b[keep], dls_b[keep]
+                if len(ids_b):
+                    ids_l.append(ids_b)
+                    tfs_l.append(tfs_b)
+                    dls_l.append(dls_b)
+                    pos_l.append(pos_b)
+            if ids_l:
+                per_term[term] = (
+                    np.concatenate(ids_l),
+                    np.concatenate(tfs_l),
+                    np.concatenate(dls_l),
+                    np.concatenate(pos_l),
+                )
+        if any(t not in per_term for t in terms_seq):
+            return empty()
+
+        # conjunctive candidate docs (every phrase term present)
+        cand_ids = None
+        for t in dict.fromkeys(terms_seq):
+            u = np.unique(per_term[t][0])
+            cand_ids = (
+                u if cand_ids is None
+                else np.intersect1d(cand_ids, u, assume_unique=True)
+            )
+        if cand_ids is None or len(cand_ids) == 0:
+            return empty()
+
+        # composite (dense doc index, position) occurrence keys —
+        # dense indices keep doc*P + pos inside int64 even for xxhash
+        # doc_ids
+        P = 2
+        for t in dict.fromkeys(terms_seq):
+            pos_t = per_term[t][3]
+            if len(pos_t):
+                P = max(P, int(pos_t.max()) + 2)
+        comp: dict[str, np.ndarray] = {}
+        for t in dict.fromkeys(terms_seq):
+            ids_t, tfs_t, _dls_t, pos_t = per_term[t]
+            docrep = np.repeat(ids_t, tfs_t)
+            di = np.searchsorted(cand_ids, docrep)
+            dic = np.minimum(di, len(cand_ids) - 1)
+            ok = cand_ids[dic] == docrep
+            comp[t] = np.sort(dic[ok].astype(np.int64) * P + pos_t[ok])
+
+        # greedy minimal chain, vectorized over ALL first-term
+        # occurrences at once
+        t0 = terms_seq[0]
+        start = comp[t0]
+        cur = start.copy()
+        valid = np.ones(len(cur), dtype=bool)
+        for (t_prev, p_prev), (t_i, p_i) in zip(seq[:-1], seq[1:]):
+            gap = p_i - p_prev
+            arr = comp[t_i]
+            idx = np.searchsorted(arr, cur + gap, side="left")
+            ok = idx < len(arr)
+            nxt = arr[np.minimum(idx, len(arr) - 1)]
+            ok &= (nxt // P) == (cur // P)  # stayed inside the doc
+            valid &= ok
+            cur = np.where(ok, nxt, cur)
+        extra = (cur - start) - q_span
+        match = valid & (extra <= slop)
+        if not match.any():
+            return empty()
+        freq = np.bincount(
+            (start[match] // P).astype(np.int64), minlength=len(cand_ids)
+        ).astype(np.float64)
+        hit = freq > 0
+
+        if scoring == "terms":
+            # per-term BM25 sum in sorted term order — float-for-float
+            # the fold phrase_search runs (single-field configs)
+            score = np.zeros(len(cand_ids), dtype=np.float64)
+            for t in uterms:  # sorted
+                w_t = cfg.fields[field][1] * idf.get((t, field), 0.0) * (k1 + 1.0)
+                ids_t, tfs_t, dls_t, _pos_t = per_term[t]
+                o = np.argsort(ids_t, kind="stable")
+                sel = np.searchsorted(ids_t[o], cand_ids)
+                tf_t = tfs_t[o][sel].astype(np.float64)
+                dl_t = dls_t[o][sel].astype(np.float64)
+                score += w_t * tf_t / (tf_t + k1 * ((1.0 - b) + b * dl_t / avgdl))
+        else:
+            # Lucene PhraseWeight: tf = phrase frequency
+            ids0, _tfs0, dls0, _pos0 = per_term[t0]
+            o = np.argsort(ids0, kind="stable")
+            dl = dls0[o][np.searchsorted(ids0[o], cand_ids)].astype(np.float64)
+            score = wt * freq / (freq + k1 * ((1.0 - b) + b * dl / avgdl))
+        docs, sc = cand_ids[hit], score[hit]
+        order = np.lexsort((docs, -sc))[:k]
+        return pd.DataFrame({"doc_id": docs[order], "score": sc[order]})
+
+    return score_group

@@ -348,6 +348,63 @@ class LocalSearcher:
         weights = self._weights_of(self._term_rows(terms))
         return self._score(weights, terms, k)
 
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        slop: int = 0,
+        field: str | None = None,
+        scoring: str = "phrase",
+    ) -> list[tuple[int, float]]:
+        """Serving-path (sloppy) PhraseQuery over a POSITIONAL index
+        root (written with ``IndexConfig(positions=True)``). Runs the
+        SAME per-bucket matcher factory as the distributed
+        ``plans.phrase.phrase_search_positional`` — results identical
+        by construction; see that function for the matching/scoring
+        semantics."""
+        from golr_loader_spark.functions.tokenize import analyze_phrase
+        from golr_loader_spark.plans.bm25 import _norm_excl
+        from golr_loader_spark.plans.phrase import _phrase_bucket_factory
+
+        field = field or next(iter(self.cfg.fields))
+        seq = analyze_phrase(
+            phrase, self.cfg.fields[field][0], self.cfg.min_term_len
+        )
+        if not seq:
+            return []
+        uterms = sorted({t for t, _p in seq})
+        idf = {
+            (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
+            for r in self._term_rows(uterms)
+        }
+        score_group = _phrase_bucket_factory(
+            seq, idf, field, self.avgdl[field], self.cfg, k, slop, scoring,
+            _norm_excl(self.tombstones),
+        )
+        if score_group is None:
+            return []
+        blocks = self._read_blocks(uterms)
+        if not len(blocks):
+            return []
+        if "poss" not in blocks.columns:
+            raise ValueError(
+                "search_phrase needs a positional index root — build "
+                "with IndexConfig(positions=True)"
+            )
+        blocks = blocks[blocks["field"] == field]
+        if not len(blocks):
+            return []
+        parts = [
+            score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
+        ]
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["score", "doc_id"], ascending=[False, True], ignore_index=True
+        ).head(k)
+        return [
+            (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
+        ]
+
     # ------------------------------------------------------------ facets
 
     def _load_facets(self):

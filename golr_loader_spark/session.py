@@ -18,6 +18,7 @@ def get_spark(
     app_name: str = "golr_loader_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    driver_mem: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -41,7 +42,10 @@ def get_spark(
         # big Arrow batches: the vectorized tokenizer/encoder kernels
         # amortize per-batch overhead (default 10k rows starves them)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config(
+            "spark.driver.memory",
+            driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -26,6 +26,17 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
 )
+# Heap scales WITH the parallelism level (constant GB per core). On a
+# real cluster, going N → 4N executors brings 4× total memory — every
+# task sees the same per-core memory at both levels. A fixed local
+# heap breaks that: local[2] tasks get 4× the memory of local[8]
+# tasks, so the 4N level is memory-starved relative to any real
+# cluster and the measured efficiency UNDER-states cluster scaling
+# (observed: superlinear local[8] wall growth at 240k docs under a
+# fixed 48g heap, while local[2] tracked the linear fit). Constant
+# per-core heap is the faithful emulation of the north rule's
+# N-vs-4N-executor comparison.
+GB_PER_CORE = int(os.environ.get("SPARK_GRAFT_GB_PER_CORE", "6"))
 
 _WORKER = textwrap.dedent(
     """
@@ -40,9 +51,12 @@ _WORKER = textwrap.dedent(
     n_docs = {n_docs}
     # pin JVM helper threads to the parallelism level — otherwise the
     # local[2] JVM still runs 32 GC threads on this 32-core box and
-    # the comparison flatters the small level
+    # the comparison flatters the small level. Heap = cores × GB/core:
+    # constant per-core memory at both levels, as on a real cluster
+    # where each added executor brings its own memory.
     spark = get_spark(
         cores=cores, shuffle_partitions=cores, app_name="scale",
+        driver_mem=f"{{cores * {gb_per_core}}}g",
         extra_conf={{
             "spark.driver.extraJavaOptions":
                 f"-XX:ParallelGCThreads={{cores}} -XX:ConcGCThreads={{max(1, cores // 4)}}"
@@ -92,7 +106,7 @@ _WORKER = textwrap.dedent(
 
 
 def run_once(cores: int) -> dict:
-    code = _WORKER.format(cores=cores, n_docs=N_DOCS)
+    code = _WORKER.format(cores=cores, n_docs=N_DOCS, gb_per_core=GB_PER_CORE)
     env = dict(os.environ, PYTHONPATH="/root/repo")
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env
@@ -173,7 +187,7 @@ SPARK_GRAFT_SCALE_LEVELS).
     # raw result as a dated run-log line, never replaces prose
     path = "/root/repo/BENCH.md"
     line = (
-        f"- levels={LEVELS} docs={N_DOCS} reps={REPS}: "
+        f"- levels={LEVELS} docs={N_DOCS} reps={REPS} heap={GB_PER_CORE}g/core: "
         + ", ".join(
             f"local[{c}]={results[c]['build_s']:.1f}s" for c in LEVELS
         )

@@ -1,0 +1,313 @@
+"""Positional postings (IndexConfig.positions) and
+phrase_search_positional: position round-trip through the block
+codec, parity with the substring phrase path on the simple analyzer,
+code-analyzer phrase semantics (subword positions, compound overlay),
+sloppy matching vs a brute-force reference, and phrase-frequency
+scoring."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.functions.codec import varint_decode
+from golr_loader_spark.functions.tokenize import analyze_phrase
+from golr_loader_spark.plans.build_index import build_index
+from golr_loader_spark.plans.phrase import (
+    _decode_positions,
+    phrase_search,
+    phrase_search_positional,
+)
+
+ROWS = [
+    (0, "data query spark engine"),
+    (1, "query data spark"),
+    (2, "data query data query runs"),
+    (3, "big data  query gap"),
+    (4, "unrelated words entirely"),
+    (5, "the data query"),
+    (6, "a a a"),
+]
+SCHEMA = "doc_id long, text string"
+
+CODE_ROWS = [
+    (0, "def getUserData(ctx): return user_data"),
+    (1, "user_data parse(x) scan"),
+    (2, "data user mix"),
+    (3, "user stuff data things"),
+    (4, "parse user_data now"),
+]
+
+_RAW = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
+_SUB = r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+"
+
+
+def _brute_positions(text: str, analyzer: str) -> dict[str, list[int]]:
+    """Independent (plain-Python) recomputation of the index-side
+    position convention: simple → split index; code → one position per
+    subword, compound overlaid on its first subword."""
+    d: dict[str, list[int]] = {}
+    if analyzer == "simple":
+        for i, t in enumerate(text.lower().split(" ")):
+            d.setdefault(t, []).append(i)
+        return d
+    p = 0
+    for tok in re.findall(_RAW, text):
+        subs = re.findall(_SUB, tok)
+        for j, s in enumerate(subs):
+            d.setdefault(s.lower(), []).append(p + j)
+        if len(subs) > 1:
+            d.setdefault(tok.lower(), []).append(p)
+        p += len(subs)
+    return d
+
+
+def _brute_phrase_freq(text: str, phrase: str, analyzer: str, slop: int) -> int:
+    """Greedy-minimal-chain sloppy phrase count, pure Python."""
+    seq = analyze_phrase(phrase, analyzer)
+    if not seq:
+        return 0
+    pos = _brute_positions(text, analyzer)
+    if any(t not in pos for t, _ in seq):
+        return 0
+    n = 0
+    for q0 in pos[seq[0][0]]:
+        cur, ok = q0, True
+        for (_tp, pp), (ti, pi) in zip(seq[:-1], seq[1:]):
+            nxts = [x for x in pos[ti] if x >= cur + (pi - pp)]
+            if not nxts:
+                ok = False
+                break
+            cur = min(nxts)
+        if ok and (cur - q0) - (seq[-1][1] - seq[0][1]) <= slop:
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def cfg_pos():
+    return IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3,
+        positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def ix_pos(docs, cfg_pos):
+    return build_index(docs, cfg_pos)
+
+
+@pytest.fixture(scope="module")
+def cfg_code():
+    return IndexConfig(
+        fields={"text": ("code", 1.0)}, bucket_bits=2, id_space_bits=3,
+        positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def code_docs(spark):
+    return spark.createDataFrame(CODE_ROWS, SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def ix_code(code_docs, cfg_code):
+    return build_index(code_docs, cfg_code)
+
+
+@pytest.mark.parametrize("which", ["simple", "code"])
+def test_positions_roundtrip(which, ix_pos, ix_code, request):
+    """Decode every block's position stream and compare (doc, term) →
+    sorted positions against the brute-force analyzer."""
+    ix = ix_pos if which == "simple" else ix_code
+    rows = ROWS if which == "simple" else CODE_ROWS
+    truth = {}
+    for doc_id, text in rows:
+        for term, ps in _brute_positions(text, which).items():
+            truth[(doc_id, term)] = sorted(ps)
+    got: dict[tuple[int, str], list[int]] = {}
+    for r in ix.postings.collect():
+        tfs = varint_decode(r["tfs"]).astype(np.int64)
+        ids = np.cumsum(varint_decode(r["doc_ids"]).astype(np.int64)) + r[
+            "doc_id_first"
+        ]
+        pos = _decode_positions(r["poss"], tfs)
+        bounds = np.concatenate([[0], np.cumsum(tfs)])
+        for i, doc in enumerate(ids):
+            got.setdefault((int(doc), r["term"]), []).extend(
+                pos[bounds[i] : bounds[i + 1]].tolist()
+            )
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == truth
+
+
+def test_positional_matches_substring_path(docs, ix_pos, cfg_pos):
+    """slop=0 + scoring='terms' on the simple analyzer is row-for-row
+    (and float-for-float) the substring phrase path."""
+    for phrase in ["data query", "a a", "the data query", "query"]:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in phrase_search(ix_pos, docs, phrase, k=10, cfg=cfg_pos).collect()
+        ]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in phrase_search_positional(
+                ix_pos, phrase, k=10, slop=0, cfg=cfg_pos, scoring="terms"
+            ).collect()
+        ]
+        assert got == want, phrase
+
+
+def test_positional_membership_simple(ix_pos, cfg_pos):
+    got = {
+        r["doc_id"]
+        for r in phrase_search_positional(
+            ix_pos, "data query", k=10, cfg=cfg_pos
+        ).collect()
+    }
+    assert got == {0, 2, 5}
+    # wrong order / gapped docs excluded; slop=2 lets the reversed
+    # pair in doc 1 stay out (ordered matcher) but bridges doc 3's
+    # empty-token gap ("data <''> query": span 2, extra 1)
+    got2 = {
+        r["doc_id"]
+        for r in phrase_search_positional(
+            ix_pos, "data query", k=10, slop=2, cfg=cfg_pos
+        ).collect()
+    }
+    assert got2 == {0, 2, 3, 5}
+
+
+def test_positional_code_phrases(ix_code, cfg_code):
+    """Subword positions: 'user data' matches user_data and
+    getUserData (consecutive subwords); compound-in-phrase aligns
+    ('user_data parse' → user@0 data@1 parse@2)."""
+    got = {
+        r["doc_id"]
+        for r in phrase_search_positional(
+            ix_code, "user data", k=10, cfg=cfg_code
+        ).collect()
+    }
+    assert got == {0, 1, 4}  # doc 2 has them reversed, doc 3 gapped
+    got2 = {
+        r["doc_id"]
+        for r in phrase_search_positional(
+            ix_code, "user_data parse", k=10, cfg=cfg_code
+        ).collect()
+    }
+    assert got2 == {1}  # doc 4 is 'parse user_data' (reversed)
+
+
+@pytest.mark.parametrize("analyzer", ["simple", "code"])
+@pytest.mark.parametrize("slop", [0, 1, 2, 4])
+@pytest.mark.parametrize(
+    "phrase", ["data query", "user data", "data spark", "query spark engine"]
+)
+def test_sloppy_vs_brute(analyzer, slop, phrase, ix_pos, ix_code, cfg_pos, cfg_code):
+    ix = ix_pos if analyzer == "simple" else ix_code
+    cfg = cfg_pos if analyzer == "simple" else cfg_code
+    rows = ROWS if analyzer == "simple" else CODE_ROWS
+    want = {
+        doc_id
+        for doc_id, text in rows
+        if _brute_phrase_freq(text, phrase, analyzer, slop) > 0
+    }
+    got = {
+        r["doc_id"]
+        for r in phrase_search_positional(ix, phrase, k=10, slop=slop, cfg=cfg).collect()
+    }
+    assert got == want, (analyzer, slop, phrase)
+
+
+def test_phrase_freq_scoring(ix_pos, cfg_pos):
+    """Default scoring: tf = phrase frequency (doc 2 has the phrase
+    twice), idf = Σ term idfs, standard BM25 fold — recomputed here
+    from corpus stats."""
+    res = {
+        r["doc_id"]: r["score"]
+        for r in phrase_search_positional(ix_pos, "data query", k=10, cfg=cfg_pos).collect()
+    }
+    n_docs = ix_pos.n_docs
+    avgdl = ix_pos.avgdl_by_field["text"]
+    dfs = {
+        r["term"]: r["df"]
+        for r in ix_pos.term_stats.filter(
+            ix_pos.term_stats.term.isin(["data", "query"])
+        ).collect()
+    }
+    idf = sum(
+        math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in ["data", "query"]
+    )
+    wt = idf * (cfg_pos.k1 + 1.0)
+    texts = dict(ROWS)
+    for doc_id, freq in [(0, 1.0), (2, 2.0), (5, 1.0)]:
+        dl = len(texts[doc_id].split(" "))
+        want = wt * freq / (
+            freq + cfg_pos.k1 * (1 - cfg_pos.b + cfg_pos.b * dl / avgdl)
+        )
+        assert res[doc_id] == pytest.approx(want, rel=1e-12)
+    assert res[2] > res[0]  # double occurrence outranks single
+
+
+def test_positional_requires_flag(docs):
+    cfg = IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3)
+    ix = build_index(docs, cfg)
+    with pytest.raises(ValueError, match="positional"):
+        phrase_search_positional(ix, "data query", cfg=cfg)
+
+
+def test_serving_phrase_parity(tmp_path, docs, ix_pos, cfg_pos):
+    """LocalSearcher.search_phrase (no Spark at query time) returns
+    exactly what the distributed positional path returns — both
+    scoring modes, slop 0 and 2."""
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "posix")
+    write_index(ix_pos, root, term_partitions=2)
+    ls = LocalSearcher(root, cfg_pos)
+    for slop in (0, 2):
+        for scoring in ("phrase", "terms"):
+            want = [
+                (r["doc_id"], r["score"])
+                for r in phrase_search_positional(
+                    ix_pos, "data query", k=10, slop=slop, cfg=cfg_pos,
+                    scoring=scoring,
+                ).collect()
+            ]
+            got = ls.search_phrase("data query", k=10, slop=slop, scoring=scoring)
+            assert got == want, (slop, scoring)
+
+
+def test_compaction_preserves_positions(spark, cfg_pos):
+    """compact_postings on a positional index re-encodes position
+    lists; a compacted index answers phrase queries identically, and
+    deleted docs drop out."""
+    import numpy as np
+
+    from golr_loader_spark.plans.build_index import InvertedIndex, build_index
+    from golr_loader_spark.plans.maintenance import compact_postings
+
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    ix = build_index(docs, cfg_pos)
+    dead = np.array([0], dtype=np.int64)
+    compacted = compact_postings(ix.postings, dead, cfg_pos).persist()
+    assert "poss" in compacted.columns
+    ix2 = InvertedIndex(
+        postings=compacted, term_stats=ix.term_stats, stats=ix.stats, cfg=cfg_pos
+    )
+    got = {
+        r["doc_id"]
+        for r in phrase_search_positional(ix2, "data query", k=10, cfg=cfg_pos).collect()
+    }
+    assert got == {2, 5}  # doc 0 compacted away, positions intact
