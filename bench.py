@@ -131,6 +131,36 @@ def main() -> None:
             1,
         )
 
+    # ---- engine arm: positional index + phrase queries ------------------
+    # one positional build (IndexConfig(positions=True)) over the SAME
+    # corpus: reports the position-list cost (build overhead + bytes/
+    # posting) and the wall of a 6-phrase set through the Lucene-style
+    # positional matcher
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+
+    cfgp = IndexConfig(
+        bucket_bits=5,
+        id_space_bits=max(2, (n_docs - 1).bit_length()),
+        positions=True,
+    )
+    t0 = time.perf_counter()
+    ixp = build_index(assign_dense_ids(docs), cfgp, n_docs=n_docs)
+    ixp.term_stats = ixp.term_stats.persist()
+    ixp.term_stats.count()
+    timings["index_build_positional"] = round(time.perf_counter() - t0, 3)
+    compp = ixp.postings.agg(
+        F.sum(F.length("poss")).alias("b"), F.sum("n").alias("p")
+    ).collect()[0]
+    extras["pos_bytes_per_posting"] = round(int(compp["b"]) / int(compp["p"]), 3)
+    phrases = [
+        "def return", "user data", "parse json codec", "http server",
+        "node ctx merge", "query plan exec",
+    ]
+    t0 = time.perf_counter()
+    for ph in phrases:
+        phrase_search_positional(ixp, ph, k=10, cfg=cfgp).count()
+    timings["phrase_pos6"] = round(time.perf_counter() - t0, 3)
+
     # ---- relational arm: interleaved min-of-2 (host CPU steal on this
     # sandbox swings single measurements up to 3x; interleaving keeps a
     # noise burst from biasing one query) ----------------------------------

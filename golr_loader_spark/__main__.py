@@ -57,6 +57,7 @@ def cmd_build(args) -> None:
         bucket_bits=args.bucket_bits,
         block_size=args.block_size,
         id_space_bits=id_space_bits,
+        positions=args.positions,
     )
     t0 = time.perf_counter()
     build_index_checkpointed(
@@ -82,7 +83,14 @@ def cmd_query(args) -> None:
     cfg = IndexConfig(bucket_bits=args.bucket_bits, block_size=args.block_size)
     ix = load_checkpointed_index(spark, args.index, cfg)
     t0 = time.perf_counter()
-    rows = search(ix, args.q, k=args.k, cfg=cfg).collect()
+    if args.phrase:
+        from golr_loader_spark.plans.phrase import phrase_search_positional
+
+        rows = phrase_search_positional(
+            ix, args.q, k=args.k, slop=args.slop, cfg=cfg
+        ).collect()
+    else:
+        rows = search(ix, args.q, k=args.k, cfg=cfg).collect()
     wall = time.perf_counter() - t0
     print(json.dumps({
         "query": args.q, "k": args.k, "wall_ms": round(wall * 1000, 1),
@@ -115,6 +123,12 @@ def main(argv: list[str] | None = None) -> None:
         "remap (dense ids give 3-8x smaller posting id streams; "
         "query-side needs no flag either way — buckets are stored)",
     )
+    b.add_argument(
+        "--positions",
+        action="store_true",
+        help="index token positions (Lucene DOCS_AND_FREQS_AND_POSITIONS "
+        "analog) — enables `query --phrase` on any analyzer",
+    )
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
@@ -123,6 +137,12 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--bucket-bits", type=int, default=5)
     q.add_argument("--block-size", type=int, default=128)
+    q.add_argument(
+        "--phrase",
+        action="store_true",
+        help="treat --q as a phrase (needs an index built with --positions)",
+    )
+    q.add_argument("--slop", type=int, default=0, help="phrase slop (Lucene)")
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)

@@ -364,6 +364,15 @@ def build_postings(
     postings regardless of term hotness. The encoder needs no corpus
     statistic, so the lineage tokenize → shuffle → encode is one
     unbroken job — no stats barrier in the middle.
+
+    Shuffle sizing: size ``spark.sql.shuffle.partitions`` to 2-4×
+    the total core count (multi-wave). With exactly one task per core
+    a stage's wall is the max over concurrent tasks, so reduce-key
+    imbalance and node slowdowns amplify with cluster width; a few
+    waves per core lets fast cores absorb stragglers (measured −11%
+    build wall at 4 cores) and keeps per-task sorts in executor
+    memory. AQE's partition coalescing handles the too-many-tiny-
+    partitions direction automatically.
     """
     cfg = cfg or IndexConfig()
 
