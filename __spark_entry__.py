@@ -202,6 +202,39 @@ def _engine_phrase_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered span-near on the REAL positional index (Lucene
+    SpanNearQuery inOrder=false): docs where some width-6 token
+    window contains 'data', 'query' and 'spark'; tf = anchor
+    occurrences of the sorted-first term whose minimal covering
+    window fits (exact, via bracketing-occurrence enumeration).
+    SQL_Q44 is the DuckDB twin; round-to-4-then-rank."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.phrase import span_near_search
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+        positions=True,
+    )
+    ix = build_index(d, cfg)
+    top = (
+        span_near_search(ix, ["data", "query", "spark"], window=6, k=1000, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def _engine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix query on the REAL engine index (Lucene PrefixQuery,
     SCORING_BOOLEAN rewrite): driver-side term-dictionary expansion,
@@ -383,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_facets"] = _engine_facets
     out["engine_phrase"] = _engine_phrase
     out["engine_phrase_pos"] = _engine_phrase_pos
+    out["engine_span"] = _engine_span
     out["engine_prefix"] = _engine_prefix
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
@@ -405,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q41,
         SQL_Q42,
         SQL_Q43,
+        SQL_Q44,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -417,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
     # the positional path with scoring='terms' is float-for-float the
     # substring path on the simple analyzer — same oracle
     out["engine_phrase_pos"] = SQL_Q37
+    out["engine_span"] = SQL_Q44
     out["engine_prefix"] = SQL_Q38
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40

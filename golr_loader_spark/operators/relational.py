@@ -1383,6 +1383,49 @@ WHERE h.group_rank <= 5
 # Registry
 # --------------------------------------------------------------------- #
 
+# Unordered span-near oracle (the engine twin runs the REAL positional
+# index — engine_span in __spark_entry__.py): a doc matches when some
+# width-6 token window holds 'data', 'query' AND 'spark'; tf = number
+# of anchor ('data', the sorted-first term — fixed so this SQL can
+# replicate the engine's count) positions whose minimal covering
+# window fits; score = BM25 with idf summed over the distinct terms,
+# rounded to 4 BEFORE ranking (the module's float discipline).
+SQL_Q44 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+), tf_tab AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf_tab GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf_tab WHERE term IN ('data','query','spark') GROUP BY term),
+wt AS (SELECT sum(idf) * 2.2 AS w FROM idf),
+anchors AS (SELECT doc_id, pos FROM toks WHERE term = 'data'),
+matched AS (
+  SELECT DISTINCT a.doc_id, a.pos
+  FROM anchors a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.term = 'query'
+  JOIN toks c ON c.doc_id = a.doc_id AND c.term = 'spark'
+  WHERE greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 5),
+tfq AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS f FROM matched GROUP BY doc_id),
+scored AS (
+  SELECT tfq.doc_id,
+         round((SELECT w FROM wt) * f / (f + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))), 4) AS score
+  FROM tfq JOIN dl USING (doc_id)),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

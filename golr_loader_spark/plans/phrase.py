@@ -309,6 +309,44 @@ def phrase_search_positional(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _decode_positional_lists(pdf: pd.DataFrame, excl) -> dict[str, tuple]:
+    """Decode one bucket group's positional posting blocks →
+    {term: (doc_ids, tfs, dls, flat_positions)} with tombstone/segment
+    masking applied (``excl`` is bm25._norm_excl-normalized). Shared
+    by the phrase and span-near bucket factories."""
+    from golr_loader_spark.plans.bm25 import _live_of
+
+    per_term: dict[str, tuple] = {}
+    for term, rows in pdf.groupby("term", sort=False):
+        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
+        for r in rows.itertuples(index=False):
+            tfs_b = varint_decode(r.tfs).astype(np.int64)
+            ids_b = np.cumsum(
+                varint_decode(r.doc_ids).astype(np.int64)
+            ) + np.int64(r.doc_id_first)
+            dls_b = varint_decode(r.dls).astype(np.int64)
+            pos_b = _decode_positions(r.poss, tfs_b)
+            if excl is not None:
+                seg = np.int64(getattr(r, "segment", 0) or 0)
+                keep = _live_of(ids_b, np.full(len(ids_b), seg), excl)
+                if not keep.all():
+                    pos_b = pos_b[np.repeat(keep, tfs_b)]
+                    ids_b, tfs_b, dls_b = ids_b[keep], tfs_b[keep], dls_b[keep]
+            if len(ids_b):
+                ids_l.append(ids_b)
+                tfs_l.append(tfs_b)
+                dls_l.append(dls_b)
+                pos_l.append(pos_b)
+        if ids_l:
+            per_term[term] = (
+                np.concatenate(ids_l),
+                np.concatenate(tfs_l),
+                np.concatenate(dls_l),
+                np.concatenate(pos_l),
+            )
+    return per_term
+
+
 def _phrase_bucket_factory(
     seq: list[tuple[str, int]],
     idf: dict[tuple[str, str], float],
@@ -344,34 +382,7 @@ def _phrase_bucket_factory(
                 {"doc_id": np.int64, "score": np.float64}
             )
 
-        per_term: dict[str, tuple] = {}
-        for term, rows in pdf.groupby("term", sort=False):
-            ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-            for r in rows.itertuples(index=False):
-                tfs_b = varint_decode(r.tfs).astype(np.int64)
-                ids_b = np.cumsum(
-                    varint_decode(r.doc_ids).astype(np.int64)
-                ) + np.int64(r.doc_id_first)
-                dls_b = varint_decode(r.dls).astype(np.int64)
-                pos_b = _decode_positions(r.poss, tfs_b)
-                if excl is not None:
-                    seg = np.int64(getattr(r, "segment", 0) or 0)
-                    keep = _live_of(ids_b, np.full(len(ids_b), seg), excl)
-                    if not keep.all():
-                        pos_b = pos_b[np.repeat(keep, tfs_b)]
-                        ids_b, tfs_b, dls_b = ids_b[keep], tfs_b[keep], dls_b[keep]
-                if len(ids_b):
-                    ids_l.append(ids_b)
-                    tfs_l.append(tfs_b)
-                    dls_l.append(dls_b)
-                    pos_l.append(pos_b)
-            if ids_l:
-                per_term[term] = (
-                    np.concatenate(ids_l),
-                    np.concatenate(tfs_l),
-                    np.concatenate(dls_l),
-                    np.concatenate(pos_l),
-                )
+        per_term = _decode_positional_lists(pdf, excl)
         if any(t not in per_term for t in terms_seq):
             return empty()
 
@@ -450,3 +461,173 @@ def _phrase_bucket_factory(
         return pd.DataFrame({"doc_id": docs[order], "score": sc[order]})
 
     return score_group
+
+
+def _span_bucket_factory(
+    uterms: list[str],
+    window: int,
+    idf: dict[tuple[str, str], float],
+    field: str,
+    avgdl: float,
+    cfg: IndexConfig,
+    k: int,
+    excl,
+):
+    """Per-bucket UNORDERED span-near matcher (Lucene SpanNearQuery,
+    inOrder=false): a doc matches when some width-``window`` position
+    window contains at least one occurrence of every term.
+
+    Exact and fully vectorized: every minimal covering window contains
+    an occurrence of the anchor term (``uterms[0]``, the sorted-first
+    term — fixed so the SQL oracle can replicate the count); for each
+    anchor occurrence, each other term's optimal pick is one of its
+    two occurrences bracketing the anchor (anything farther only
+    widens the window), so the minimal span is the min over
+    2^(m-1) pred/succ combinations — enumerated as numpy array ops
+    over ALL anchors at once (m = distinct terms, tiny).
+
+    tf = number of anchor occurrences whose minimal covering span ≤
+    window − 1; score = BM25 with idf = Σ idf(term) over the distinct
+    terms — same fold/tie-break discipline as the phrase scorer.
+    Returns None when no term carries idf weight."""
+    sum_idf = sum(idf.get((t, field), 0.0) for t in uterms)
+    if sum_idf <= 0.0:
+        return None
+    wt = cfg.fields[field][1] * sum_idf * (cfg.k1 + 1.0)
+    k1, b = cfg.k1, cfg.b
+    anchor = uterms[0]
+    others = uterms[1:]
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def empty() -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float64}
+            )
+
+        per_term = _decode_positional_lists(pdf, excl)
+        if any(t not in per_term for t in uterms):
+            return empty()
+        cand_ids = None
+        for t in uterms:
+            u = np.unique(per_term[t][0])
+            cand_ids = (
+                u if cand_ids is None
+                else np.intersect1d(cand_ids, u, assume_unique=True)
+            )
+        if cand_ids is None or len(cand_ids) == 0:
+            return empty()
+
+        P = 2
+        for t in uterms:
+            pos_t = per_term[t][3]
+            if len(pos_t):
+                P = max(P, int(pos_t.max()) + 2)
+        comp: dict[str, np.ndarray] = {}
+        for t in uterms:
+            ids_t, tfs_t, _d, pos_t = per_term[t]
+            docrep = np.repeat(ids_t, tfs_t)
+            di = np.searchsorted(cand_ids, docrep)
+            dic = np.minimum(di, len(cand_ids) - 1)
+            ok = cand_ids[dic] == docrep
+            comp[t] = np.sort(dic[ok].astype(np.int64) * P + pos_t[ok])
+
+        A = comp[anchor]
+        n = len(A)
+        if n == 0:
+            return empty()
+        doc_of = A // P
+        # bracketing occurrences of each other term around each anchor
+        preds, succs, pred_ok, succ_ok = [], [], [], []
+        for t in others:
+            C = comp[t]
+            idx = np.searchsorted(C, A, side="left")
+            s_ok = idx < len(C)
+            s = C[np.minimum(idx, len(C) - 1)]
+            s_ok &= (s // P) == doc_of
+            p_ok = idx > 0
+            pv = C[np.maximum(idx - 1, 0)]
+            p_ok &= (pv // P) == doc_of
+            preds.append(pv)
+            succs.append(s)
+            pred_ok.append(p_ok)
+            succ_ok.append(s_ok)
+
+        best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        m1 = len(others)
+        for mask in range(1 << m1):
+            lo = A.copy()
+            hi = A.copy()
+            ok = np.ones(n, dtype=bool)
+            for i in range(m1):
+                take_pred = (mask >> i) & 1
+                v = preds[i] if take_pred else succs[i]
+                vok = pred_ok[i] if take_pred else succ_ok[i]
+                ok &= vok
+                lo = np.minimum(lo, v)
+                hi = np.maximum(hi, v)
+            span = hi - lo
+            best = np.where(ok & (span < best), span, best)
+        match = best <= window - 1
+        if not match.any():
+            return empty()
+        freq = np.bincount(
+            (A[match] // P).astype(np.int64), minlength=len(cand_ids)
+        ).astype(np.float64)
+        hit = freq > 0
+        ids0, _t0, dls0, _p0 = per_term[anchor]
+        o = np.argsort(ids0, kind="stable")
+        dl = dls0[o][np.searchsorted(ids0[o], cand_ids)].astype(np.float64)
+        score = wt * freq / (freq + k1 * ((1.0 - b) + b * dl / avgdl))
+        docs, sc = cand_ids[hit], score[hit]
+        order = np.lexsort((docs, -sc))[:k]
+        return pd.DataFrame({"doc_id": docs[order], "score": sc[order]})
+
+    return score_group
+
+
+def span_near_search(
+    index: InvertedIndex,
+    terms: list[str],
+    window: int,
+    k: int = 10,
+    field: str | None = None,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Unordered span-near over a POSITIONAL index: top-k docs where
+    some width-``window`` token window contains every term in
+    ``terms`` (each analyzed to its indexed form; duplicates
+    deduplicated — unordered set semantics). The ORDERED variant is
+    ``phrase_search_positional(..., slop=...)``. Same plan shape as
+    the positional phrase path: one pruned scan of the terms' blocks,
+    one groupBy(bucket), no corpus read."""
+    from golr_loader_spark.plans.bm25 import _norm_excl
+
+    cfg = cfg or index.cfg
+    if "poss" not in index.postings.columns:
+        raise ValueError(
+            "span_near_search needs a positional index — build with "
+            "IndexConfig(positions=True)"
+        )
+    field = field or next(iter(cfg.fields))
+    analyzer = cfg.fields[field][0]
+    uterms = sorted(
+        {t for raw in terms for t, _p in analyze_phrase(raw, analyzer, cfg.min_term_len)}
+    )
+    spark = index.postings.sparkSession
+    if not uterms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf = _idf_table(index, uterms)
+    score_group = _span_bucket_factory(
+        uterms, window, idf, field, index.avgdl_by_field[field], cfg, k,
+        _norm_excl(exclude_ids),
+    )
+    if score_group is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cand = index.postings.filter(
+        F.col("term").isin(uterms) & (F.col("field") == F.lit(field))
+    )
+    per_bucket = cand.groupBy("bucket").applyInPandas(
+        score_group, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -405,6 +405,64 @@ class LocalSearcher:
             (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
         ]
 
+    def search_span_near(
+        self,
+        terms: list[str],
+        window: int,
+        k: int = 10,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Serving-path unordered span-near (Lucene SpanNearQuery
+        inOrder=false) over a positional root — same bucket-matcher
+        factory as the distributed ``plans.phrase.span_near_search``,
+        results identical by construction."""
+        from golr_loader_spark.functions.tokenize import analyze_phrase
+        from golr_loader_spark.plans.bm25 import _norm_excl
+        from golr_loader_spark.plans.phrase import _span_bucket_factory
+
+        field = field or next(iter(self.cfg.fields))
+        analyzer = self.cfg.fields[field][0]
+        uterms = sorted(
+            {
+                t
+                for raw in terms
+                for t, _p in analyze_phrase(raw, analyzer, self.cfg.min_term_len)
+            }
+        )
+        if not uterms:
+            return []
+        idf = {
+            (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
+            for r in self._term_rows(uterms)
+        }
+        score_group = _span_bucket_factory(
+            uterms, window, idf, field, self.avgdl[field], self.cfg, k,
+            _norm_excl(self.tombstones),
+        )
+        if score_group is None:
+            return []
+        blocks = self._read_blocks(uterms)
+        if not len(blocks):
+            return []
+        if "poss" not in blocks.columns:
+            raise ValueError(
+                "search_span_near needs a positional index root — build "
+                "with IndexConfig(positions=True)"
+            )
+        blocks = blocks[blocks["field"] == field]
+        if not len(blocks):
+            return []
+        parts = [
+            score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
+        ]
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["score", "doc_id"], ascending=[False, True], ignore_index=True
+        ).head(k)
+        return [
+            (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
+        ]
+
     # ------------------------------------------------------------ facets
 
     def _load_facets(self):

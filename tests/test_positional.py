@@ -311,3 +311,131 @@ def test_compaction_preserves_positions(spark, cfg_pos):
         for r in phrase_search_positional(ix2, "data query", k=10, cfg=cfg_pos).collect()
     }
     assert got == {2, 5}  # doc 0 compacted away, positions intact
+
+
+# ------------------------------------------------------------ span-near
+
+def _brute_span_freq(
+    text: str, terms: list[str], window: int, analyzer: str
+) -> int:
+    """Unordered span-near reference: count anchor (sorted-first term)
+    positions p such that SOME window of width `window` contains p and
+    at least one occurrence of every term — brute force over all
+    occurrence combinations."""
+    import itertools
+
+    pos = _brute_positions(text, analyzer)
+    uterms = sorted(set(terms))
+    if any(t not in pos for t in uterms):
+        return 0
+    anchor, rest = uterms[0], uterms[1:]
+    n = 0
+    for p in pos[anchor]:
+        best = None
+        for combo in itertools.product(*[pos[t] for t in rest]):
+            allp = [p, *combo]
+            span = max(allp) - min(allp)
+            best = span if best is None else min(best, span)
+        if rest and best is not None and best <= window - 1:
+            n += 1
+        elif not rest:
+            n += 1
+    return n
+
+
+SPAN_ROWS = [
+    (0, "data x query y spark"),        # span 4 (window 5)
+    (1, "spark query data"),            # any order, span 2
+    (2, "data query"),                  # missing spark
+    (3, "data x x x x x query spark"),  # span 7
+    (4, "spark a data b query data"),   # two data anchors
+    (5, "other words"),
+]
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    return spark.createDataFrame(SPAN_ROWS, SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def ix_span(span_docs, cfg_pos):
+    return build_index(span_docs, cfg_pos)
+
+
+@pytest.mark.parametrize("window", [3, 5, 8])
+def test_span_near_vs_brute(window, ix_span, cfg_pos):
+    from golr_loader_spark.plans.phrase import span_near_search
+
+    terms = ["data", "query", "spark"]
+    want = {
+        doc_id
+        for doc_id, text in SPAN_ROWS
+        if _brute_span_freq(text, terms, window, "simple") > 0
+    }
+    got = {
+        r["doc_id"]
+        for r in span_near_search(
+            ix_span, terms, window=window, k=10, cfg=cfg_pos
+        ).collect()
+    }
+    assert got == want, window
+
+
+def test_span_near_unordered_and_freq(ix_span, cfg_pos):
+    from golr_loader_spark.plans.phrase import span_near_search
+
+    res = {
+        r["doc_id"]: r["score"]
+        for r in span_near_search(
+            ix_span, ["data", "query", "spark"], window=5, k=10, cfg=cfg_pos
+        ).collect()
+    }
+    # order-free: doc 1 (reversed) matches; doc 3 (span 7) and doc 2
+    # (missing term) do not
+    assert set(res) == {0, 1, 4}
+    # doc 4: only the FIRST data anchor (pos 2) fits a width-5 window
+    # (spark@0..query@4); the second (pos 5) spans 5 — anchor counting
+    # is per-occurrence, not per-doc
+    assert _brute_span_freq(SPAN_ROWS[4][1], ["data", "query", "spark"], 5, "simple") == 1
+    # widen to 6 and the second anchor qualifies too
+    assert _brute_span_freq(SPAN_ROWS[4][1], ["data", "query", "spark"], 6, "simple") == 2
+
+
+def test_span_near_serving_parity(tmp_path, ix_span, cfg_pos):
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.phrase import span_near_search
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "spanix")
+    write_index(ix_span, root, term_partitions=2)
+    ls = LocalSearcher(root, cfg_pos)
+    for window in (3, 5, 8):
+        want = [
+            (r["doc_id"], r["score"])
+            for r in span_near_search(
+                ix_span, ["data", "query", "spark"], window=window, k=10,
+                cfg=cfg_pos,
+            ).collect()
+        ]
+        got = ls.search_span_near(["data", "query", "spark"], window=window, k=10)
+        assert got == want, window
+
+
+def test_span_near_code_analyzer(ix_code, cfg_code):
+    """Span-near on the code analyzer: subword positions make
+    'user data parse' within window 3 match `user_data parse(x)`."""
+    from golr_loader_spark.plans.phrase import span_near_search
+
+    got = {
+        r["doc_id"]
+        for r in span_near_search(
+            ix_code, ["user", "data", "parse"], window=3, k=10, cfg=cfg_code
+        ).collect()
+    }
+    want = {
+        doc_id
+        for doc_id, text in CODE_ROWS
+        if _brute_span_freq(text, ["user", "data", "parse"], 3, "code") > 0
+    }
+    assert got == want and 1 in got and 4 in got
