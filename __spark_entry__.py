@@ -235,6 +235,38 @@ def _engine_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene query-string front door ('+data s* "data query"'):
+    parses and executes a MUST term + SHOULD prefix expansion +
+    SHOULD phrase through plans.lucene.search_lucene over the real
+    positional index. SQL_Q45 is the DuckDB twin; round-to-4-then-
+    rank as the other engine rows."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.lucene import search_lucene
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+        positions=True,
+    )
+    ix = build_index(d, cfg)
+    top = (
+        search_lucene(ix, '+data s* "data query"', k=1000, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def _engine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix query on the REAL engine index (Lucene PrefixQuery,
     SCORING_BOOLEAN rewrite): driver-side term-dictionary expansion,
@@ -417,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_phrase"] = _engine_phrase
     out["engine_phrase_pos"] = _engine_phrase_pos
     out["engine_span"] = _engine_span
+    out["engine_lucene"] = _engine_lucene
     out["engine_prefix"] = _engine_prefix
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
@@ -440,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q42,
         SQL_Q43,
         SQL_Q44,
+        SQL_Q45,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -453,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
     # substring path on the simple analyzer — same oracle
     out["engine_phrase_pos"] = SQL_Q37
     out["engine_span"] = SQL_Q44
+    out["engine_lucene"] = SQL_Q45
     out["engine_prefix"] = SQL_Q38
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40

@@ -1426,6 +1426,62 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# Lucene query-string oracle (engine twin parses and executes
+# '+data s* "data query"' through plans.lucene.search_lucene —
+# engine_lucene in __spark_entry__.py). Semantics under test: MUST
+# term filter, prefix expansion scoring (SCORING_BOOLEAN — every
+# s-term a doc contains scores), and a SHOULD phrase adding its
+# PhraseWeight (tf = exact positional occurrence count, idf summed
+# over the phrase's terms). Scores round to 4 BEFORE ranking.
+SQL_Q45 = """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+), tf_tab AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokp GROUP BY doc_id, term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf_tab GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf_tab WHERE term = 'data' OR term = 'query' OR term LIKE 's%'
+  GROUP BY term),
+must_docs AS (SELECT DISTINCT doc_id FROM tf_tab WHERE term = 'data'),
+contribs AS (
+  SELECT q.doc_id, q.term,
+         idf.idf * 2.2 * q.tf / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM tf_tab q
+  JOIN idf USING (term) JOIN dl USING (doc_id)
+  JOIN must_docs USING (doc_id)
+  WHERE q.term = 'data' OR q.term LIKE 's%'),
+boolscore AS (
+  SELECT doc_id, sum(contrib ORDER BY term) AS bscore
+  FROM contribs GROUP BY doc_id),
+pmatch AS (
+  SELECT a.doc_id, a.pos
+  FROM tokp a JOIN tokp b
+    ON b.doc_id = a.doc_id AND b.term = 'query' AND b.pos = a.pos + 1
+  WHERE a.term = 'data'),
+ptf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS f FROM pmatch GROUP BY doc_id),
+pscore AS (
+  SELECT ptf.doc_id,
+         (SELECT sum(idf) FROM idf WHERE term IN ('data','query')) * 2.2
+           * f / (f + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS ps
+  FROM ptf JOIN dl USING (doc_id)),
+scored AS (
+  SELECT b.doc_id, round(b.bscore + coalesce(p.ps, 0.0), 4) AS score
+  FROM boolscore b LEFT JOIN pscore p USING (doc_id)),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

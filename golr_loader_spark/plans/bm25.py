@@ -227,6 +227,7 @@ def _score_bucket_factory(
     required_terms: set[str] | None = None,
     exclude_ids=None,
     prohibited_terms: set[str] | None = None,
+    required_groups: list[set[str]] | None = None,
 ):
     """Per-bucket single-query scorer (the batch path uses
     _score_bucket_multi_factory). pdf columns: term, field,
@@ -292,7 +293,15 @@ def _score_bucket_factory(
                 {"doc_id": np.int64, "score": np.float64}
             )
 
-        required = required_terms
+        # MUST constraints as any-of groups: plain required_terms are
+        # singleton groups; required_groups (Lucene's SCORING_BOOLEAN
+        # rewrite of a MUST prefix/fuzzy — a required disjunction of
+        # its expansions) demand ≥1 match within each group
+        groups: list[set[str]] = [
+            *([{t} for t in sorted(required_terms)] if required_terms else []),
+            *(required_groups or []),
+        ]
+        required = bool(groups)
         neg_sets: list[np.ndarray] = []
         lists = []  # [(field, term, rows, wt, avgdl, ubs, max_ub)]
         for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
@@ -313,10 +322,12 @@ def _score_bucket_factory(
             lists.append((field, term, rows, wt, avg, ubs))
         if not lists:
             return empty()
-        if required and not required <= {t for _f, t, *_ in lists}:
-            # some required term has no postings in this bucket → no
-            # doc here can satisfy the conjunction
-            return empty()
+        if required:
+            avail = {t for _f, t, *_ in lists}
+            if any(not (g & avail) for g in groups):
+                # some required group has no postings in this bucket →
+                # no doc here can satisfy the conjunction
+                return empty()
         lists.sort(key=lambda x: (x[0], x[1]))  # oracle's (field, term) order
         max_ub = np.array([ubs.max() for *_x, ubs in lists])
         sum_max_ub = max_ub.sum()
@@ -363,17 +374,19 @@ def _score_bucket_factory(
             ok = scores >= theta  # complete-scored docs only (see module doc)
             uniq, scores = uniq[ok], scores[ok]
         if required:
-            # Lucene MUST: doc matches a term if it appears in ANY of
-            # the term's field lists; keep docs matching every term
+            # Lucene MUST: a group is satisfied if the doc matches ANY
+            # of its terms in ANY field; keep docs satisfying every
+            # group (singleton groups = plain conjunctive terms)
             n_match = np.zeros(len(uniq), dtype=np.int32)
-            for t in required:
-                t_ids = np.unique(
-                    np.concatenate(
-                        [i for i, lt in zip(all_ids, all_terms) if lt == t]
-                    )
-                )
-                n_match[np.searchsorted(uniq, t_ids)] += 1
-            ok = n_match == len(required)
+            for g in groups:
+                g_lists = [
+                    i for i, lt in zip(all_ids, all_terms) if lt in g
+                ]
+                if not g_lists:
+                    return empty()
+                g_ids = np.unique(np.concatenate(g_lists))
+                n_match[np.searchsorted(uniq, g_ids)] += 1
+            ok = n_match == len(groups)
             uniq, scores = uniq[ok], scores[ok]
         if neg_sets:
             # Lucene MUST_NOT: membership in any prohibited term's

@@ -36,6 +36,22 @@ from golr_loader_spark.plans.bm25 import (
 )
 
 
+def _lev_le(a: str, b: str, m: int) -> bool:
+    """Banded Levenshtein ≤ m with early exit — the automata-free
+    analog of Lucene's LevenshteinAutomata terms-index walk."""
+    if abs(len(a) - len(b)) > m:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        if min(cur) > m:
+            return False
+        prev = cur
+    return prev[-1] <= m
+
+
 class _RowGroupIndex:
     """One-time footer scan over a term-sorted parquet directory: keeps
     memory-mapped ``ParquetFile`` handles open and a [(term_min,
@@ -203,6 +219,7 @@ class LocalSearcher:
         k: int,
         required: set[str] | None = None,
         prohibited: set[str] | None = None,
+        required_groups: list[set[str]] | None = None,
     ) -> list[tuple[int, float]]:
         """Shared scoring core: read blocks for ``read_terms``
         (scoring ∪ prohibited), run the SAME bucket scorer as the
@@ -213,7 +230,7 @@ class LocalSearcher:
         score_group = _score_bucket_factory(
             weights, self.avgdl, self.cfg, k,
             required_terms=required, exclude_ids=self.tombstones,
-            prohibited_terms=prohibited,
+            prohibited_terms=prohibited, required_groups=required_groups,
         )
         parts = [
             score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
@@ -317,22 +334,7 @@ class LocalSearcher:
         q = query_term.strip().lower()
         if not q:
             return []
-
-        def lev_le(a: str, b: str, m: int) -> bool:
-            if abs(len(a) - len(b)) > m:
-                return False
-            prev = list(range(len(b) + 1))
-            for i, ca in enumerate(a, 1):
-                cur = [i]
-                for j, cb in enumerate(b, 1):
-                    cur.append(
-                        min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
-                    )
-                if min(cur) > m:
-                    return False
-                prev = cur
-            return prev[-1] <= m
-
+        lev_le = _lev_le
         pref = q[:prefix_length]
         terms = sorted(
             t
@@ -462,6 +464,127 @@ class LocalSearcher:
         return [
             (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
         ]
+
+    def query(
+        self, querystring: str, k: int = 10, max_expansions: int = 1024
+    ) -> list[tuple[int, float]]:
+        """Serving-path Lucene query string (see ``plans.lucene`` for
+        syntax and semantics) — term/prefix/fuzzy clauses through the
+        shared bucket scorer (MUST multi-term clauses as required
+        any-of groups), phrase clauses through ``search_phrase``,
+        combined with BooleanQuery score summation. Mirrors
+        ``lucene.search_lucene`` clause for clause."""
+        from golr_loader_spark.functions.tokenize import analyze_query
+        from golr_loader_spark.plans.lucene import (
+            Fuzzy,
+            Phrase,
+            Prefix,
+            Term,
+            parse_lucene,
+        )
+
+        clauses = parse_lucene(querystring)
+        if not clauses:
+            return []
+        qan = query_analyzer(self.cfg)
+        should: set[str] = set()
+        groups: list[set[str]] = []
+        prohibited: set[str] = set()
+        phrases: list[tuple[str, "Phrase"]] = []
+        vocab = None
+        for occur, node in clauses:
+            if isinstance(node, Phrase):
+                phrases.append((occur, node))
+                continue
+            if isinstance(node, Term):
+                terms = set(analyze_query(node.text, qan))
+            else:
+                if vocab is None:
+                    vocab = self._vocab_terms()
+                if isinstance(node, Prefix):
+                    p = node.text.lower()
+                    terms = {t for t in vocab if t.startswith(p)}
+                else:
+                    t0 = node.text.lower()
+                    terms = {
+                        t for t in vocab if _lev_le(t0, t, node.max_edits)
+                    }
+                if len(terms) > max_expansions:
+                    raise ValueError(
+                        f"clause expands to >{max_expansions} terms"
+                    )
+            if not terms:
+                if occur == "MUST":
+                    return []
+                continue
+            if occur == "MUST_NOT":
+                prohibited |= terms
+            elif occur == "MUST":
+                groups.append(terms)
+                should |= terms
+            else:
+                should |= terms
+
+        if not should and not phrases:
+            return []
+        scores: dict[int, float] = {}
+        matched_bool = False
+        if should:
+            weights = self._weights_of(self._term_rows(sorted(should)))
+            avail = {t for (t, _f) in weights}
+            if any(not (g & avail) for g in groups):
+                return []
+            res = self._score(
+                weights,
+                sorted(should | prohibited),
+                k if not phrases else self.n_docs,
+                prohibited=prohibited or None,
+                required_groups=[g & avail for g in groups] or None,
+            )
+            scores = dict(res)
+            matched_bool = True
+        has_must = bool(groups)
+        # positives first: a MUST_NOT phrase must subtract from the
+        # final positive set regardless of clause order
+        phrases.sort(key=lambda c: c[0] == "MUST_NOT")
+        for occur, ph in phrases:
+            pres = dict(
+                self.search_phrase(ph.text, k=self.n_docs, slop=ph.slop)
+            )
+            if occur == "MUST_NOT":
+                if matched_bool or scores:
+                    scores = {
+                        d: s for d, s in scores.items() if d not in pres
+                    }
+                continue
+            if not matched_bool and not scores and occur in ("MUST", "SHOULD"):
+                scores = dict(pres)
+                matched_bool = True
+                if occur == "MUST":
+                    has_must = True
+                continue
+            if occur == "MUST":
+                scores = {
+                    d: s + pres[d] for d, s in scores.items() if d in pres
+                }
+                has_must = True
+            else:
+                if has_must:
+                    scores = {
+                        d: s + pres.get(d, 0.0) for d, s in scores.items()
+                    }
+                else:
+                    for d, ps in pres.items():
+                        scores[d] = scores.get(d, 0.0) + ps
+        if prohibited and not should:
+            # phrase-only positive part: drop docs holding any
+            # prohibited term (decode-only membership read)
+            neg: set[int] = set()
+            for t in sorted(prohibited):
+                neg.update(int(d) for d in self.matching_ids(t, mode="or"))
+            scores = {d: s for d, s in scores.items() if d not in neg}
+        out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [(int(d), float(s)) for d, s in out]
 
     # ------------------------------------------------------------ facets
 
