@@ -305,7 +305,11 @@ def _score_bucket_factory(
         neg_sets: list[np.ndarray] = []
         lists = []  # [(field, term, rows, wt, avgdl, ubs, max_ub)]
         for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
-            if prohibited_terms and term in prohibited_terms:
+            # prohibited entries are bare terms (any field) or
+            # (term, field) pairs (field-restricted MUST_NOT)
+            if prohibited_terms and (
+                term in prohibited_terms or (term, field) in prohibited_terms
+            ):
                 if field in cfg.fields:
                     ids, _tf, _dl = decode_list(_sort_blocks(rows))
                     if len(ids):
@@ -324,6 +328,7 @@ def _score_bucket_factory(
             return empty()
         if required:
             avail = {t for _f, t, *_ in lists}
+            avail |= {(t, f) for f, t, *_ in lists}
             if any(not (g & avail) for g in groups):
                 # some required group has no postings in this bucket →
                 # no doc here can satisfy the conjunction
@@ -346,6 +351,7 @@ def _score_bucket_factory(
 
         acc: dict[int, float] = {}
         all_ids, all_contribs, all_terms = [], [], []
+        all_fields: list[str] = []
         pruned_any = False
         for li, (field, term, rows, wt, avg, ubs) in enumerate(lists):
             others = sum_max_ub - max_ub[li]
@@ -363,6 +369,7 @@ def _score_bucket_factory(
             all_ids.append(ids)
             all_contribs.append(contrib)
             all_terms.append(term)
+            all_fields.append(field)
         if not all_ids:
             return empty()
         uniq = np.unique(np.concatenate(all_ids))
@@ -379,8 +386,12 @@ def _score_bucket_factory(
             # group (singleton groups = plain conjunctive terms)
             n_match = np.zeros(len(uniq), dtype=np.int32)
             for g in groups:
+                # group members are bare terms (any field) or
+                # (term, field) pairs (field-restricted MUST)
                 g_lists = [
-                    i for i, lt in zip(all_ids, all_terms) if lt in g
+                    i
+                    for i, lt, lf in zip(all_ids, all_terms, all_fields)
+                    if lt in g or (lt, lf) in g
                 ]
                 if not g_lists:
                     return empty()

@@ -14,11 +14,16 @@ the same front door. Supported syntax:
   PhraseQuery, positional index required;
 * ``prefix*`` — PrefixQuery (SCORING_BOOLEAN rewrite);
 * ``term~`` / ``term~1`` — FuzzyQuery (Levenshtein expansion,
-  default max edits 2, like Lucene).
+  default max edits 2, like Lucene);
+* ``field:term`` / ``field:"a phrase"`` — field selectors: the
+  clause scores, matches, and (for MUST/MUST_NOT) gates on that
+  field only; the field must exist in the IndexConfig;
+* ``term^2`` / ``"a phrase"^1.5`` — clause boosts (multiply the
+  clause's score contribution; clauses hitting the same (term,
+  field) sum, scoring being linear in the weight).
 
-Unsupported (clear ``ValueError``): parentheses/nesting, ``field:``
-selectors, range queries, boosts (``^``), wildcards other than a
-trailing ``*``.
+Unsupported (clear ``ValueError``): parentheses/nesting, range
+queries, wildcards other than a trailing ``*``.
 
 Execution maps onto the engine's existing machinery, so every clause
 type keeps its already-oracled semantics:
@@ -65,29 +70,40 @@ MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
 @dataclass(frozen=True)
 class Term:
     text: str
+    field: str | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Phrase:
     text: str
     slop: int = 0
+    field: str | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Prefix:
     text: str
+    field: str | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Fuzzy:
     text: str
     max_edits: int = 2
+    field: str | None = None
+    boost: float = 1.0
 
 
 _TOKEN = re.compile(
     r"""
     \s*(?:
-      (?P<phrase>"(?P<ptext>[^"]*)"(?:~(?P<pslop>\d+))?)
+      (?P<phrase>(?P<pfield>[A-Za-z_]\w*:)?
+                 "(?P<ptext>[^"]*)"
+                 (?:~(?P<pslop>\d+))?
+                 (?:\^(?P<pboost>\d+(?:\.\d+)?))?)
     | (?P<and>AND|&&)
     | (?P<or>OR|\|\|)
     | (?P<not>NOT|!)
@@ -144,24 +160,38 @@ def parse_lucene(query: str) -> list[tuple[str, object]]:
             continue
 
         if m.group("phrase") is not None:
+            pf = m.group("pfield")
             node: object = Phrase(
-                m.group("ptext"), int(m.group("pslop") or 0)
+                m.group("ptext"),
+                int(m.group("pslop") or 0),
+                field=pf[:-1] if pf else None,
+                boost=float(m.group("pboost") or 1.0),
             )
         else:
             w = m.group("word")
+            field = None
             if ":" in w:
-                raise ValueError("field: selectors are not supported")
+                field, _, w = w.partition(":")
+                if not re.fullmatch(r"[A-Za-z_]\w*", field) or not w:
+                    raise ValueError(f"bad field selector: {field!r}")
+            boost = 1.0
+            bm = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", w)
+            if bm:
+                w, boost = bm.group(1), float(bm.group(2))
             fm = re.fullmatch(r"(.+?)~(\d?)", w)
             if fm:
-                node = Fuzzy(fm.group(1), int(fm.group(2) or 2))
+                node = Fuzzy(
+                    fm.group(1), int(fm.group(2) or 2), field=field,
+                    boost=boost,
+                )
             elif w.endswith("*") and len(w) > 1 and "*" not in w[:-1]:
-                node = Prefix(w[:-1])
+                node = Prefix(w[:-1], field=field, boost=boost)
             elif "*" in w:
                 raise ValueError(
                     "only trailing-* wildcards are supported"
                 )
             else:
-                node = Term(w)
+                node = Term(w, field=field, boost=boost)
         occur = pending_occur or (MUST if and_prev else SHOULD)
         explicit = pending_explicit or and_prev
         clauses.append([occur, node, explicit])
@@ -170,12 +200,13 @@ def parse_lucene(query: str) -> list[tuple[str, object]]:
 
 
 def _expand_prefix(
-    index: InvertedIndex, cfg: IndexConfig, p: str, max_expansions: int
+    index: InvertedIndex, cfg: IndexConfig, p: str, max_expansions: int,
+    fields: list[str] | None = None,
 ) -> list:
     rows = (
         index.term_stats.filter(
             F.col("term").startswith(p.lower())
-            & F.col("field").isin(list(cfg.fields))
+            & F.col("field").isin(list(fields or cfg.fields))
         )
         .select("term", "field", "df")
         .collect()
@@ -190,11 +221,11 @@ def _expand_prefix(
 
 def _expand_fuzzy(
     index: InvertedIndex, cfg: IndexConfig, t: str, max_edits: int,
-    max_expansions: int,
+    max_expansions: int, fields: list[str] | None = None,
 ) -> list:
     rows = (
         index.term_stats.filter(
-            F.col("field").isin(list(cfg.fields))
+            F.col("field").isin(list(fields or cfg.fields))
             & (F.levenshtein(F.col("term"), F.lit(t.lower())) <= max_edits)
         )
         .select("term", "field", "df")
@@ -230,42 +261,56 @@ def search_lucene(
         return empty
     qan = query_analyzer(cfg)
 
-    should_terms: set[str] = set()
-    groups: list[set[str]] = []  # MUST any-of groups
-    prohibited: set[str] = set()
-    expansion_rows: list = []  # term_stats rows for expanded terms
+    # (occur, terms, fields, boost) per non-phrase clause; a clause
+    # with field: restricts both its scoring AND its MUST/MUST_NOT
+    # membership test to that field
+    term_clauses: list[tuple[str, set[str], list[str], float]] = []
     phrases: list[tuple[str, Phrase]] = []
     for occur, node in clauses:
+        nf = getattr(node, "field", None)
+        if nf is not None and nf not in cfg.fields:
+            raise ValueError(f"unknown field {nf!r} (config: {list(cfg.fields)})")
         if isinstance(node, Phrase):
             phrases.append((occur, node))
             continue
+        fields = [nf] if nf else list(cfg.fields)
         if isinstance(node, Term):
-            terms = set(analyze_query(node.text, qan))
+            an = cfg.fields[nf][0] if nf else qan
+            terms = set(analyze_query(node.text, an))
         else:
             rows = (
-                _expand_prefix(index, cfg, node.text, max_expansions)
+                _expand_prefix(index, cfg, node.text, max_expansions, fields)
                 if isinstance(node, Prefix)
                 else _expand_fuzzy(
-                    index, cfg, node.text, node.max_edits, max_expansions
+                    index, cfg, node.text, node.max_edits, max_expansions,
+                    fields,
                 )
             )
             terms = {r["term"] for r in rows}
-            if occur != MUST_NOT:
-                expansion_rows.extend(rows)
         if not terms:
-            if occur == MUST and isinstance(node, (Prefix, Fuzzy, Term)):
+            if occur == MUST:
                 return empty  # a MUST clause matching nothing
             continue
+        term_clauses.append((occur, terms, fields, node.boost))
+
+    should_terms: set[str] = set()
+    groups: list[set] = []  # members: bare term or (term, field)
+    prohibited: set = set()
+    for occur, terms, fields, _boost in term_clauses:
+        restricted = len(fields) < len(cfg.fields)
+        members = (
+            {(t, f) for t in terms for f in fields} if restricted
+            else set(terms)
+        )
         if occur == MUST_NOT:
-            prohibited |= terms
-        elif occur == MUST:
-            # one analyzed query word can yield several index terms
-            # (code analyzer subwords) — any of them satisfies the
-            # clause, all of them score
-            groups.append(terms)
-            should_terms |= terms
+            prohibited |= members
         else:
             should_terms |= terms
+            if occur == MUST:
+                # one analyzed query word can yield several index
+                # terms (code analyzer subwords) — any satisfies the
+                # clause, all of them score
+                groups.append(members)
 
     if not should_terms and not phrases:
         return empty  # nothing positive to match (pure negation)
@@ -275,19 +320,28 @@ def search_lucene(
         from golr_loader_spark.plans.bm25 import _idf_table
 
         idf = _idf_table(index, sorted(should_terms))
-        for (t, f), d in _df_sums(expansion_rows).items():
-            idf.setdefault((t, f), bm25_idf(index.n_docs, d))
-        weights = {
-            (t, f): (cfg.fields[f][1] * i) * (cfg.k1 + 1.0)
-            for (t, f), i in idf.items()
-            if f in cfg.fields and t in should_terms
-        }
-        avail = {t for (t, _f) in weights}
+        # clause-additive weights (Lucene clause boosts; two clauses
+        # hitting the same (term, field) sum — scoring is linear in
+        # the weight)
+        weights: dict[tuple[str, str], float] = {}
+        for occur, terms, fields, boost in term_clauses:
+            if occur == MUST_NOT:
+                continue
+            for t in terms:
+                for f in fields:
+                    i = idf.get((t, f))
+                    if i is None or f not in cfg.fields:
+                        continue
+                    weights[(t, f)] = weights.get((t, f), 0.0) + (
+                        boost * cfg.fields[f][1] * i * (cfg.k1 + 1.0)
+                    )
+        avail = set(weights) | {t for (t, _f) in weights}
         if any(not (g & avail) for g in groups):
             return empty  # a MUST group has no indexed term
         groups = [g & avail for g in groups]
+        prohib_terms = {m if isinstance(m, str) else m[0] for m in prohibited}
         cand = index.postings.filter(
-            F.col("term").isin(sorted(should_terms | prohibited))
+            F.col("term").isin(sorted(should_terms | prohib_terms))
             & F.col("field").isin(list(cfg.fields))
         )
         fn = _score_bucket_factory(
@@ -309,10 +363,14 @@ def search_lucene(
     # positive set regardless of its position in the query string
     phrases.sort(key=lambda c: c[0] == MUST_NOT)
     for occur, ph in phrases:
-        pdf = phrase_search_positional(
-            index, ph.text, k=index.n_docs, slop=ph.slop, cfg=cfg,
-            exclude_ids=exclude_ids,
-        ).withColumnRenamed("score", "_ps")
+        pdf = (
+            phrase_search_positional(
+                index, ph.text, k=index.n_docs, slop=ph.slop, cfg=cfg,
+                exclude_ids=exclude_ids, field=ph.field,
+            )
+            .withColumnRenamed("score", "_ps")
+            .withColumn("_ps", F.col("_ps") * F.lit(float(ph.boost)))
+        )
         if occur == MUST_NOT:
             if out is not None:
                 out = out.join(pdf.select("doc_id"), on="doc_id", how="left_anti")
@@ -347,8 +405,17 @@ def search_lucene(
         # (decode only the prohibited terms' doc_id streams)
         from golr_loader_spark.plans.phrase import decode_postings
 
+        bare = sorted(m for m in prohibited if isinstance(m, str))
+        pairs = sorted(m for m in prohibited if not isinstance(m, str))
         neg = decode_postings(
-            index, sorted(prohibited), cfg, exclude_ids=exclude_ids
-        ).select("doc_id").distinct()
+            index,
+            sorted({*bare, *(t for t, _f in pairs)}),
+            cfg,
+            exclude_ids=exclude_ids,
+        )
+        cond = F.col("term").isin(bare) if bare else F.lit(False)
+        for t, f in pairs:
+            cond = cond | ((F.col("term") == t) & (F.col("field") == f))
+        neg = neg.filter(cond).select("doc_id").distinct()
         out = out.join(neg, on="doc_id", how="left_anti")
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -487,28 +487,38 @@ class LocalSearcher:
         if not clauses:
             return []
         qan = query_analyzer(self.cfg)
-        should: set[str] = set()
-        groups: list[set[str]] = []
-        prohibited: set[str] = set()
+        term_clauses: list[tuple[str, set[str], list[str], float]] = []
         phrases: list[tuple[str, "Phrase"]] = []
         vocab = None
         for occur, node in clauses:
+            nf = getattr(node, "field", None)
+            if nf is not None and nf not in self.cfg.fields:
+                raise ValueError(
+                    f"unknown field {nf!r} (config: {list(self.cfg.fields)})"
+                )
             if isinstance(node, Phrase):
                 phrases.append((occur, node))
                 continue
+            fields = [nf] if nf else list(self.cfg.fields)
             if isinstance(node, Term):
-                terms = set(analyze_query(node.text, qan))
+                an = self.cfg.fields[nf][0] if nf else qan
+                terms = set(analyze_query(node.text, an))
             else:
                 if vocab is None:
                     vocab = self._vocab_terms()
                 if isinstance(node, Prefix):
                     p = node.text.lower()
-                    terms = {t for t in vocab if t.startswith(p)}
+                    cand_t = [t for t in vocab if t.startswith(p)]
                 else:
                     t0 = node.text.lower()
-                    terms = {
+                    cand_t = [
                         t for t in vocab if _lev_le(t0, t, node.max_edits)
-                    }
+                    ]
+                terms = {
+                    r["term"]
+                    for r in self._term_rows(cand_t)
+                    if r["field"] in fields
+                }
                 if len(terms) > max_expansions:
                     raise ValueError(
                         f"clause expands to >{max_expansions} terms"
@@ -517,26 +527,57 @@ class LocalSearcher:
                 if occur == "MUST":
                     return []
                 continue
+            term_clauses.append(
+                (occur, terms, fields, getattr(node, "boost", 1.0))
+            )
+
+        should: set[str] = set()
+        groups: list[set] = []
+        prohibited: set = set()
+        for occur, terms, fields, _boost in term_clauses:
+            restricted = len(fields) < len(self.cfg.fields)
+            members = (
+                {(t, f) for t in terms for f in fields} if restricted
+                else set(terms)
+            )
             if occur == "MUST_NOT":
-                prohibited |= terms
-            elif occur == "MUST":
-                groups.append(terms)
-                should |= terms
+                prohibited |= members
             else:
                 should |= terms
+                if occur == "MUST":
+                    groups.append(members)
 
         if not should and not phrases:
             return []
         scores: dict[int, float] = {}
         matched_bool = False
         if should:
-            weights = self._weights_of(self._term_rows(sorted(should)))
-            avail = {t for (t, _f) in weights}
+            idf = {
+                (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
+                for r in self._term_rows(sorted(should))
+            }
+            weights: dict[tuple[str, str], float] = {}
+            for occur, terms, fields, boost in term_clauses:
+                if occur == "MUST_NOT":
+                    continue
+                for t in terms:
+                    for f in fields:
+                        i = idf.get((t, f))
+                        if i is None or f not in self.cfg.fields:
+                            continue
+                        weights[(t, f)] = weights.get((t, f), 0.0) + (
+                            boost * self.cfg.fields[f][1] * i
+                            * (self.cfg.k1 + 1.0)
+                        )
+            avail = set(weights) | {t for (t, _f) in weights}
             if any(not (g & avail) for g in groups):
                 return []
+            prohib_names = {
+                m if isinstance(m, str) else m[0] for m in prohibited
+            }
             res = self._score(
                 weights,
-                sorted(should | prohibited),
+                sorted(should | prohib_names),
                 k if not phrases else self.n_docs,
                 prohibited=prohibited or None,
                 required_groups=[g & avail for g in groups] or None,
@@ -548,9 +589,12 @@ class LocalSearcher:
         # final positive set regardless of clause order
         phrases.sort(key=lambda c: c[0] == "MUST_NOT")
         for occur, ph in phrases:
-            pres = dict(
-                self.search_phrase(ph.text, k=self.n_docs, slop=ph.slop)
-            )
+            pres = {
+                d: s * float(ph.boost)
+                for d, s in self.search_phrase(
+                    ph.text, k=self.n_docs, slop=ph.slop, field=ph.field
+                )
+            }
             if occur == "MUST_NOT":
                 if matched_bool or scores:
                     scores = {
@@ -578,11 +622,21 @@ class LocalSearcher:
                         scores[d] = scores.get(d, 0.0) + ps
         if prohibited and not should:
             # phrase-only positive part: drop docs holding any
-            # prohibited term (decode-only membership read)
-            neg: set[int] = set()
-            for t in sorted(prohibited):
-                neg.update(int(d) for d in self.matching_ids(t, mode="or"))
-            scores = {d: s for d, s in scores.items() if d not in neg}
+            # prohibited term (decode-only membership read; field-
+            # restricted members mask only their field's postings)
+            from golr_loader_spark.plans.facets import _match_bucket_factory
+
+            tmap: dict[str, list[str]] = {}
+            for m in prohibited:
+                if isinstance(m, str):
+                    tmap[m] = list(self.cfg.fields)
+                else:
+                    tmap.setdefault(m[0], []).append(m[1])
+            blocks = self._read_blocks(sorted(tmap))
+            if len(blocks):
+                fn = _match_bucket_factory(tmap, None, self.tombstones)
+                neg = {int(d) for d in fn(blocks)["doc_id"].to_numpy()}
+                scores = {d: s for d, s in scores.items() if d not in neg}
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
 

@@ -67,7 +67,7 @@ def test_parser_shapes():
     assert parse_lucene('NOT a "x y"~3') == [
         ("MUST_NOT", Term("a")), ("SHOULD", Phrase("x y", 3)),
     ]
-    for bad in ['(a b)', 'f:x', 'mid*dle', '"open']:
+    for bad in ['(a b)', 'mid*dle', '"open', '1bad:x']:
         with pytest.raises(ValueError):
             parse_lucene(bad)
 
@@ -162,5 +162,111 @@ def test_serving_query_parity(tmp_path, ix, cfg):
         '-"data query" data',
     ]:
         want = rows(search_lucene(ix, q, k=10, cfg=cfg))
+        got = ls.query(q, k=10)
+        assert got == want, q
+
+
+# ------------------------------------------------- field: and ^boost
+
+FROWS = [
+    (0, "data query spark", "alpha build"),
+    (1, "query data", "beta data"),
+    (2, "spark joins", "alpha data"),
+    (3, "data engine", "gamma tools"),
+]
+FSCHEMA = "doc_id long, text string, tag string"
+
+
+@pytest.fixture(scope="module")
+def fcfg():
+    return IndexConfig(
+        fields={"text": ("simple", 1.0), "tag": ("simple", 1.0)},
+        bucket_bits=2, id_space_bits=3, positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def fix(spark, fcfg):
+    return build_index(spark.createDataFrame(FROWS, FSCHEMA).cache(), fcfg)
+
+
+def test_parser_field_and_boost():
+    assert parse_lucene("tag:alpha text:pre* f:x~1") == [
+        ("SHOULD", Term("alpha", field="tag")),
+        ("SHOULD", Prefix("pre", field="text")),
+        ("SHOULD", Fuzzy("x", 1, field="f")),
+    ]
+    assert parse_lucene('data^2 "a b"^1.5 tag:"x y"~2') == [
+        ("SHOULD", Term("data", boost=2.0)),
+        ("SHOULD", Phrase("a b", 0, boost=1.5)),
+        ("SHOULD", Phrase("x y", 2, field="tag")),
+    ]
+
+
+def test_field_selector_restricts_matching(fix, fcfg):
+    # 'alpha' only ever appears in tag; 'data' appears in both fields
+    got = {d for d, _s in rows(search_lucene(fix, "+tag:alpha", k=10, cfg=fcfg))}
+    assert got == {0, 2}
+    # tag:data matches docs whose TAG holds data (1, 2) — not doc 0/3
+    got2 = {d for d, _s in rows(search_lucene(fix, "+tag:data", k=10, cfg=fcfg))}
+    assert got2 == {1, 2}
+    # unrestricted +data matches any field
+    got3 = {d for d, _s in rows(search_lucene(fix, "+data", k=10, cfg=fcfg))}
+    assert got3 == {0, 1, 2, 3}
+    # field-restricted MUST_NOT: docs with data in TEXT, minus tag-alpha
+    got4 = {
+        d for d, _s in rows(
+            search_lucene(fix, "+text:data -tag:alpha", k=10, cfg=fcfg)
+        )
+    }
+    assert got4 == {1, 3}
+    with pytest.raises(ValueError, match="unknown field"):
+        search_lucene(fix, "nope:data", k=10, cfg=fcfg).collect()
+
+
+def test_field_restricted_scoring(fix, fcfg):
+    """text:data scores only the text field's contribution."""
+    both = dict(rows(search_lucene(fix, "data", k=10, cfg=fcfg)))
+    text_only = dict(rows(search_lucene(fix, "text:data", k=10, cfg=fcfg)))
+    tag_only = dict(rows(search_lucene(fix, "tag:data", k=10, cfg=fcfg)))
+    # doc 1 has data in both fields: unrestricted = sum of the parts
+    assert both[1] == pytest.approx(text_only[1] + tag_only[1], rel=1e-12)
+    assert set(text_only) == {0, 1, 3} and set(tag_only) == {1, 2}
+
+
+def test_boost_scales_linearly(fix, fcfg):
+    base = dict(rows(search_lucene(fix, "spark", k=10, cfg=fcfg)))
+    boosted = dict(rows(search_lucene(fix, "spark^3", k=10, cfg=fcfg)))
+    assert set(base) == set(boosted)
+    for d in base:
+        assert boosted[d] == pytest.approx(3.0 * base[d], rel=1e-12)
+    # phrase boost
+    pb = dict(rows(search_lucene(fix, '"data query"^2', k=10, cfg=fcfg)))
+    p1 = dict(rows(search_lucene(fix, '"data query"', k=10, cfg=fcfg)))
+    for d in p1:
+        assert pb[d] == pytest.approx(2.0 * p1[d], rel=1e-12)
+
+
+def test_field_phrase(fix, fcfg):
+    got = {d for d, _s in rows(search_lucene(fix, 'tag:"alpha data"', k=10, cfg=fcfg))}
+    assert got == {2}  # phrase in the TAG field only
+
+
+def test_serving_field_boost_parity(tmp_path, fix, fcfg):
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "flucix")
+    write_index(fix, root, term_partitions=2)
+    ls = LocalSearcher(root, fcfg)
+    for q in [
+        "+tag:alpha",
+        "+text:data -tag:alpha",
+        "text:data",
+        "spark^3 data",
+        'tag:"alpha data"',
+        '"data query"^2 -tag:beta',
+    ]:
+        want = rows(search_lucene(fix, q, k=10, cfg=fcfg))
         got = ls.query(q, k=10)
         assert got == want, q
