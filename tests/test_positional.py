@@ -439,3 +439,39 @@ def test_span_near_code_analyzer(ix_code, cfg_code):
         if _brute_span_freq(text, ["user", "data", "parse"], 3, "code") > 0
     }
     assert got == want and 1 in got and 4 in got
+
+
+# ---------------------------------------------- property: random corpora
+
+def test_property_phrase_vs_brute(spark):
+    """Hypothesis-style randomized sweep (fixed seed, deterministic):
+    on random small-vocab token streams, positional phrase matching ==
+    the brute-force reference for every (phrase, slop) probed."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(40)
+    ]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=6,
+        positions=True,
+    )
+    ix = build_index(spark.createDataFrame(docs, SCHEMA), cfg)
+    probes = [
+        ("a b", 0), ("a b", 1), ("b a c", 0), ("b a c", 2),
+        ("a a", 0), ("c d a", 3), ("a b a", 1),
+    ]
+    for phrase, slop in probes:
+        want = {
+            d for d, t in docs if _brute_phrase_freq(t, phrase, "simple", slop) > 0
+        }
+        got = {
+            r["doc_id"]
+            for r in phrase_search_positional(
+                ix, phrase, k=100, slop=slop, cfg=cfg
+            ).collect()
+        }
+        assert got == want, (phrase, slop)
