@@ -172,3 +172,48 @@ def test_multimodal_features_and_frames(spark):
     resized = resize_images(media).collect()
     assert all(r["width"] == 64 and r["height"] == 64 for r in resized)
     assert len(resized) == media.filter("kind='image'").count()
+
+
+def test_incremental_positional_phrase_matches_batch(spark, tmp_path):
+    """Positional postings flow through the streaming path: an
+    incrementally-built positions=True index answers phrase queries
+    (exact and sloppy) identically to the one-shot batch build, and
+    every epoch's blocks carry the poss column."""
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+
+    cfg = IndexConfig(positions=True)
+    corpus = flatten_documents(synth_corpus(spark, 300, seed=42)).cache()
+    raw = synth_corpus(spark, 300, seed=42)
+    stats = compute_global_stats(corpus, cfg).cache()
+
+    src = str(tmp_path / "arriving_pos")
+    raw.filter(F.xxhash64("repo", "path", "commit") % 2 == 0).write.mode(
+        "overwrite"
+    ).parquet(src)
+    raw.filter(F.xxhash64("repo", "path", "commit") % 2 != 0).write.mode(
+        "append"
+    ).parquet(src)
+
+    root = str(tmp_path / "inc_pos_ix")
+    q = incremental_index_stream(
+        spark, src, root, cfg, checkpoint_dir=str(tmp_path / "ckpt_pos")
+    )
+    q.awaitTermination(120)
+
+    ix_inc = merged_incremental_index(spark, root, stats, cfg)
+    assert "poss" in ix_inc.postings.columns
+    ix_batch = build_index(corpus, cfg)
+    for phrase, slop in [("user data", 0), ("def return", 1), ("get user", 0)]:
+        a = [
+            (r["doc_id"], r["score"])
+            for r in phrase_search_positional(
+                ix_inc, phrase, k=10, slop=slop, cfg=cfg
+            ).collect()
+        ]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in phrase_search_positional(
+                ix_batch, phrase, k=10, slop=slop, cfg=cfg
+            ).collect()
+        ]
+        assert a == b, (phrase, slop)
