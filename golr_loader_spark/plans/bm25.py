@@ -919,3 +919,72 @@ def search_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def explain(
+    index: InvertedIndex,
+    query: str,
+    doc_id: int,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+) -> dict:
+    """Lucene Explanation / Solr debugQuery=on analog: the per-term
+    score breakdown of ``doc_id`` for ``query``.
+
+    Returns {"doc_id", "score", "terms": [{term, field, tf, dl,
+    avgdl, idf, weight, contribution}, ...]} with terms in the
+    scorer's sorted (field, term) fold order — summing the
+    contributions in that order reproduces ``search``'s float for
+    the doc BIT-EXACTLY (pytest-pinned), because it is the same
+    formula over the same decoded postings in the same order.
+
+    Plan shape: one row-group-pruned scan of the query terms' blocks
+    restricted to the doc's OWN bucket (bucket is a function of
+    doc_id), decoded and filtered to the doc — a point lookup, not a
+    corpus pass."""
+    from golr_loader_spark.plans.build_index import bucket_of
+    from golr_loader_spark.plans.phrase import decode_postings
+
+    cfg = cfg or index.cfg
+    terms = analyze_query(query, query_analyzer(cfg))
+    out: dict = {"doc_id": int(doc_id), "score": 0.0, "terms": []}
+    if not terms:
+        return out
+    idf = _idf_table(index, terms)
+    avgdl = _avgdl(index)
+    flat = (
+        decode_postings(index, terms, cfg, exclude_ids=exclude_ids)
+        .filter(
+            (F.col("doc_id") == int(doc_id))
+            & (
+                F.col("bucket")
+                == bucket_of(F.lit(int(doc_id)), cfg.bucket_bits, cfg.id_space_bits)
+            )
+        )
+        .collect()
+    )
+    rows = sorted(flat, key=lambda r: (r["field"], r["term"]))
+    total = 0.0
+    for r in rows:
+        t, f = r["term"], r["field"]
+        i = idf.get((t, f))
+        if i is None or f not in cfg.fields:
+            continue
+        wt = (cfg.fields[f][1] * i) * (cfg.k1 + 1.0)
+        tf, dl, avg = float(r["tf"]), float(r["dl"]), avgdl[f]
+        contrib = wt * tf / (tf + cfg.k1 * ((1.0 - cfg.b) + cfg.b * dl / avg))
+        total += contrib
+        out["terms"].append(
+            {
+                "term": t,
+                "field": f,
+                "tf": int(r["tf"]),
+                "dl": int(r["dl"]),
+                "avgdl": avg,
+                "idf": i,
+                "weight": wt,
+                "contribution": contrib,
+            }
+        )
+    out["score"] = total
+    return out

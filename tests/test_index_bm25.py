@@ -195,3 +195,43 @@ def test_simple_analyzer_conjunctive_compound_tokens(spark):
     assert hits == [0]  # only doc 0 has BOTH tokens
     hits_or = {r["doc_id"] for r in search(ix, "foo_bar baz", k=10, cfg=cfg).collect()}
     assert hits_or == {0, 1, 2}
+
+
+def test_explain_reproduces_search_score(spark):
+    """Lucene Explanation analog: summing explain()'s per-term
+    contributions in its listed order reproduces the doc's search()
+    score bit-exactly, and the breakdown fields are self-consistent."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import explain, search
+    from golr_loader_spark.plans.build_index import build_index
+
+    rows = [
+        (0, "data query spark engine"),
+        (1, "query data data spark"),
+        (2, "data query runs"),
+        (3, "spark streaming"),
+    ]
+    cfg = IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3)
+    ix = build_index(spark.createDataFrame(rows, "doc_id long, text string"), cfg)
+    hits = {
+        r["doc_id"]: r["score"]
+        for r in search(ix, "data query spark", k=10, cfg=cfg).collect()
+    }
+    assert hits
+    for doc_id, score in hits.items():
+        ex = explain(ix, "data query spark", doc_id, cfg=cfg)
+        assert ex["score"] == score  # bit-exact, same fold order
+        total = 0.0
+        for t in ex["terms"]:
+            assert t["weight"] == pytest.approx(
+                t["idf"] * (cfg.k1 + 1.0), rel=1e-12
+            )
+            total += t["contribution"]
+        assert total == score
+    # doc 1 has tf=2 for data — its data contribution must exceed
+    # doc 0's (same dl=4)
+    e0 = explain(ix, "data", 0, cfg=cfg)
+    e1 = explain(ix, "data", 1, cfg=cfg)
+    c0 = [t for t in e0["terms"] if t["term"] == "data"][0]
+    c1 = [t for t in e1["terms"] if t["term"] == "data"][0]
+    assert c1["tf"] == 2 and c0["tf"] == 1 and c1["contribution"] > c0["contribution"]
