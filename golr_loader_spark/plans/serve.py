@@ -640,6 +640,73 @@ class LocalSearcher:
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Serving-path Lucene Explanation (Solr debugQuery=on): the
+        per-term score breakdown of ``doc_id`` for ``query`` — same
+        fields and fold order as the distributed ``bm25.explain``,
+        values identical by construction (same decoded postings, same
+        formula). The read prunes to the doc's own bucket."""
+        import numpy as _np
+
+        from golr_loader_spark.functions.codec import varint_decode
+        from golr_loader_spark.plans.bm25 import _live_of, _norm_excl
+
+        terms = analyze_query(query, query_analyzer(self.cfg))
+        out: dict = {"doc_id": int(doc_id), "score": 0.0, "terms": []}
+        if not terms:
+            return out
+        idf = {
+            (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
+            for r in self._term_rows(terms)
+        }
+        blocks = self._read_blocks(terms)
+        if not len(blocks):
+            return out
+        shift = max(0, self.cfg.id_space_bits - self.cfg.bucket_bits)
+        bucket = int(_np.int64(doc_id) >> shift)
+        blocks = blocks[blocks["bucket"] == bucket]
+        excl = _norm_excl(self.tombstones)
+        found: dict[tuple[str, str], tuple[int, int]] = {}
+        for r in blocks.itertuples(index=False):
+            if not (r.doc_id_first <= doc_id):
+                continue
+            ids = _np.cumsum(
+                varint_decode(r.doc_ids).astype(_np.int64)
+            ) + _np.int64(r.doc_id_first)
+            i = int(_np.searchsorted(ids, doc_id))
+            if i >= len(ids) or ids[i] != doc_id:
+                continue
+            if excl is not None:
+                seg = _np.int64(getattr(r, "segment", 0) or 0)
+                if not _live_of(
+                    ids[i : i + 1], _np.array([seg]), excl
+                )[0]:
+                    continue
+            tfs = varint_decode(r.tfs).astype(_np.int64)
+            dls = varint_decode(r.dls).astype(_np.int64)
+            found[(r.term, r.field)] = (int(tfs[i]), int(dls[i]))
+        total = 0.0
+        for (t, f) in sorted(found, key=lambda k: (k[1], k[0])):
+            i = idf.get((t, f))
+            if i is None or f not in self.cfg.fields:
+                continue
+            tf, dl = found[(t, f)]
+            wt = (self.cfg.fields[f][1] * i) * (self.cfg.k1 + 1.0)
+            avg = self.avgdl[f]
+            contrib = wt * tf / (
+                tf + self.cfg.k1 * ((1.0 - self.cfg.b) + self.cfg.b * dl / avg)
+            )
+            total += contrib
+            out["terms"].append(
+                {
+                    "term": t, "field": f, "tf": tf, "dl": dl,
+                    "avgdl": avg, "idf": i, "weight": wt,
+                    "contribution": contrib,
+                }
+            )
+        out["score"] = total
+        return out
+
     # ------------------------------------------------------------ facets
 
     def _load_facets(self):

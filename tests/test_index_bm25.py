@@ -235,3 +235,28 @@ def test_explain_reproduces_search_score(spark):
     c0 = [t for t in e0["terms"] if t["term"] == "data"][0]
     c1 = [t for t in e1["terms"] if t["term"] == "data"][0]
     assert c1["tf"] == 2 and c0["tf"] == 1 and c1["contribution"] > c0["contribution"]
+
+
+def test_explain_serving_parity(spark, tmp_path):
+    """LocalSearcher.explain == distributed explain, field for field."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import explain, search
+    from golr_loader_spark.plans.build_index import build_index, write_index
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    rows = [
+        (0, "data query spark engine"),
+        (1, "query data data spark"),
+        (2, "data query runs"),
+        (3, "spark streaming"),
+    ]
+    cfg = IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3)
+    ix = build_index(spark.createDataFrame(rows, "doc_id long, text string"), cfg)
+    root = str(tmp_path / "exix")
+    write_index(ix, root, term_partitions=2)
+    ls = LocalSearcher(root, cfg)
+    for r in search(ix, "data query spark", k=10, cfg=cfg).collect():
+        want = explain(ix, "data query spark", r["doc_id"], cfg=cfg)
+        got = ls.explain("data query spark", r["doc_id"])
+        assert got == want
+        assert got["score"] == r["score"]
