@@ -359,6 +359,10 @@ def search_lucene(
 
     out = bool_df
     has_must = bool(groups)
+    # True once `out` holds docs the bucket scorer never emitted (and
+    # therefore never checked against term-level MUST_NOTs) — those
+    # need the relational prohibited anti-join at the end
+    unvetted = False
     # positives first: a MUST_NOT phrase must subtract from the final
     # positive set regardless of its position in the query string
     phrases.sort(key=lambda c: c[0] == MUST_NOT)
@@ -377,18 +381,39 @@ def search_lucene(
             continue
         if out is None:
             out = pdf.withColumnRenamed("_ps", "score")
+            unvetted = True
             if occur == MUST:
                 has_must = True
             continue
         if occur == MUST:
-            out = (
-                out.join(pdf, on="doc_id", how="inner")
-                .withColumn("score", F.col("score") + F.col("_ps"))
-                .drop("_ps")
-            )
+            if has_must:
+                # the accumulated side is already MUST-gated: the
+                # phrase intersects it (both clauses required)
+                out = (
+                    out.join(pdf, on="doc_id", how="inner")
+                    .withColumn("score", F.col("score") + F.col("_ps"))
+                    .drop("_ps")
+                )
+            else:
+                # accumulated side is SHOULD-only: Lucene BooleanQuery
+                # semantics make the MUST phrase define the match set;
+                # keep EVERY phrase doc, coalescing the optional
+                # boolean contribution to 0
+                out = (
+                    out.join(pdf, on="doc_id", how="right_outer")
+                    .withColumn(
+                        "score",
+                        F.coalesce(F.col("score"), F.lit(0.0))
+                        + F.col("_ps"),
+                    )
+                    .drop("_ps")
+                )
+                unvetted = True
             has_must = True
         else:  # SHOULD phrase
             how = "left_outer" if has_must else "full_outer"
+            if how == "full_outer":
+                unvetted = True
             out = (
                 out.join(pdf, on="doc_id", how=how)
                 .withColumn(
@@ -400,9 +425,13 @@ def search_lucene(
             )
     if out is None:
         return empty
-    if prohibited and bool_df is None:
-        # phrase-only positive part: apply term MUST_NOTs relationally
-        # (decode only the prohibited terms' doc_id streams)
+    if prohibited and (bool_df is None or unvetted):
+        # `out` holds docs the bucket scorer never vetted (phrase-only
+        # positives, or phrase joins that admitted docs outside the
+        # boolean match set): apply term MUST_NOTs relationally
+        # (decode only the prohibited terms' doc_id streams). Docs the
+        # scorer DID emit hold no prohibited term, so re-filtering
+        # them is a no-op.
         from golr_loader_spark.plans.phrase import decode_postings
 
         bare = sorted(m for m in prohibited if isinstance(m, str))

@@ -42,6 +42,21 @@ Two phrase paths:
   On the simple analyzer with slop=0 its matching semantics coincide
   with the substring test, so it shares the same DuckDB oracle
   family (SQL_Q37 / SQL_Q44).
+
+**Sloppy-matching DIVERGENCE from Lucene** (``slop > 0`` only):
+this engine's sloppy matcher is *ordered, forward-displacement*
+— a greedy chain over ascending positions accepting a match when
+``span − (len(phrase) − 1) ≤ slop``. Lucene's SloppyPhraseScorer
+instead treats slop as an *edit distance* over term positions,
+which additionally admits REORDERED terms (doc ``query data``
+matches ``"data query"~2`` in Lucene — a transposition costs 2 —
+but never here, at any slop). Exact phrases (``slop=0``) agree
+with Lucene on every analyzer. Users of ``"…"~N`` syntax should
+expect a subset of Solr's sloppy match set when term order is
+inverted in the document. The same ordered semantics apply on the
+serving path (``LocalSearcher.search_phrase``) and in
+``span_near_search``'s ordered mode; ``span_near_search`` with
+``in_order=False`` is the operator that admits reordered terms.
 """
 
 from __future__ import annotations

@@ -585,6 +585,10 @@ class LocalSearcher:
             scores = dict(res)
             matched_bool = True
         has_must = bool(groups)
+        # True once `scores` holds docs the boolean scorer never
+        # emitted (so never checked against term MUST_NOTs) — those
+        # need the membership-based prohibited filter at the end
+        unvetted = False
         # positives first: a MUST_NOT phrase must subtract from the
         # final positive set regardless of clause order
         phrases.sort(key=lambda c: c[0] == "MUST_NOT")
@@ -604,13 +608,26 @@ class LocalSearcher:
             if not matched_bool and not scores and occur in ("MUST", "SHOULD"):
                 scores = dict(pres)
                 matched_bool = True
+                unvetted = True
                 if occur == "MUST":
                     has_must = True
                 continue
             if occur == "MUST":
-                scores = {
-                    d: s + pres[d] for d, s in scores.items() if d in pres
-                }
+                if has_must:
+                    # boolean side already MUST-gated: intersect
+                    scores = {
+                        d: s + pres[d] for d, s in scores.items() if d in pres
+                    }
+                else:
+                    # boolean side is SHOULD-only: Lucene BooleanQuery
+                    # semantics — the MUST phrase defines the match
+                    # set; keep every phrase doc, SHOULD contribution
+                    # coalesced to 0
+                    scores = {
+                        d: scores.get(d, 0.0) + ps
+                        for d, ps in pres.items()
+                    }
+                    unvetted = True
                 has_must = True
             else:
                 if has_must:
@@ -620,9 +637,12 @@ class LocalSearcher:
                 else:
                     for d, ps in pres.items():
                         scores[d] = scores.get(d, 0.0) + ps
-        if prohibited and not should:
-            # phrase-only positive part: drop docs holding any
-            # prohibited term (decode-only membership read; field-
+                    unvetted = True
+        if prohibited and (not should or unvetted):
+            # `scores` holds docs the boolean scorer never vetted
+            # (phrase-only positives, or phrase clauses that admitted
+            # docs outside the boolean match set): drop docs holding
+            # any prohibited term (decode-only membership read; field-
             # restricted members mask only their field's postings)
             from golr_loader_spark.plans.facets import _match_bucket_factory
 

@@ -131,6 +131,37 @@ def test_mixed_must_term_and_phrase(ix, cfg):
         assert got[d] == pytest.approx(want[d], rel=1e-12)
 
 
+def test_should_term_plus_must_phrase(ix, cfg):
+    """'engine +"data query"': the MUST phrase defines the match set
+    (Lucene BooleanQuery); docs matching the phrase but not the
+    optional 'engine' term are kept with should-score 0."""
+    got = dict(rows(search_lucene(ix, 'engine +"data query"', k=10, cfg=cfg)))
+    assert set(got) == {0, 2, 5}
+    eng = dict(rows(search(ix, "engine", k=10, cfg=cfg)))
+    ph = dict(rows(phrase_search_positional(ix, "data query", k=10, cfg=cfg)))
+    for d in got:
+        assert got[d] == pytest.approx(eng.get(d, 0.0) + ph[d], rel=1e-12)
+
+
+def test_must_phrase_admits_only_unprohibited(ix, cfg):
+    """Docs admitted through the MUST phrase (outside the boolean
+    match set) must still respect term-level MUST_NOTs."""
+    # phrase docs {0,2,5}; 'spark' docs {0,1,3}; engine matches {0}
+    got = {
+        d for d, _s in rows(
+            search_lucene(ix, 'engine -spark +"data query"', k=10, cfg=cfg)
+        )
+    }
+    assert got == {2, 5}
+    # same leak through a SHOULD phrase when the boolean side is empty
+    got2 = {
+        d for d, _s in rows(
+            search_lucene(ix, 'engine -spark "data query"', k=10, cfg=cfg)
+        )
+    }
+    assert got2 == {2, 5}
+
+
 def test_not_phrase_and_pure_negative(ix, cfg):
     got = {d for d, _s in rows(search_lucene(ix, 'data -"data query"', k=10, cfg=cfg))}
     # docs with 'data' minus docs containing the phrase {0, 2, 5}
@@ -160,6 +191,9 @@ def test_serving_query_parity(tmp_path, ix, cfg):
         '"data query" -engine',
         "+sp* +data",
         '-"data query" data',
+        'engine +"data query"',
+        'engine -spark +"data query"',
+        'engine -spark "data query"',
     ]:
         want = rows(search_lucene(ix, q, k=10, cfg=cfg))
         got = ls.query(q, k=10)
