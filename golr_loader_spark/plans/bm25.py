@@ -659,6 +659,20 @@ def search_boolean(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def _guard_expansion(base: DataFrame, max_expansions: int, what: str) -> None:
+    """Cap-check a multi-term expansion DISTRIBUTED-side, before any
+    driver materialization: count at most ``max_expansions + 1``
+    distinct terms (the limit bounds the job), so a pathological
+    expansion ('a*' against a billion-term vocabulary) raises
+    TooManyClauses without ever pulling the expansion to the driver."""
+    n = base.select("term").distinct().limit(max_expansions + 1).count()
+    if n > max_expansions:
+        raise ValueError(
+            f"{what} expands to >{max_expansions} terms "
+            "(Lucene TooManyClauses analog) — raise max_expansions"
+        )
+
+
 def search_prefix(
     index: InvertedIndex,
     prefix: str,
@@ -683,20 +697,13 @@ def search_prefix(
     if not p:
         return spark.createDataFrame([], "doc_id long, score double")
     n = index.n_docs
-    rows = (
-        index.term_stats.filter(
-            F.col("term").startswith(p) & F.col("field").isin(list(cfg.fields))
-        )
-        .select("term", "field", "df")
-        .collect()
+    base = index.term_stats.filter(
+        F.col("term").startswith(p) & F.col("field").isin(list(cfg.fields))
     )
+    _guard_expansion(base, max_expansions, f"prefix '{p}'")
+    rows = base.select("term", "field", "df").collect()
     if not rows:
         return spark.createDataFrame([], "doc_id long, score double")
-    if len({r["term"] for r in rows}) > max_expansions:
-        raise ValueError(
-            f"prefix '{p}' expands to >{max_expansions} terms "
-            "(Lucene TooManyClauses analog) — raise max_expansions"
-        )
     weights = {
         (t, f): (cfg.fields[f][1] * bm25_idf(n, d)) * (cfg.k1 + 1.0)
         for (t, f), d in _df_sums(rows).items()
@@ -731,7 +738,11 @@ def search_fuzzy(
     then score the expanded disjunction with the normal block-max
     scorer. ``prefix_length``: like Lucene, require the first p chars
     to match exactly (cuts the dictionary scan with a pushed-down
-    startswith). ``max_expansions`` caps the clause count
+    startswith) — ``prefix_length >= 1`` is the recommended production
+    setting (Lucene deployments commonly run 1-2): with
+    ``prefix_length=0`` the expansion, though distributed, one-pass
+    and pre-banded on term length, still scans the whole term
+    dictionary per query. ``max_expansions`` caps the clause count
     (TooManyClauses analog). Tie-break (score desc, doc_id asc)."""
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
@@ -742,19 +753,20 @@ def search_fuzzy(
     ts = index.term_stats.filter(F.col("field").isin(list(cfg.fields)))
     if prefix_length > 0:
         ts = ts.filter(F.col("term").startswith(q[:prefix_length]))
-    rows = (
-        ts.filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
-        .select("term", "field", "df")
-        .collect()
+    # cheap pre-band: |len(term) − len(q)| ≤ max_edits is necessary
+    # for the edit distance, evaluates JVM-side before the (costlier)
+    # levenshtein, and prunes most of a full-vocabulary scan when
+    # prefix_length=0 (Lucene walks a Levenshtein automaton over the
+    # terms index; this is the cheap Spark analog of its length gate)
+    base = ts.filter(
+        F.length(F.col("term")).between(len(q) - max_edits, len(q) + max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
     )
+    _guard_expansion(base, max_expansions, f"fuzzy '{q}'~{max_edits}")
+    rows = base.select("term", "field", "df").collect()
     if not rows:
         return spark.createDataFrame([], "doc_id long, score double")
     terms = sorted({r["term"] for r in rows})
-    if len(terms) > max_expansions:
-        raise ValueError(
-            f"fuzzy '{q}'~{max_edits} expands to {len(terms)} terms "
-            f"(> max_expansions={max_expansions})"
-        )
     weights = {
         (t, f): (cfg.fields[f][1] * bm25_idf(n, d)) * (cfg.k1 + 1.0)
         for (t, f), d in _df_sums(rows).items()

@@ -203,39 +203,32 @@ def _expand_prefix(
     index: InvertedIndex, cfg: IndexConfig, p: str, max_expansions: int,
     fields: list[str] | None = None,
 ) -> list:
-    rows = (
-        index.term_stats.filter(
-            F.col("term").startswith(p.lower())
-            & F.col("field").isin(list(fields or cfg.fields))
-        )
-        .select("term", "field", "df")
-        .collect()
+    from golr_loader_spark.plans.bm25 import _guard_expansion
+
+    base = index.term_stats.filter(
+        F.col("term").startswith(p.lower())
+        & F.col("field").isin(list(fields or cfg.fields))
     )
-    if len({r["term"] for r in rows}) > max_expansions:
-        raise ValueError(
-            f"prefix '{p}' expands to >{max_expansions} terms "
-            "(Lucene TooManyClauses analog)"
-        )
-    return rows
+    _guard_expansion(base, max_expansions, f"prefix '{p}'")
+    return base.select("term", "field", "df").collect()
 
 
 def _expand_fuzzy(
     index: InvertedIndex, cfg: IndexConfig, t: str, max_edits: int,
     max_expansions: int, fields: list[str] | None = None,
 ) -> list:
-    rows = (
-        index.term_stats.filter(
-            F.col("field").isin(list(fields or cfg.fields))
-            & (F.levenshtein(F.col("term"), F.lit(t.lower())) <= max_edits)
-        )
-        .select("term", "field", "df")
-        .collect()
+    from golr_loader_spark.plans.bm25 import _guard_expansion
+
+    q = t.lower()
+    # length pre-band evaluates before the costlier levenshtein and
+    # prunes most of the vocabulary scan (see bm25.search_fuzzy)
+    base = index.term_stats.filter(
+        F.col("field").isin(list(fields or cfg.fields))
+        & F.length(F.col("term")).between(len(q) - max_edits, len(q) + max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
     )
-    if len({r["term"] for r in rows}) > max_expansions:
-        raise ValueError(
-            f"fuzzy '{t}'~{max_edits} expands to >{max_expansions} terms"
-        )
-    return rows
+    _guard_expansion(base, max_expansions, f"fuzzy '{t}'~{max_edits}")
+    return base.select("term", "field", "df").collect()
 
 
 def search_lucene(

@@ -90,11 +90,11 @@ def decode_postings(
     bm25._norm_excl shape) masks tombstoned/superseded postings by
     each block's segment — a fast-upserted doc decodes from its newest
     copy only."""
-    from golr_loader_spark.plans.bm25 import _live_of, _norm_excl
+    from golr_loader_spark.plans.bm25 import _live_of, _norm_excl, _row_segments
 
     cfg = cfg or index.cfg
     excl = _norm_excl(exclude_ids)
-    sel = ["term", "field", "bucket", "doc_id_first", "doc_ids", "tfs", "dls"]
+    sel = ["term", "field", "bucket", "n", "doc_id_first", "doc_ids", "tfs", "dls"]
     if "segment" in index.postings.columns:
         sel.append("segment")
     cand = index.postings.filter(
@@ -102,36 +102,42 @@ def decode_postings(
     ).select(*sel)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # all of a batch's blocks decode in three varint calls (the
+        # streams are self-delimiting, so concatenated buffers decode
+        # in one vectorized pass; per-block doc_id bases re-applied
+        # with a segmented cumsum) — same shape as bm25.decode_list,
+        # no per-block pandas construction
         for pdf in batches:
             if not len(pdf):
                 continue
-            outs = []
-            for r in pdf.itertuples(index=False):
-                ids = np.cumsum(varint_decode(r.doc_ids).astype(np.int64)) + np.int64(
-                    r.doc_id_first
-                )
-                tfs = varint_decode(r.tfs).astype(np.int32)
-                dls = varint_decode(r.dls).astype(np.int32)
-                if excl is not None:
-                    seg = np.int64(getattr(r, "segment", 0))
-                    keep = _live_of(ids, np.full(len(ids), seg), excl)
+            n_pb = pdf["n"].to_numpy(np.int64)
+            firsts = pdf["doc_id_first"].to_numpy(np.int64)
+            g = np.cumsum(varint_decode(b"".join(pdf["doc_ids"])).astype(np.int64))
+            starts = np.concatenate([[0], np.cumsum(n_pb)])[:-1]
+            ids = g + np.repeat(firsts - g[starts], n_pb)
+            tfs = varint_decode(b"".join(pdf["tfs"])).astype(np.int32)
+            dls = varint_decode(b"".join(pdf["dls"])).astype(np.int32)
+            terms_r = np.repeat(pdf["term"].to_numpy(object), n_pb)
+            fields_r = np.repeat(pdf["field"].to_numpy(object), n_pb)
+            buckets_r = np.repeat(pdf["bucket"].to_numpy(np.int32), n_pb)
+            if excl is not None:
+                keep = _live_of(ids, np.repeat(_row_segments(pdf), n_pb), excl)
+                if not keep.all():
                     ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                if not len(ids):
-                    continue
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": r.term,
-                            "field": r.field,
-                            "bucket": np.int32(r.bucket),
-                            "doc_id": ids,
-                            "tf": tfs,
-                            "dl": dls,
-                        }
+                    terms_r, fields_r, buckets_r = (
+                        terms_r[keep], fields_r[keep], buckets_r[keep],
                     )
+            if len(ids):
+                yield pd.DataFrame(
+                    {
+                        "term": terms_r,
+                        "field": fields_r,
+                        "bucket": buckets_r,
+                        "doc_id": ids,
+                        "tf": tfs,
+                        "dl": dls,
+                    }
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
     return cand.mapInPandas(
         run,
@@ -329,36 +335,31 @@ def _decode_positional_lists(pdf: pd.DataFrame, excl) -> dict[str, tuple]:
     {term: (doc_ids, tfs, dls, flat_positions)} with tombstone/segment
     masking applied (``excl`` is bm25._norm_excl-normalized). Shared
     by the phrase and span-near bucket factories."""
-    from golr_loader_spark.plans.bm25 import _live_of
+    from golr_loader_spark.plans.bm25 import _live_of, _row_segments
 
     per_term: dict[str, tuple] = {}
     for term, rows in pdf.groupby("term", sort=False):
-        ids_l, tfs_l, dls_l, pos_l = [], [], [], []
-        for r in rows.itertuples(index=False):
-            tfs_b = varint_decode(r.tfs).astype(np.int64)
-            ids_b = np.cumsum(
-                varint_decode(r.doc_ids).astype(np.int64)
-            ) + np.int64(r.doc_id_first)
-            dls_b = varint_decode(r.dls).astype(np.int64)
-            pos_b = _decode_positions(r.poss, tfs_b)
-            if excl is not None:
-                seg = np.int64(getattr(r, "segment", 0) or 0)
-                keep = _live_of(ids_b, np.full(len(ids_b), seg), excl)
-                if not keep.all():
-                    pos_b = pos_b[np.repeat(keep, tfs_b)]
-                    ids_b, tfs_b, dls_b = ids_b[keep], tfs_b[keep], dls_b[keep]
-            if len(ids_b):
-                ids_l.append(ids_b)
-                tfs_l.append(tfs_b)
-                dls_l.append(dls_b)
-                pos_l.append(pos_b)
-        if ids_l:
-            per_term[term] = (
-                np.concatenate(ids_l),
-                np.concatenate(tfs_l),
-                np.concatenate(dls_l),
-                np.concatenate(pos_l),
-            )
+        # all of the term's blocks decode in four varint calls: the
+        # streams are self-delimiting, so the concatenated buffers
+        # decode in one vectorized pass each; per-block doc_id bases
+        # are re-applied with a segmented cumsum, and the position
+        # stream segments at cumsum(tfs) boundaries (block streams
+        # hold exactly Σtf varints each, so concatenation composes)
+        n_pb = rows["n"].to_numpy(np.int64)
+        firsts = rows["doc_id_first"].to_numpy(np.int64)
+        g = np.cumsum(varint_decode(b"".join(rows["doc_ids"])).astype(np.int64))
+        starts = np.concatenate([[0], np.cumsum(n_pb)])[:-1]
+        ids = g + np.repeat(firsts - g[starts], n_pb)
+        tfs = varint_decode(b"".join(rows["tfs"])).astype(np.int64)
+        dls = varint_decode(b"".join(rows["dls"])).astype(np.int64)
+        pos = _decode_positions(b"".join(rows["poss"]), tfs)
+        if excl is not None:
+            keep = _live_of(ids, np.repeat(_row_segments(rows), n_pb), excl)
+            if not keep.all():
+                pos = pos[np.repeat(keep, tfs)]
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if len(ids):
+            per_term[term] = (ids, tfs, dls, pos)
     return per_term
 
 

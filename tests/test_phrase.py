@@ -167,6 +167,28 @@ def test_fuzzy_search_matches_exact_expansion(spark, docs, ix, cfg):
     assert search_fuzzy(ix, "zzzzzzzz", max_edits=1, k=5, cfg=cfg).count() == 0
 
 
+def test_expansion_cap_trips_before_any_collect(monkeypatch, ix, cfg):
+    """The TooManyClauses guard must fire DISTRIBUTED-side: a
+    pathological expansion raises before any .collect() pulls the
+    expansion to the driver (the cap check runs as a bounded
+    distinct-limit-count job)."""
+    from pyspark.sql import DataFrame
+
+    from golr_loader_spark.plans.bm25 import search_fuzzy, search_prefix
+    from golr_loader_spark.plans.lucene import search_lucene
+
+    def no_collect(self):
+        raise AssertionError("collect() called before the cap check")
+
+    monkeypatch.setattr(DataFrame, "collect", no_collect)
+    with pytest.raises(ValueError, match="TooManyClauses"):
+        search_prefix(ix, "d", k=5, cfg=cfg, max_expansions=0)
+    with pytest.raises(ValueError, match="TooManyClauses"):
+        search_fuzzy(ix, "dta", max_edits=3, k=5, cfg=cfg, max_expansions=1)
+    with pytest.raises(ValueError, match="TooManyClauses"):
+        search_lucene(ix, "d*", k=5, cfg=cfg, max_expansions=0)
+
+
 def test_more_like_this_selection_and_exclusion(spark, docs, ix, cfg):
     """MLT picks the source doc's top tf×idf terms, respects the
     doc-frequency gates, and masks the source doc from results."""
