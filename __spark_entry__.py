@@ -437,6 +437,47 @@ def _engine_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eDisMax on the REAL engine index (Solr defType=edismax — the
+    query surface production golr/Solr UIs send): two-field index
+    ('text' + a derived 'title' = the first 8 tokens), query
+    'data query spark' with qf=title^2 text, tie=0.3, mm=2 — per-word
+    DisjunctionMax across fields with per-field idf/dl/avgdl, the tie
+    breaker adding 0.3 of the non-max fields, and docs required to
+    match ≥2 of the 3 words. Round-to-4-then-rank; SQL_Q46 is the
+    DuckDB twin (it derives the same title via list_slice)."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.dismax import search_dismax
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = d.withColumn(
+        "title",
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 8), " "),
+    )
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0), "title": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        search_dismax(
+            ix, "data query spark", {"title": 2.0, "text": 1.0},
+            k=200, tie=0.3, mm=2, cfg=cfg,
+        )
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -456,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_bool"] = _engine_bool
     out["engine_rfacet"] = _engine_rfacet
     out["engine_collapse"] = _engine_collapse
+    out["engine_dismax"] = _engine_dismax
     return out
 
 
@@ -474,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q43,
         SQL_Q44,
         SQL_Q45,
+        SQL_Q46,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -494,4 +537,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_bool"] = SQL_Q41
     out["engine_rfacet"] = SQL_Q42
     out["engine_collapse"] = SQL_Q43
+    out["engine_dismax"] = SQL_Q46
     return out

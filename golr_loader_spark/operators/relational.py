@@ -1482,6 +1482,55 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# eDisMax oracle (engine twin: plans.dismax.search_dismax over a
+# two-field index — 'text' plus a derived 'title' = the first 8
+# tokens — with qf title^2 text, tie=0.3, mm=2; engine_dismax in
+# __spark_entry__.py). Semantics under test: per-word
+# DisjunctionMaxQuery across fields (max + tie×rest, per-field idf,
+# dl and avgdl), qf boosts, and minimum-should-match gating.
+# Scores round to 4 BEFORE ranking.
+SQL_Q46 = """
+WITH tf AS (
+  SELECT 'text' AS field, doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+  UNION ALL
+  SELECT 'title', doc_id, t.term, count(*)
+  FROM documents,
+       unnest(list_slice(string_split(lower(text), ' '), 1, 8)) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT field, doc_id, sum(tf) AS dl FROM tf GROUP BY field, doc_id),
+stats AS (
+  SELECT field, CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl GROUP BY field),
+qt AS (SELECT * FROM tf WHERE term IN ('data','query','spark')),
+idf AS (
+  SELECT field, term,
+         ln(1.0 + (CAST((SELECT count(*) FROM documents) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY field, term),
+contrib AS (
+  SELECT qt.doc_id, qt.term,
+         (CASE qt.field WHEN 'title' THEN 2.0 ELSE 1.0 END)
+           * idf.idf * 2.2 * qt.tf
+           / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM qt
+  JOIN idf ON idf.field = qt.field AND idf.term = qt.term
+  JOIN dl ON dl.field = qt.field AND dl.doc_id = qt.doc_id
+  JOIN stats s ON s.field = qt.field),
+word AS (
+  SELECT doc_id, term, max(c) + 0.3 * (sum(c) - max(c)) AS ws
+  FROM contrib GROUP BY doc_id, term),
+scored AS (
+  SELECT doc_id, round(sum(ws ORDER BY term), 4) AS score
+  FROM word GROUP BY doc_id HAVING count(*) >= 2),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

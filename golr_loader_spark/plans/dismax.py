@@ -1,0 +1,280 @@
+"""eDisMax query surface (Solr ``defType=edismax`` analog).
+
+This is the query shape production Solr front ends — including the
+golr UIs that consume the cores the reference loads (the Solr sink at
+GolrLoader.java:498-515) — actually send: a free-text user query
+scored per-field with ``qf`` boosts, each query word a
+DisjunctionMaxQuery across the qf fields, plus the ``tie`` breaker
+and ``mm`` (minimum-should-match).
+
+Semantics implemented (the classic dismax core of edismax):
+
+* the user query splits on whitespace into WORDS; each word is
+  analyzed per field with that field's analyzer (a code-analyzer
+  field may expand one word to several index terms — they all score
+  for that (word, field));
+* per (word, field): ``s_f = Σ_subterms boost_cfg(f) · qf(f) ·
+  idf(t,f) · (k1+1) · tf / (tf + k1·(1−b+b·dl/avgdl_f))`` — the
+  engine's standard BM25 contribution with the qf boost multiplied
+  into the field weight;
+* per word: ``score_w = max_f s_f + tie · (Σ_f s_f − max_f s_f)`` —
+  Lucene DisjunctionMaxQuery with tiebreak multiplier. ``tie=0`` is
+  pure max (classic dismax); ``tie=1`` degrades to the plain sum
+  (equivalent to the boolean scorer);
+* a doc MATCHES word w when any qf field contains any of its
+  subterms; the doc survives when it matches ≥ ``mm`` words
+  (``parse_mm`` handles the common Solr mm subset: absolute int,
+  negative int, ``'N%'``, ``'-N%'``; percentages floor like Solr).
+  ``mm=0`` ≡ q.op=OR, ``mm='100%'`` ≡ q.op=AND;
+* doc score = Σ score_w over matched words, accumulated in query
+  word order; ranking (score desc, doc_id asc) as everywhere.
+
+**Plan shape** (the scale story): identical to ``bm25.search`` — one
+pruned scan of the query terms' posting blocks, one
+``groupBy(bucket)`` exchange, per-bucket numpy kernel, distributed
+TakeOrderedAndProject top-k. The dismax max/tie combination is a
+per-word reduction over per-field contribution arrays — no extra
+shuffle, no corpus read. Block-max pruning is NOT applied here (the
+max-per-word score of a doc is not bounded by any single list's
+block max once tie > 0 and mm gates matter); dismax queries are
+short (2-5 words × 2-3 qf fields), so the unpruned union decode is
+the WAND-disabled cost ``bm25.search(mode="and")`` already pays.
+
+The serving twin is ``serve.LocalSearcher.search_dismax`` — same
+factory, Spark-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.functions.codec import varint_decode
+from golr_loader_spark.functions.tokenize import analyze_query
+from golr_loader_spark.plans.bm25 import (
+    _avgdl,
+    _idf_table,
+    _live_of,
+    _norm_excl,
+    _row_segments,
+    _sort_blocks,
+)
+from golr_loader_spark.plans.build_index import InvertedIndex
+
+
+def parse_qf(qf) -> dict[str, float]:
+    """Solr ``qf`` → {field: boost}. Accepts a dict (passed through)
+    or the Solr string form ``"title^2 body"`` (no ^ → boost 1.0)."""
+    if isinstance(qf, dict):
+        return {f: float(b) for f, b in qf.items()}
+    out: dict[str, float] = {}
+    for part in str(qf).split():
+        f, _, b = part.partition("^")
+        out[f] = float(b) if b else 1.0
+    if not out:
+        raise ValueError("empty qf")
+    return out
+
+
+def parse_mm(mm, n_clauses: int) -> int:
+    """Solr minimum-should-match (common subset) → required count.
+
+    ``3`` → 3; ``-2`` → n−2; ``'75%'`` → floor(n·0.75) (Solr rounds
+    percentages DOWN); ``'-25%'`` → n − floor(n·0.25). Clamped to
+    [0, n]. (Solr's conditional ``'2<75%'`` clauses are not
+    supported — ValueError.)"""
+    if isinstance(mm, str):
+        s = mm.strip()
+        if "<" in s:
+            raise ValueError(
+                "conditional mm specs ('2<75%') are not supported"
+            )
+        neg = s.startswith("-")
+        if neg:
+            s = s[1:]
+        if s.endswith("%"):
+            v = (n_clauses * int(s[:-1])) // 100
+        else:
+            v = int(s)
+        v = n_clauses - v if neg else v
+    else:
+        v = int(mm)
+        if v < 0:
+            v = n_clauses + v
+    return max(0, min(v, n_clauses))
+
+
+def _decode_contrib_lists(
+    pdf: pd.DataFrame,
+    weights: dict[tuple[str, str], float],
+    avgdl_by_field: dict[str, float],
+    cfg: IndexConfig,
+    excl,
+) -> dict[tuple[str, str], tuple[np.ndarray, np.ndarray]]:
+    """Decode each weighted (term, field) list of the group →
+    {(term, field): (doc_ids, bm25_contribs)}. Concatenated-buffer
+    varint decode (three calls per list), deterministic
+    (segment, block_id) block order, tombstone masking."""
+    k1, b = cfg.k1, cfg.b
+    out: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+    for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
+        wt = weights.get((term, field))
+        if wt is None:
+            continue
+        rows = _sort_blocks(rows)
+        n_pb = rows["n"].to_numpy(np.int64)
+        firsts = rows["doc_id_first"].to_numpy(np.int64)
+        g = np.cumsum(varint_decode(b"".join(rows["doc_ids"])).astype(np.int64))
+        starts = np.concatenate([[0], np.cumsum(n_pb)])[:-1]
+        ids = g + np.repeat(firsts - g[starts], n_pb)
+        tfs = varint_decode(b"".join(rows["tfs"])).astype(np.float64)
+        dls = varint_decode(b"".join(rows["dls"])).astype(np.float64)
+        if excl is not None:
+            keep = _live_of(ids, np.repeat(_row_segments(rows), n_pb), excl)
+            if not keep.all():
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if not len(ids):
+            continue
+        avg = avgdl_by_field[field]
+        contrib = wt * tfs / (tfs + k1 * ((1.0 - b) + b * dls / avg))
+        out[(term, field)] = (ids, contrib)
+    return out
+
+
+def _dismax_bucket_factory(
+    qwords: list[dict[str, list[str]]],
+    weights: dict[tuple[str, str], float],
+    avgdl_by_field: dict[str, float],
+    cfg: IndexConfig,
+    k: int,
+    tie: float,
+    mm_count: int,
+    excl,
+):
+    """Per-bucket dismax scorer shared by the distributed path and
+    ``LocalSearcher.search_dismax`` (the module's factory pattern —
+    both paths bit-identical by construction). ``qwords``: one dict
+    per query word mapping qf field → that field's analyzed subterms.
+    ``weights``: (term, field) → qf·cfg-boost·idf·(k1+1)."""
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def empty() -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": np.int64, "score": np.float64}
+            )
+
+        lists = _decode_contrib_lists(pdf, weights, avgdl_by_field, cfg, excl)
+        if not lists:
+            return empty()
+        uniq = np.unique(np.concatenate([ids for ids, _c in lists.values()]))
+        score = np.zeros(len(uniq), dtype=np.float64)
+        nmatch = np.zeros(len(uniq), dtype=np.int32)
+        for per_field in qwords:  # query word order (float determinism)
+            field_arrs: list[np.ndarray] = []
+            matched = np.zeros(len(uniq), dtype=bool)
+            for f in sorted(per_field):  # deterministic field order
+                arr = np.zeros(len(uniq), dtype=np.float64)
+                hit = np.zeros(len(uniq), dtype=bool)
+                for t in sorted(per_field[f]):
+                    got = lists.get((t, f))
+                    if got is None:
+                        continue
+                    idx = np.searchsorted(uniq, got[0])
+                    arr[idx] += got[1]
+                    hit[idx] = True
+                if hit.any():
+                    field_arrs.append(arr)
+                    matched |= hit
+            if not field_arrs:
+                continue
+            m = np.vstack(field_arrs)
+            mx = m.max(axis=0)
+            if tie:
+                word_score = mx + tie * (m.sum(axis=0) - mx)
+            else:
+                word_score = mx
+            score += np.where(matched, word_score, 0.0)
+            nmatch += matched
+        ok = nmatch >= max(mm_count, 1)
+        if not ok.any():
+            return empty()
+        docs, sc = uniq[ok], score[ok]
+        order = np.lexsort((docs, -sc))[:k]
+        return pd.DataFrame({"doc_id": docs[order], "score": sc[order]})
+
+    return score_group
+
+
+def _analyze_qwords(
+    query: str, qf_map: dict[str, float], cfg: IndexConfig
+) -> list[dict[str, list[str]]]:
+    """Split the user query into words and analyze each per qf field
+    with that field's analyzer → one {field: subterms} dict per word
+    (words whose every field-analysis is empty are dropped, like
+    stopword-only clauses in Solr)."""
+    for f in qf_map:
+        if f not in cfg.fields:
+            raise ValueError(f"qf field {f!r} not in config ({list(cfg.fields)})")
+    qwords: list[dict[str, list[str]]] = []
+    for w in query.split():
+        per_field: dict[str, list[str]] = {}
+        for f in qf_map:
+            terms = analyze_query(w, cfg.fields[f][0])
+            if terms:
+                per_field[f] = terms
+        if per_field:
+            qwords.append(per_field)
+    return qwords
+
+
+def _dismax_weights(
+    idf: dict[tuple[str, str], float],
+    qf_map: dict[str, float],
+    cfg: IndexConfig,
+) -> dict[tuple[str, str], float]:
+    return {
+        (t, f): cfg.fields[f][1] * qf_map[f] * i * (cfg.k1 + 1.0)
+        for (t, f), i in idf.items()
+        if f in qf_map
+    }
+
+
+def search_dismax(
+    index: InvertedIndex,
+    query: str,
+    qf,
+    k: int = 10,
+    tie: float = 0.0,
+    mm=0,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Execute an eDisMax query → top-k (doc_id, score). See the
+    module docstring for semantics; ``qf`` is a Solr qf string
+    (``"title^2 body"``) or a {field: boost} dict."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    qf_map = parse_qf(qf)
+    qwords = _analyze_qwords(query, qf_map, cfg)
+    if not qwords:
+        return empty
+    mm_count = parse_mm(mm, len(qwords))
+    all_terms = sorted({t for pf in qwords for ts in pf.values() for t in ts})
+    weights = _dismax_weights(_idf_table(index, all_terms), qf_map, cfg)
+    if not weights:
+        return empty
+    fn = _dismax_bucket_factory(
+        qwords, weights, _avgdl(index), cfg, k, float(tie), mm_count,
+        _norm_excl(exclude_ids),
+    )
+    cand = index.postings.filter(
+        F.col("term").isin(all_terms) & F.col("field").isin(list(qf_map))
+    )
+    per_bucket = cand.groupBy("bucket").applyInPandas(
+        fn, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -465,6 +465,54 @@ class LocalSearcher:
             (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
         ]
 
+    def search_dismax(
+        self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0
+    ) -> list[tuple[int, float]]:
+        """Serving-path eDisMax (Solr defType=edismax analog — see
+        ``plans.dismax`` for semantics): per-word DisjunctionMax
+        across the qf fields with tie breaker and mm gating, same
+        bucket factory as the distributed ``dismax.search_dismax``,
+        results identical by construction."""
+        from golr_loader_spark.plans.bm25 import _norm_excl
+        from golr_loader_spark.plans.dismax import (
+            _analyze_qwords,
+            _dismax_bucket_factory,
+            _dismax_weights,
+            parse_mm,
+            parse_qf,
+        )
+
+        qf_map = parse_qf(qf)
+        qwords = _analyze_qwords(query, qf_map, self.cfg)
+        if not qwords:
+            return []
+        mm_count = parse_mm(mm, len(qwords))
+        all_terms = sorted({t for pf in qwords for ts in pf.values() for t in ts})
+        idf = {
+            (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
+            for r in self._term_rows(all_terms)
+        }
+        weights = _dismax_weights(idf, qf_map, self.cfg)
+        if not weights:
+            return []
+        score_group = _dismax_bucket_factory(
+            qwords, weights, self.avgdl, self.cfg, k, float(tie), mm_count,
+            _norm_excl(self.tombstones),
+        )
+        blocks = self._read_blocks(all_terms)
+        if not len(blocks):
+            return []
+        parts = [
+            score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
+        ]
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.sort_values(
+            ["score", "doc_id"], ascending=[False, True], ignore_index=True
+        ).head(k)
+        return [
+            (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
+        ]
+
     def query(
         self, querystring: str, k: int = 10, max_expansions: int = 1024
     ) -> list[tuple[int, float]]:

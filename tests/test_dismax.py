@@ -1,0 +1,181 @@
+"""eDisMax (plans/dismax.py): qf/tie/mm parsing, scoring vs a pure-
+Python brute-force model, tie=1 degeneration to the boolean sum,
+mm gating, and serving-path parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.plans.build_index import build_index
+from golr_loader_spark.plans.dismax import parse_mm, parse_qf, search_dismax
+
+ROWS = [
+    (0, "data query spark engine", "alpha data"),
+    (1, "query data spark", "data query"),
+    (2, "data query data query runs", "beta build"),
+    (3, "spark streaming joins", "spark tools"),
+    (4, "unrelated words entirely", "misc entry"),
+    (5, "the data query", "gamma data"),
+    (6, "sort scan data", "query plan"),
+    (7, "span sort query", "delta sort"),
+]
+SCHEMA = "doc_id long, text string, title string"
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return IndexConfig(
+        fields={"text": ("simple", 1.0), "title": ("simple", 1.0)},
+        bucket_bits=2, id_space_bits=3,
+    )
+
+
+@pytest.fixture(scope="module")
+def ix(spark, cfg):
+    return build_index(spark.createDataFrame(ROWS, SCHEMA).cache(), cfg)
+
+
+def rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def brute_dismax(query, qf, tie, mm):
+    """Pure-Python eDisMax over ROWS — the independent model."""
+    toks = {f: {} for f in qf}
+    for d, text, title in ROWS:
+        toks["text"][d] = text.lower().split()
+        if "title" in qf:
+            toks["title"][d] = title.lower().split()
+    n = len(ROWS)
+    dl = {f: {d: len(ts) for d, ts in toks[f].items()} for f in qf}
+    avgdl = {f: sum(dl[f].values()) / n for f in qf}
+
+    def idf(t, f):
+        df = sum(1 for d in toks[f] if t in toks[f][d])
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5)) if df else None
+
+    words = query.split()
+    need = parse_mm(mm, len(words))
+    out = {}
+    for d, _t, _ti in ROWS:
+        score, matched = 0.0, 0
+        for w in words:
+            per_field = []
+            hit = False
+            for f in sorted(qf):
+                i = idf(w, f)
+                if i is None:
+                    continue
+                tf = toks[f][d].count(w)
+                if tf:
+                    hit = True
+                s = (
+                    qf[f] * i * (K1 + 1.0) * tf
+                    / (tf + K1 * ((1.0 - B) + B * dl[f][d] / avgdl[f]))
+                )
+                per_field.append(s)
+            if not per_field:
+                continue
+            mx = max(per_field)
+            if hit:
+                score += mx + tie * (sum(per_field) - mx)
+                matched += 1
+        if matched >= max(need, 1):
+            out[d] = score
+    return out
+
+
+def test_parse_qf_and_mm():
+    assert parse_qf("title^2 body") == {"title": 2.0, "body": 1.0}
+    assert parse_qf({"a": 3}) == {"a": 3.0}
+    assert parse_mm(0, 4) == 0 and parse_mm(3, 4) == 3
+    assert parse_mm(-1, 4) == 3
+    assert parse_mm("75%", 4) == 3
+    assert parse_mm("75%", 5) == 3  # Solr floors percentages
+    assert parse_mm("-25%", 4) == 3
+    assert parse_mm("100%", 4) == 4
+    assert parse_mm(9, 4) == 4  # clamped
+    with pytest.raises(ValueError):
+        parse_mm("2<75%", 4)
+    with pytest.raises(ValueError):
+        parse_qf("")
+
+
+@pytest.mark.parametrize(
+    "query,qf,tie,mm",
+    [
+        ("data query", {"text": 1.0, "title": 2.0}, 0.0, 0),
+        ("data query", {"text": 1.0, "title": 2.0}, 0.3, 0),
+        ("data query spark", {"text": 1.0, "title": 1.5}, 0.1, 2),
+        ("data spark", {"text": 2.0, "title": 1.0}, 0.0, "100%"),
+        ("data", {"text": 1.0}, 0.5, 0),
+    ],
+)
+def test_dismax_matches_brute(ix, cfg, query, qf, tie, mm):
+    got = dict(rows(search_dismax(ix, query, qf, k=20, tie=tie, mm=mm, cfg=cfg)))
+    want = brute_dismax(query, qf, tie, mm)
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), (d, query)
+
+
+def test_tie_one_equals_boolean_sum(ix, cfg):
+    """tie=1 makes the dismax combination the plain per-field sum —
+    the disjunctive boolean scorer's semantics."""
+    from golr_loader_spark.plans.bm25 import search
+
+    got = dict(rows(search_dismax(
+        ix, "data query", {"text": 1.0, "title": 1.0}, k=20, tie=1.0, cfg=cfg
+    )))
+    want = dict(rows(search(ix, "data query", k=20, cfg=cfg)))
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_mm_gates_match_count(ix, cfg):
+    # 'engine runs': engine -> doc 0 only, runs -> doc 2 only;
+    # mm=2 -> no doc matches both
+    all_d = {d for d, _s in rows(search_dismax(
+        ix, "engine runs", "text title", k=20, mm=0, cfg=cfg
+    ))}
+    assert all_d == {0, 2}
+    assert rows(search_dismax(ix, "engine runs", "text title", k=20, mm=2, cfg=cfg)) == []
+    # mm as percentage
+    assert rows(search_dismax(ix, "engine runs", "text title", k=20, mm="100%", cfg=cfg)) == []
+
+
+def test_qf_boost_prefers_title_matches(ix, cfg):
+    """With title^5, a title hit must outrank a text-only hit of the
+    same word."""
+    got = rows(search_dismax(ix, "query", {"text": 1.0, "title": 5.0}, k=20, cfg=cfg))
+    # docs with 'query' in title: 1 ('data query'), 6 ('query plan')
+    top2 = {d for d, _s in got[:2]}
+    assert top2 == {1, 6}
+
+
+def test_unknown_qf_field_raises(ix, cfg):
+    with pytest.raises(ValueError, match="qf field"):
+        search_dismax(ix, "data", "nosuch", k=5, cfg=cfg)
+
+
+def test_serving_dismax_parity(tmp_path, ix, cfg):
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "dmx")
+    write_index(ix, root, term_partitions=2)
+    ls = LocalSearcher(root, cfg)
+    for query, qf, tie, mm in [
+        ("data query", "text title^2", 0.0, 0),
+        ("data query spark", "text title^1.5", 0.3, 2),
+        ("data", "text", 0.5, 0),
+        ("engine runs", "text title", 0.0, "100%"),
+    ]:
+        want = rows(search_dismax(ix, query, qf, k=20, tie=tie, mm=mm, cfg=cfg))
+        got = ls.search_dismax(query, qf, k=20, tie=tie, mm=mm)
+        assert got == want, (query, qf)
