@@ -437,6 +437,31 @@ def _engine_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard Solr drill-down (q + fq + facet.field) on the
+    REAL engine index: q='data query' selects, fq='+spark -engine'
+    filters WITHOUT scoring (a boolean filter query through the
+    Lucene executor — not the bare-term decode-only fast path), and
+    the facet counter tallies lang/source values over the
+    intersection. SQL_Q47 replays the same set algebra in DuckDB."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import build_facets, facet_counts
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    fx = build_facets(d, ["lang", "source"], cfg)
+    return facet_counts(
+        ix, fx, "data query", cfg=cfg, top=10, fq="+spark -engine"
+    )
+
+
 def _engine_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eDisMax on the REAL engine index (Solr defType=edismax — the
     query surface production golr/Solr UIs send): two-field index
@@ -498,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_rfacet"] = _engine_rfacet
     out["engine_collapse"] = _engine_collapse
     out["engine_dismax"] = _engine_dismax
+    out["engine_drilldown"] = _engine_drilldown
     return out
 
 
@@ -517,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q44,
         SQL_Q45,
         SQL_Q46,
+        SQL_Q47,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -538,4 +565,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_rfacet"] = SQL_Q42
     out["engine_collapse"] = SQL_Q43
     out["engine_dismax"] = SQL_Q46
+    out["engine_drilldown"] = SQL_Q47
     return out

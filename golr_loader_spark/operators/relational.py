@@ -1482,6 +1482,41 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# Solr drill-down oracle (engine twin: facets.facet_counts with a
+# NON-SCORING fq — engine_drilldown in __spark_entry__.py). The
+# standard Solr workflow: q selects ('data' OR 'query'), fq filters
+# ('+spark -engine' — a boolean filter query through the Lucene
+# executor, not the bare-term fast path), facets count lang/source
+# values over the intersection. fq affects matching only (facet
+# counts carry no scores, so the non-scoring property is exercised
+# by the match set itself).
+SQL_Q47 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data','query')
+  INTERSECT
+  (SELECT doc_id FROM toks WHERE term = 'spark'
+   EXCEPT
+   SELECT doc_id FROM toks WHERE term = 'engine')
+), fv AS (
+  SELECT 'lang' AS facet, lang AS value
+  FROM documents JOIN matched USING (doc_id)
+  UNION ALL
+  SELECT 'source' AS facet, source AS value
+  FROM documents JOIN matched USING (doc_id)
+), counts AS (
+  SELECT facet, value, CAST(count(*) AS BIGINT) AS n
+  FROM fv GROUP BY facet, value
+), ranked AS (
+  SELECT facet, value, n,
+         row_number() OVER (PARTITION BY facet ORDER BY n DESC, value ASC) AS rank
+  FROM counts)
+SELECT facet, value, n, rank FROM ranked WHERE rank <= 10
+"""
+
+
 # eDisMax oracle (engine twin: plans.dismax.search_dismax over a
 # two-field index — 'text' plus a derived 'title' = the first 8
 # tokens — with qf title^2 text, tie=0.3, mm=2; engine_dismax in

@@ -567,13 +567,18 @@ def search(
     cfg: IndexConfig | None = None,
     mode: str = "or",
     exclude_ids=None,
+    fq=None,
 ) -> DataFrame:
     """Top-k BM25 over the compressed index for one query string.
 
     ``mode="or"`` (default): disjunctive with block-max pruning.
     ``mode="and"``: conjunctive (Lucene MUST) — a doc must match every
     analyzed query term; a term absent from the corpus empties the
-    result. Scores of surviving docs are identical between modes."""
+    result. Scores of surviving docs are identical between modes.
+    ``fq``: optional Solr filter query (a ``plans.lucene`` query
+    string) — restricts matches without affecting scores. Note:
+    block-max pruning is disabled under fq (a pruned doc could rise
+    into the top-k after the filter removes higher-scored docs)."""
     cfg = cfg or index.cfg
     terms = analyze_query(query, query_analyzer(cfg))
     spark = index.postings.sparkSession
@@ -594,12 +599,21 @@ def search(
         F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
     )
     fn = _score_bucket_factory(
-        weights, avgdl, cfg, k, required_terms=required,
-        exclude_ids=exclude_ids,
+        weights, avgdl, cfg, k if fq is None else index.n_docs,
+        required_terms=required, exclude_ids=exclude_ids,
     )
     per_bucket = cand.groupBy("bucket").applyInPandas(
         fn, schema="doc_id long, score double"
     )
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        per_bucket = per_bucket.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

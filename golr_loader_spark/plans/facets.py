@@ -193,11 +193,24 @@ def facet_counts(
     top: int = 10,
     min_count: int = 1,
     exclude_ids=None,
+    fq=None,
 ) -> DataFrame:
     """Solr-style facet counts over all docs matching ``query`` →
     (facet, value, n, rank), top-``top`` values per facet by
-    (n desc, value asc), n ≥ ``min_count``."""
+    (n desc, value asc), n ≥ ``min_count``. ``fq``: optional Solr
+    filter query (any ``plans.lucene`` query string) restricting the
+    match set before counting — the standard q + fq + facet
+    drill-down; a bare-term fq stays decode-only."""
     m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
     counts = (
         m.join(facets, on=["bucket", "doc_id"])
         .groupBy("facet", "value")

@@ -20,10 +20,24 @@ the same front door. Supported syntax:
   field only; the field must exist in the IndexConfig;
 * ``term^2`` / ``"a phrase"^1.5`` — clause boosts (multiply the
   clause's score contribution; clauses hitting the same (term,
-  field) sum, scoring being linear in the weight).
+  field) sum, scoring being linear in the weight);
+* ``(a OR b) AND c`` — parenthesized sub-queries nest arbitrarily
+  (``Group`` nodes; a group's boost ``(...)^2`` scales every score
+  it contributes). A MUST/SHOULD/MUST_NOT group combines
+  relationally exactly like a phrase clause: its complete sub-match
+  set joins the accumulated result;
+* ``field:[a TO b]`` / ``{a TO b}`` — TermRangeQuery: lexicographic
+  term-dictionary slice (``*`` endpoint = open; brackets pick
+  inclusive/exclusive per side), scored under the SCORING_BOOLEAN
+  rewrite like prefix/fuzzy (Lucene defaults ranges to
+  constant-score; this engine scores expansions uniformly —
+  documented divergence);
+* ``fq=`` (on ``search_lucene`` / ``facet_counts``) — Solr filter
+  query: a non-scoring match-set restriction (semi-join); bare-term
+  fqs match by decoding doc_id streams only.
 
-Unsupported (clear ``ValueError``): parentheses/nesting, range
-queries, wildcards other than a trailing ``*``.
+Unsupported (clear ``ValueError``): wildcards other than a trailing
+``*``, ``field:(...)`` grouped field queries, conditional mm specs.
 
 Execution maps onto the engine's existing machinery, so every clause
 type keeps its already-oracled semantics:
@@ -97,6 +111,33 @@ class Fuzzy:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class TermRange:
+    """Lucene TermRangeQuery: ``field:[lo TO hi]`` (inclusive) /
+    ``{lo TO hi}`` (exclusive; brackets mix). ``*`` endpoint = open.
+    Lexicographic term-dictionary range, scored under the
+    SCORING_BOOLEAN rewrite like Prefix/Fuzzy (Lucene defaults ranges
+    to constant-score; this engine scores every expansion for
+    consistency with its other multi-term queries — documented)."""
+
+    lo: str | None
+    hi: str | None
+    include_lo: bool = True
+    include_hi: bool = True
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Group:
+    """A parenthesized sub-query: ``(a OR b) AND c``. Carries its own
+    clause list with the same flat classic-parser semantics; groups
+    nest arbitrarily."""
+
+    clauses: tuple  # tuple[(occur, node), ...]
+    boost: float = 1.0
+
+
 _TOKEN = re.compile(
     r"""
     \s*(?:
@@ -104,43 +145,81 @@ _TOKEN = re.compile(
                  "(?P<ptext>[^"]*)"
                  (?:~(?P<pslop>\d+))?
                  (?:\^(?P<pboost>\d+(?:\.\d+)?))?)
+    | (?P<range>(?P<rfield>[A-Za-z_]\w*:)?
+                (?P<rlb>[\[\{])\s*(?P<rlo>[^\s\]\}]+)\s+TO\s+(?P<rhi>[^\s\]\}]+)\s*(?P<rrb>[\]\}])
+                (?:\^(?P<rboost>\d+(?:\.\d+)?))?)
+    | (?P<lparen>(?P<lfield>[A-Za-z_]\w*:)?\()
+    | (?P<rparen>\))
     | (?P<and>AND|&&)
     | (?P<or>OR|\|\|)
     | (?P<not>NOT|!)
     | (?P<plus>\+)
     | (?P<minus>-)
     | (?P<word>[^\s+\-!"()][^\s"()]*)
-    | (?P<bad>[()])
     )
     """,
     re.VERBOSE,
 )
 
+_BOOST_SUFFIX = re.compile(r"\^(\d+(?:\.\d+)?)")
+
 
 def parse_lucene(query: str) -> list[tuple[str, object]]:
-    """Query string → flat clause list [(occur, node)].
+    """Query string → clause list [(occur, node)].
 
-    Classic-parser flat semantics: explicit ``+``/``-`` win; ``AND``
-    promotes both neighbours to MUST; ``NOT`` makes the next clause
-    MUST_NOT; everything else is SHOULD."""
+    Classic-parser flat semantics per nesting level: explicit ``+``/
+    ``-`` win; ``AND`` promotes both neighbours to MUST; ``NOT``
+    makes the next clause MUST_NOT; everything else is SHOULD.
+    Parenthesized sub-queries become ``Group`` nodes (recursively),
+    ``[lo TO hi]`` / ``{lo TO hi}`` become ``TermRange``."""
     if query.count('"') % 2:
         raise ValueError("unbalanced quotes in query")
+    clauses, pos = _parse_level(query, 0, depth=0)
+    if query[pos:].strip():
+        raise ValueError(f"cannot parse query at: {query[pos:]!r}")
+    return clauses
+
+
+def _parse_level(
+    query: str, pos: int, depth: int
+) -> tuple[list[tuple[str, object]], int]:
     clauses: list[list] = []  # [occur, node, explicit]
     pending_occur: str | None = None
     pending_explicit = False
     and_prev = False
-    pos = 0
+
+    def flush(node: object) -> None:
+        nonlocal pending_occur, pending_explicit, and_prev
+        occur = pending_occur or (MUST if and_prev else SHOULD)
+        explicit = pending_explicit or and_prev
+        clauses.append([occur, node, explicit])
+        pending_occur, pending_explicit, and_prev = None, False, False
+
     while pos < len(query):
         m = _TOKEN.match(query, pos)
         if not m or m.end() == pos:
             if query[pos:].strip():
                 raise ValueError(f"cannot parse query at: {query[pos:]!r}")
+            pos = len(query)
             break
         pos = m.end()
-        if m.group("bad"):
-            raise ValueError(
-                "parentheses / nested boolean queries are not supported"
-            )
+        if m.group("rparen"):
+            if depth == 0:
+                raise ValueError("unbalanced ')' in query")
+            return [(o, n) for o, n, _e in clauses], pos
+        if m.group("lparen"):
+            if m.group("lfield"):
+                raise ValueError(
+                    "field:(...) grouped field queries are not supported — "
+                    "write the field on each clause"
+                )
+            sub, pos = _parse_level(query, pos, depth + 1)
+            boost = 1.0
+            bm = _BOOST_SUFFIX.match(query, pos)
+            if bm:
+                boost, pos = float(bm.group(1)), bm.end()
+            flush(Group(tuple(sub), boost=boost))
+            continue
         if m.group("and"):
             if clauses and not clauses[-1][2]:
                 clauses[-1][0] = MUST
@@ -167,6 +246,17 @@ def parse_lucene(query: str) -> list[tuple[str, object]]:
                 field=pf[:-1] if pf else None,
                 boost=float(m.group("pboost") or 1.0),
             )
+        elif m.group("range") is not None:
+            rf = m.group("rfield")
+            lo, hi = m.group("rlo"), m.group("rhi")
+            node = TermRange(
+                lo=None if lo == "*" else lo.lower(),
+                hi=None if hi == "*" else hi.lower(),
+                include_lo=m.group("rlb") == "[",
+                include_hi=m.group("rrb") == "]",
+                field=rf[:-1] if rf else None,
+                boost=float(m.group("rboost") or 1.0),
+            )
         else:
             w = m.group("word")
             field = None
@@ -192,11 +282,10 @@ def parse_lucene(query: str) -> list[tuple[str, object]]:
                 )
             else:
                 node = Term(w, field=field, boost=boost)
-        occur = pending_occur or (MUST if and_prev else SHOULD)
-        explicit = pending_explicit or and_prev
-        clauses.append([occur, node, explicit])
-        pending_occur, pending_explicit, and_prev = None, False, False
-    return [(occ, node) for occ, node, _e in clauses]
+        flush(node)
+    if depth > 0:
+        raise ValueError("unbalanced '(' in query")
+    return [(occ, node) for occ, node, _e in clauses], pos
 
 
 def _expand_prefix(
@@ -231,6 +320,31 @@ def _expand_fuzzy(
     return base.select("term", "field", "df").collect()
 
 
+def _expand_range(
+    index: InvertedIndex, cfg: IndexConfig, tr: TermRange,
+    max_expansions: int, fields: list[str] | None = None,
+) -> list:
+    """Lucene TermRangeQuery expansion: lexicographic term-dictionary
+    slice (the Spark analog of TermsEnum.seekCeil + walk-to-upper),
+    cap-guarded distributed-side like prefix/fuzzy. Both bounds open
+    (``[* TO *]``) matches the whole vocabulary — guarded by the same
+    cap."""
+    from golr_loader_spark.plans.bm25 import _guard_expansion
+
+    c = F.col("term")
+    cond = F.col("field").isin(list(fields or cfg.fields))
+    if tr.lo is not None:
+        cond &= (c >= tr.lo) if tr.include_lo else (c > tr.lo)
+    if tr.hi is not None:
+        cond &= (c <= tr.hi) if tr.include_hi else (c < tr.hi)
+    base = index.term_stats.filter(cond)
+    _guard_expansion(
+        base, max_expansions,
+        f"range [{tr.lo or '*'} TO {tr.hi or '*'}]",
+    )
+    return base.select("term", "field", "df").collect()
+
+
 def search_lucene(
     index: InvertedIndex,
     query: str,
@@ -238,38 +352,120 @@ def search_lucene(
     cfg: IndexConfig | None = None,
     exclude_ids=None,
     max_expansions: int = 1024,
+    fq=None,
 ) -> DataFrame:
     """Execute a Lucene query string → top-k (doc_id, score).
 
     See the module docstring for syntax and the execution mapping.
     Pure negative queries (only MUST_NOT clauses) return no rows,
-    like Lucene."""
-    from golr_loader_spark.plans.phrase import phrase_search_positional
-
+    like Lucene. ``fq``: optional non-scoring filter query (Solr fq —
+    any supported query string); the result set is restricted to fq's
+    match set via a semi-join but scores come from ``query`` alone —
+    the standard Solr search-then-drill-down composition."""
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
     clauses = parse_lucene(query)
     if not clauses:
         return empty
+    out = _exec(index, clauses, cfg, exclude_ids, max_expansions, k)
+    if out is None:
+        return empty
+    if fq is not None:
+        out = out.join(
+            fq_doc_ids(
+                index, fq, cfg=cfg, exclude_ids=exclude_ids,
+                max_expansions=max_expansions,
+            ).select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def fq_doc_ids(
+    index: InvertedIndex,
+    fq,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """Solr fq (non-scoring filter query) → (bucket, doc_id) match
+    set. ``fq`` is any supported Lucene query string (or pre-parsed
+    clause list). Fast path: an fq of bare unfielded terms — the
+    common drill-down shape — matches by decoding ONLY doc_id streams
+    (``facets.matching_doc_ids``, no scoring); anything richer
+    (phrases, prefixes, groups, field selectors) runs the full
+    executor and keeps just the ids. Either way the result is the
+    COMPLETE match set (no top-k truncation), suitable for semi-joins
+    from ``search_lucene`` / ``facet_counts``."""
+    from golr_loader_spark.plans.build_index import bucket_of
+    from golr_loader_spark.plans.facets import matching_doc_ids
+
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    clauses = parse_lucene(fq) if isinstance(fq, str) else list(fq)
+    if not clauses:
+        return spark.createDataFrame([], "bucket int, doc_id long")
+    occurs = {occ for occ, _n in clauses}
+    all_bare_terms = all(
+        isinstance(n, Term) and n.field is None for _o, n in clauses
+    )
+    if all_bare_terms and (occurs == {SHOULD} or occurs == {MUST}):
+        q = " ".join(n.text for _o, n in clauses)
+        mode = "and" if occurs == {MUST} else "or"
+        return matching_doc_ids(
+            index, q, cfg=cfg, mode=mode, exclude_ids=exclude_ids
+        )
+    out = _exec(index, clauses, cfg, exclude_ids, max_expansions, None)
+    if out is None:
+        return spark.createDataFrame([], "bucket int, doc_id long")
+    return out.select("doc_id").withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    ).select("bucket", "doc_id")
+
+
+def _exec(
+    index: InvertedIndex,
+    clauses: list[tuple[str, object]],
+    cfg: IndexConfig,
+    exclude_ids,
+    max_expansions: int,
+    k: int | None,
+) -> DataFrame | None:
+    """Execute a clause list → full (doc_id, score) match set, or
+    None when nothing positive matches. ``k`` is a truncation hint
+    honored only when the result needs no relational post-joins
+    (callers needing the complete set — nested groups, fq — pass
+    None)."""
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
     qan = query_analyzer(cfg)
 
-    # (occur, terms, fields, boost) per non-phrase clause; a clause
+    # (occur, terms, fields, boost) per term-like clause; a clause
     # with field: restricts both its scoring AND its MUST/MUST_NOT
     # membership test to that field
     term_clauses: list[tuple[str, set[str], list[str], float]] = []
-    phrases: list[tuple[str, Phrase]] = []
+    rel: list[tuple[str, object]] = []  # Phrase and Group clauses
     for occur, node in clauses:
+        if isinstance(node, Group):
+            rel.append((occur, node))
+            continue
         nf = getattr(node, "field", None)
         if nf is not None and nf not in cfg.fields:
             raise ValueError(f"unknown field {nf!r} (config: {list(cfg.fields)})")
         if isinstance(node, Phrase):
-            phrases.append((occur, node))
+            rel.append((occur, node))
             continue
         fields = [nf] if nf else list(cfg.fields)
         if isinstance(node, Term):
             an = cfg.fields[nf][0] if nf else qan
             terms = set(analyze_query(node.text, an))
+        elif isinstance(node, TermRange):
+            rows = _expand_range(index, cfg, node, max_expansions, fields)
+            terms = {r["term"] for r in rows}
         else:
             rows = (
                 _expand_prefix(index, cfg, node.text, max_expansions, fields)
@@ -282,7 +478,7 @@ def search_lucene(
             terms = {r["term"] for r in rows}
         if not terms:
             if occur == MUST:
-                return empty  # a MUST clause matching nothing
+                return None  # a MUST clause matching nothing
             continue
         term_clauses.append((occur, terms, fields, node.boost))
 
@@ -305,8 +501,8 @@ def search_lucene(
                 # clause, all of them score
                 groups.append(members)
 
-    if not should_terms and not phrases:
-        return empty  # nothing positive to match (pure negation)
+    if not should_terms and not any(o != MUST_NOT for o, _n in rel):
+        return None  # nothing positive to match (pure negation)
 
     bool_df = None
     if should_terms:
@@ -330,7 +526,7 @@ def search_lucene(
                     )
         avail = set(weights) | {t for (t, _f) in weights}
         if any(not (g & avail) for g in groups):
-            return empty  # a MUST group has no indexed term
+            return None  # a MUST group has no indexed term
         groups = [g & avail for g in groups]
         prohib_terms = {m if isinstance(m, str) else m[0] for m in prohibited}
         cand = index.postings.filter(
@@ -341,7 +537,7 @@ def search_lucene(
             weights,
             _avgdl(index),
             cfg,
-            k if not phrases else index.n_docs,
+            k if (k is not None and not rel) else index.n_docs,
             exclude_ids=exclude_ids,
             prohibited_terms=prohibited or None,
             required_groups=groups or None,
@@ -356,18 +552,33 @@ def search_lucene(
     # therefore never checked against term-level MUST_NOTs) — those
     # need the relational prohibited anti-join at the end
     unvetted = False
-    # positives first: a MUST_NOT phrase must subtract from the final
-    # positive set regardless of its position in the query string
-    phrases.sort(key=lambda c: c[0] == MUST_NOT)
-    for occur, ph in phrases:
-        pdf = (
-            phrase_search_positional(
-                index, ph.text, k=index.n_docs, slop=ph.slop, cfg=cfg,
-                exclude_ids=exclude_ids, field=ph.field,
+    # positives first: a MUST_NOT phrase/group must subtract from the
+    # final positive set regardless of its position in the query
+    rel.sort(key=lambda c: c[0] == MUST_NOT)
+    for occur, node in rel:
+        if isinstance(node, Phrase):
+            pdf = (
+                phrase_search_positional(
+                    index, node.text, k=index.n_docs, slop=node.slop,
+                    cfg=cfg, exclude_ids=exclude_ids, field=node.field,
+                )
+                .withColumnRenamed("score", "_ps")
+                .withColumn("_ps", F.col("_ps") * F.lit(float(node.boost)))
             )
-            .withColumnRenamed("score", "_ps")
-            .withColumn("_ps", F.col("_ps") * F.lit(float(ph.boost)))
-        )
+        else:  # nested Group: recurse for its COMPLETE match set
+            sub = _exec(
+                index, list(node.clauses), cfg, exclude_ids,
+                max_expansions, None,
+            )
+            if sub is None:
+                if occur == MUST:
+                    # a required subquery matching nothing empties the
+                    # whole result, like any MUST clause
+                    return None
+                continue
+            pdf = sub.withColumnRenamed("score", "_ps").withColumn(
+                "_ps", F.col("_ps") * F.lit(float(node.boost))
+            )
         if occur == MUST_NOT:
             if out is not None:
                 out = out.join(pdf.select("doc_id"), on="doc_id", how="left_anti")
@@ -381,7 +592,7 @@ def search_lucene(
         if occur == MUST:
             if has_must:
                 # the accumulated side is already MUST-gated: the
-                # phrase intersects it (both clauses required)
+                # phrase/group intersects it (both clauses required)
                 out = (
                     out.join(pdf, on="doc_id", how="inner")
                     .withColumn("score", F.col("score") + F.col("_ps"))
@@ -389,8 +600,8 @@ def search_lucene(
                 )
             else:
                 # accumulated side is SHOULD-only: Lucene BooleanQuery
-                # semantics make the MUST phrase define the match set;
-                # keep EVERY phrase doc, coalescing the optional
+                # semantics make the MUST clause define the match set;
+                # keep EVERY clause doc, coalescing the optional
                 # boolean contribution to 0
                 out = (
                     out.join(pdf, on="doc_id", how="right_outer")
@@ -403,7 +614,7 @@ def search_lucene(
                 )
                 unvetted = True
             has_must = True
-        else:  # SHOULD phrase
+        else:  # SHOULD phrase/group
             how = "left_outer" if has_must else "full_outer"
             if how == "full_outer":
                 unvetted = True
@@ -417,11 +628,11 @@ def search_lucene(
                 .drop("_ps")
             )
     if out is None:
-        return empty
+        return None
     if prohibited and (bool_df is None or unvetted):
-        # `out` holds docs the bucket scorer never vetted (phrase-only
-        # positives, or phrase joins that admitted docs outside the
-        # boolean match set): apply term MUST_NOTs relationally
+        # `out` holds docs the bucket scorer never vetted (phrase/
+        # group-only positives, or joins that admitted docs outside
+        # the boolean match set): apply term MUST_NOTs relationally
         # (decode only the prohibited terms' doc_id streams). Docs the
         # scorer DID emit hold no prohibited term, so re-filtering
         # them is a no-op.
@@ -440,4 +651,4 @@ def search_lucene(
             cond = cond | ((F.col("term") == t) & (F.col("field") == f))
         neg = neg.filter(cond).select("doc_id").distinct()
         out = out.join(neg, on="doc_id", how="left_anti")
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return out

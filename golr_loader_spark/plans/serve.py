@@ -514,38 +514,72 @@ class LocalSearcher:
         ]
 
     def query(
-        self, querystring: str, k: int = 10, max_expansions: int = 1024
+        self,
+        querystring: str,
+        k: int = 10,
+        max_expansions: int = 1024,
+        fq: str | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path Lucene query string (see ``plans.lucene`` for
-        syntax and semantics) — term/prefix/fuzzy clauses through the
-        shared bucket scorer (MUST multi-term clauses as required
-        any-of groups), phrase clauses through ``search_phrase``,
-        combined with BooleanQuery score summation. Mirrors
-        ``lucene.search_lucene`` clause for clause."""
-        from golr_loader_spark.functions.tokenize import analyze_query
-        from golr_loader_spark.plans.lucene import (
-            Fuzzy,
-            Phrase,
-            Prefix,
-            Term,
-            parse_lucene,
-        )
+        syntax and semantics) — term/prefix/fuzzy/range clauses
+        through the shared bucket scorer (MUST multi-term clauses as
+        required any-of groups), phrase clauses through
+        ``search_phrase``, parenthesized groups recursively, combined
+        with BooleanQuery score summation. ``fq``: non-scoring filter
+        query (match-set restriction). Mirrors ``lucene.search_lucene``
+        clause for clause."""
+        from golr_loader_spark.plans.lucene import parse_lucene
 
         clauses = parse_lucene(querystring)
         if not clauses:
             return []
+        scores = self._exec_clauses_local(clauses, max_expansions, k)
+        if scores is None:
+            return []
+        if fq is not None:
+            fset = self._exec_clauses_local(
+                parse_lucene(fq), max_expansions, None
+            )
+            keep = set(fset) if fset is not None else set()
+            scores = {d: s for d, s in scores.items() if d in keep}
+        out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [(int(d), float(s)) for d, s in out]
+
+    def _exec_clauses_local(
+        self,
+        clauses: list,
+        max_expansions: int,
+        k: int | None,
+    ) -> dict[int, float] | None:
+        """Execute a clause list → complete {doc_id: score} match set
+        (None when nothing positive matches). ``k`` is a truncation
+        hint honored only when no relational post-combination follows
+        (nested groups / fq callers pass None). The Spark-free mirror
+        of ``lucene._exec``."""
+        from golr_loader_spark.functions.tokenize import analyze_query
+        from golr_loader_spark.plans.lucene import (
+            Group,
+            Phrase,
+            Prefix,
+            Term,
+            TermRange,
+        )
+
         qan = query_analyzer(self.cfg)
         term_clauses: list[tuple[str, set[str], list[str], float]] = []
-        phrases: list[tuple[str, "Phrase"]] = []
+        rel: list[tuple[str, object]] = []  # Phrase and Group clauses
         vocab = None
         for occur, node in clauses:
+            if isinstance(node, Group):
+                rel.append((occur, node))
+                continue
             nf = getattr(node, "field", None)
             if nf is not None and nf not in self.cfg.fields:
                 raise ValueError(
                     f"unknown field {nf!r} (config: {list(self.cfg.fields)})"
                 )
             if isinstance(node, Phrase):
-                phrases.append((occur, node))
+                rel.append((occur, node))
                 continue
             fields = [nf] if nf else list(self.cfg.fields)
             if isinstance(node, Term):
@@ -557,6 +591,19 @@ class LocalSearcher:
                 if isinstance(node, Prefix):
                     p = node.text.lower()
                     cand_t = [t for t in vocab if t.startswith(p)]
+                elif isinstance(node, TermRange):
+                    cand_t = [
+                        t
+                        for t in vocab
+                        if (
+                            node.lo is None
+                            or (t >= node.lo if node.include_lo else t > node.lo)
+                        )
+                        and (
+                            node.hi is None
+                            or (t <= node.hi if node.include_hi else t < node.hi)
+                        )
+                    ]
                 else:
                     t0 = node.text.lower()
                     cand_t = [
@@ -573,7 +620,7 @@ class LocalSearcher:
                     )
             if not terms:
                 if occur == "MUST":
-                    return []
+                    return None
                 continue
             term_clauses.append(
                 (occur, terms, fields, getattr(node, "boost", 1.0))
@@ -595,8 +642,8 @@ class LocalSearcher:
                 if occur == "MUST":
                     groups.append(members)
 
-        if not should and not phrases:
-            return []
+        if not should and not any(o != "MUST_NOT" for o, _n in rel):
+            return None
         scores: dict[int, float] = {}
         matched_bool = False
         if should:
@@ -619,14 +666,14 @@ class LocalSearcher:
                         )
             avail = set(weights) | {t for (t, _f) in weights}
             if any(not (g & avail) for g in groups):
-                return []
+                return None
             prohib_names = {
                 m if isinstance(m, str) else m[0] for m in prohibited
             }
             res = self._score(
                 weights,
                 sorted(should | prohib_names),
-                k if not phrases else self.n_docs,
+                k if (k is not None and not rel) else self.n_docs,
                 prohibited=prohibited or None,
                 required_groups=[g & avail for g in groups] or None,
             )
@@ -637,16 +684,27 @@ class LocalSearcher:
         # emitted (so never checked against term MUST_NOTs) — those
         # need the membership-based prohibited filter at the end
         unvetted = False
-        # positives first: a MUST_NOT phrase must subtract from the
-        # final positive set regardless of clause order
-        phrases.sort(key=lambda c: c[0] == "MUST_NOT")
-        for occur, ph in phrases:
-            pres = {
-                d: s * float(ph.boost)
-                for d, s in self.search_phrase(
-                    ph.text, k=self.n_docs, slop=ph.slop, field=ph.field
+        # positives first: a MUST_NOT phrase/group must subtract from
+        # the final positive set regardless of clause order
+        rel.sort(key=lambda c: c[0] == "MUST_NOT")
+        for occur, node in rel:
+            if isinstance(node, Phrase):
+                pres = {
+                    d: s * float(node.boost)
+                    for d, s in self.search_phrase(
+                        node.text, k=self.n_docs, slop=node.slop,
+                        field=node.field,
+                    )
+                }
+            else:  # nested Group: recurse for its COMPLETE match set
+                sub = self._exec_clauses_local(
+                    list(node.clauses), max_expansions, None
                 )
-            }
+                if sub is None:
+                    if occur == "MUST":
+                        return None
+                    continue
+                pres = {d: s * float(node.boost) for d, s in sub.items()}
             if occur == "MUST_NOT":
                 if matched_bool or scores:
                     scores = {
@@ -688,7 +746,7 @@ class LocalSearcher:
                     unvetted = True
         if prohibited and (not should or unvetted):
             # `scores` holds docs the boolean scorer never vetted
-            # (phrase-only positives, or phrase clauses that admitted
+            # (phrase/group-only positives, or clauses that admitted
             # docs outside the boolean match set): drop docs holding
             # any prohibited term (decode-only membership read; field-
             # restricted members mask only their field's postings)
@@ -705,8 +763,7 @@ class LocalSearcher:
                 fn = _match_bucket_factory(tmap, None, self.tombstones)
                 neg = {int(d) for d in fn(blocks)["doc_id"].to_numpy()}
                 scores = {d: s for d, s in scores.items() if d not in neg}
-        out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
-        return [(int(d), float(s)) for d, s in out]
+        return scores
 
     def explain(self, query: str, doc_id: int) -> dict:
         """Serving-path Lucene Explanation (Solr debugQuery=on): the

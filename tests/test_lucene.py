@@ -67,9 +67,34 @@ def test_parser_shapes():
     assert parse_lucene('NOT a "x y"~3') == [
         ("MUST_NOT", Term("a")), ("SHOULD", Phrase("x y", 3)),
     ]
-    for bad in ['(a b)', 'mid*dle', '"open', '1bad:x']:
+    for bad in ['(a b', 'a)', 'mid*dle', '"open', '1bad:x', 'f:(a b)']:
         with pytest.raises(ValueError):
             parse_lucene(bad)
+
+
+def test_parser_groups_and_ranges():
+    from golr_loader_spark.plans.lucene import Group, TermRange
+
+    assert parse_lucene("(a OR b) AND c") == [
+        ("MUST", Group((("SHOULD", Term("a")), ("SHOULD", Term("b"))))),
+        ("MUST", Term("c")),
+    ]
+    assert parse_lucene("+(a b)^2 -c") == [
+        ("MUST", Group((("SHOULD", Term("a")), ("SHOULD", Term("b"))), boost=2.0)),
+        ("MUST_NOT", Term("c")),
+    ]
+    # nesting
+    assert parse_lucene("((a) b)") == [
+        ("SHOULD", Group((
+            ("SHOULD", Group((("SHOULD", Term("a")),))),
+            ("SHOULD", Term("b")),
+        ))),
+    ]
+    assert parse_lucene("f:[10 TO 20] {a TO z}^2 [x TO *]") == [
+        ("SHOULD", TermRange("10", "20", True, True, field="f")),
+        ("SHOULD", TermRange("a", "z", False, False, boost=2.0)),
+        ("SHOULD", TermRange("x", None, True, True)),
+    ]
 
 
 def test_disjunction_matches_search(ix, cfg):
@@ -172,6 +197,77 @@ def test_not_phrase_and_pure_negative(ix, cfg):
     assert got2 == {2, 5}
 
 
+def test_group_and_term(ix, cfg):
+    """'(data OR engine) AND sort': the group's sub-match set joins
+    the MUST term relationally; score = term score + sub score."""
+    got = dict(rows(search_lucene(ix, "(data OR engine) AND sort", k=10, cfg=cfg)))
+    assert set(got) == {6}  # doc 6: 'sort scan data'
+    s_sort = dict(rows(search(ix, "sort", k=10, cfg=cfg)))
+    s_de = dict(rows(search(ix, "data engine", k=10, cfg=cfg)))
+    assert got[6] == pytest.approx(s_sort[6] + s_de[6], rel=1e-12)
+
+
+def test_group_must_not(ix, cfg):
+    """'data -(spark engine)': subtract docs matching the group."""
+    got = dict(rows(search_lucene(ix, "data -(spark engine)", k=10, cfg=cfg)))
+    assert set(got) == {2, 5, 6}
+    s_data = dict(rows(search(ix, "data", k=10, cfg=cfg)))
+    for d in got:
+        assert got[d] == pytest.approx(s_data[d], rel=1e-12)
+
+
+def test_group_boost_scales(ix, cfg):
+    base = dict(rows(search_lucene(ix, "(data query)", k=10, cfg=cfg)))
+    boosted = dict(rows(search_lucene(ix, "(data query)^2", k=10, cfg=cfg)))
+    assert set(base) == set(boosted)
+    for d in base:
+        assert boosted[d] == pytest.approx(2.0 * base[d], rel=1e-12)
+
+
+def test_nested_groups(ix, cfg):
+    """'((data OR engine) AND sort) OR runs' — two-level nesting."""
+    got = {d for d, _s in rows(search_lucene(
+        ix, "((data OR engine) AND sort) OR runs", k=10, cfg=cfg
+    ))}
+    assert got == {6, 2}  # 6 from the inner conjunction, 2 has 'runs'
+
+
+def test_range_query_matches_expansion(ix, cfg):
+    # [sc TO sp] expands to {scan, sort} ('span' > 'sp' lexicographic)
+    assert rows(search_lucene(ix, "[sc TO sp]", k=10, cfg=cfg)) == rows(
+        search(ix, "scan sort", k=10, cfg=cfg)
+    )
+    # inclusive/exclusive and open endpoints
+    assert rows(search_lucene(ix, "[e TO er]", k=10, cfg=cfg)) == rows(
+        search(ix, "engine entirely", k=10, cfg=cfg)
+    )
+    got_open = {d for d, _s in rows(search_lucene(ix, "[z TO *]", k=10, cfg=cfg))}
+    assert got_open == set()
+    with pytest.raises(ValueError, match="TooManyClauses"):
+        search_lucene(ix, "[* TO *]", k=10, cfg=cfg, max_expansions=3)
+
+
+def test_fq_restricts_without_rescoring(ix, cfg):
+    full = rows(search_lucene(ix, "data query", k=10, cfg=cfg))
+    got = rows(search_lucene(ix, "data query", k=10, cfg=cfg, fq="spark"))
+    spark_docs = {0, 1, 3}
+    assert got == [(d, s) for d, s in full if d in spark_docs]
+    # rich fq (phrase) takes the executor path
+    got2 = rows(search_lucene(ix, "data query", k=10, cfg=cfg, fq='"data query"'))
+    assert got2 == [(d, s) for d, s in full if d in {0, 2, 5}]
+    # fq composed of MUST terms intersects
+    got3 = rows(search_lucene(ix, "data", k=10, cfg=cfg, fq="+data +spark"))
+    assert {d for d, _s in got3} == {0, 1}
+
+
+def test_fq_on_plain_search(ix, cfg):
+    from golr_loader_spark.plans.bm25 import search as bsearch
+
+    full = rows(bsearch(ix, "data query", k=10, cfg=cfg))
+    got = rows(bsearch(ix, "data query", k=10, cfg=cfg, fq="spark"))
+    assert got == [(d, s) for d, s in full if d in {0, 1, 3}]
+
+
 def test_serving_query_parity(tmp_path, ix, cfg):
     """LocalSearcher.query mirrors search_lucene clause-for-clause."""
     from golr_loader_spark.plans.build_index import write_index
@@ -194,10 +290,26 @@ def test_serving_query_parity(tmp_path, ix, cfg):
         'engine +"data query"',
         'engine -spark +"data query"',
         'engine -spark "data query"',
+        "(data OR engine) AND sort",
+        "data -(spark engine)",
+        "(data query)^2",
+        "((data OR engine) AND sort) OR runs",
+        "[sc TO sp]",
+        "[e TO er] -data",
+        '+(data engine) "data query"',
     ]:
         want = rows(search_lucene(ix, q, k=10, cfg=cfg))
         got = ls.query(q, k=10)
         assert got == want, q
+    # fq parity
+    for q, fq in [
+        ("data query", "spark"),
+        ("data query", '"data query"'),
+        ("data", "+data +spark"),
+    ]:
+        want = rows(search_lucene(ix, q, k=10, cfg=cfg, fq=fq))
+        got = ls.query(q, k=10, fq=fq)
+        assert got == want, (q, fq)
 
 
 # ------------------------------------------------- field: and ^boost
