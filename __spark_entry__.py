@@ -462,6 +462,30 @@ def _engine_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_sortpage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr sort-by-stored-field + offset pagination on the REAL
+    engine index: q='data query' matches decode-only (no scores —
+    Solr's sort-by-field path), ordered by (n_chars DESC, doc_id ASC),
+    page 2 (start=10, rows=10) with absolute 1-based positions.
+    SQL_Q48 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import search_sorted
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    return search_sorted(
+        ix, d, "data query", "n_chars", ascending=False,
+        start=10, rows=10, cfg=cfg,
+    )
+
+
 def _engine_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eDisMax on the REAL engine index (Solr defType=edismax — the
     query surface production golr/Solr UIs send): two-field index
@@ -524,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_collapse"] = _engine_collapse
     out["engine_dismax"] = _engine_dismax
     out["engine_drilldown"] = _engine_drilldown
+    out["engine_sortpage"] = _engine_sortpage
     return out
 
 
@@ -544,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q45,
         SQL_Q46,
         SQL_Q47,
+        SQL_Q48,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -566,4 +592,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_collapse"] = SQL_Q43
     out["engine_dismax"] = SQL_Q46
     out["engine_drilldown"] = SQL_Q47
+    out["engine_sortpage"] = SQL_Q48
     return out

@@ -1517,6 +1517,25 @@ SELECT facet, value, n, rank FROM ranked WHERE rank <= 10
 """
 
 
+# Sort-by-stored-field + offset pagination oracle (engine twin:
+# facets.search_sorted — engine_sortpage in __spark_entry__.py).
+# Solr sort=n_chars desc + start=10&rows=10: decode-only matching of
+# ('data' OR 'query'), order by (n_chars DESC, doc_id ASC), absolute
+# 1-based positions on the second page.
+SQL_Q48 = """
+WITH matched AS (
+  SELECT DISTINCT doc_id
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term IN ('data','query')
+), ordered AS (
+  SELECT d.doc_id, d.n_chars,
+         row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) AS pos
+  FROM documents d JOIN matched USING (doc_id))
+SELECT CAST(pos AS INTEGER) AS pos, doc_id, n_chars
+FROM ordered WHERE pos > 10 AND pos <= 20 ORDER BY pos
+"""
+
+
 # eDisMax oracle (engine twin: plans.dismax.search_dismax over a
 # two-field index — 'text' plus a derived 'title' = the first 8
 # tokens — with qf title^2 text, tie=0.3, mm=2; engine_dismax in

@@ -260,6 +260,76 @@ def range_facet_counts(
     )
 
 
+def search_sorted(
+    index: InvertedIndex,
+    documents: DataFrame,
+    query: str,
+    sort_field: str,
+    ascending: bool = True,
+    start: int = 0,
+    rows: int = 10,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    fq=None,
+    id_col: str = "doc_id",
+    exclude_ids=None,
+) -> DataFrame:
+    """Solr ``sort=<field> asc|desc`` with ``start``/``rows`` offset
+    pagination → (pos, doc_id, <sort_field>), pos = 1-based absolute
+    position (start + page rank).
+
+    Matching is DECODE-ONLY (``matching_doc_ids`` — scores are never
+    computed when ranking by a stored field, exactly Solr's sort-by-
+    field path), optionally restricted by a non-scoring ``fq``. The
+    matched ids join the documents table for the sort key; ordering is
+    (field asc|desc NULLS LAST, doc_id asc) — Solr's sortMissingLast
+    default — planned as a single TakeOrdered with offset (the page,
+    never the full match set, reaches the driver; pos attaches to the
+    ≤``rows`` surviving rows there). The serving twin is
+    ``serve.LocalSearcher.search_sorted``."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    vals = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(sort_field)
+    ).withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    j = m.join(vals, on=["bucket", "doc_id"]).select("doc_id", sort_field)
+    c = F.col(sort_field)
+    page = (
+        j.orderBy(
+            c.asc_nulls_last() if ascending else c.desc_nulls_last(),
+            F.asc("doc_id"),
+        )
+        .offset(start)
+        .limit(rows)
+        .collect()
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("pos", IntegerType(), False),
+            StructField("doc_id", j.schema["doc_id"].dataType, True),
+            StructField(sort_field, j.schema[sort_field].dataType, True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(start + i + 1, r["doc_id"], r[sort_field]) for i, r in enumerate(page)],
+        schema,
+    )
+
+
 def grouped_topk(
     index: InvertedIndex,
     facets: DataFrame,

@@ -513,6 +513,70 @@ class LocalSearcher:
             (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
         ]
 
+    def _matching_ids(self, query: str, mode: str = "or") -> set[int]:
+        """Decode-only match set of a term query (the serving analog
+        of ``facets.matching_doc_ids``): union (``or``) or
+        intersection (``and``) of the analyzed terms' doc_id streams,
+        tombstone-masked."""
+        from golr_loader_spark.plans.facets import _match_bucket_factory
+
+        terms = analyze_query(query, query_analyzer(self.cfg))
+        if not terms:
+            return set()
+        blocks = self._read_blocks(terms)
+        if not len(blocks):
+            return set()
+        fn = _match_bucket_factory(
+            {t: list(self.cfg.fields) for t in terms},
+            set(terms) if mode == "and" else None,
+            self.tombstones,
+        )
+        return {int(d) for d in fn(blocks)["doc_id"].to_numpy()}
+
+    def search_sorted(
+        self,
+        query: str,
+        sort_field: str,
+        ascending: bool = True,
+        start: int = 0,
+        rows: int = 10,
+        mode: str = "or",
+        fq: str | None = None,
+        max_expansions: int = 1024,
+    ) -> list[tuple[int, int, object]]:
+        """Serving-path Solr ``sort=<field>`` + ``start``/``rows`` →
+        [(pos, doc_id, value)]: decode-only matching, stored-field
+        fetch from the doc_id-sorted ``{root}/stored`` table
+        (row-group-pruned point reads), (value NULLS LAST, doc_id asc)
+        ordering, offset pagination. Mirrors ``facets.search_sorted``
+        row for row."""
+        from golr_loader_spark.plans.lucene import parse_lucene
+
+        ids = self._matching_ids(query, mode)
+        if fq is not None:
+            fset = self._exec_clauses_local(
+                parse_lucene(fq), max_expansions, None
+            )
+            ids &= set(fset) if fset is not None else set()
+        if not ids:
+            return []
+        stored = self.fetch(sorted(ids), [sort_field])
+        present = [
+            (d, v[sort_field])
+            for d, v in stored.items()
+            if v.get(sort_field) is not None
+        ]
+        missing = sorted(
+            [d for d in ids if stored.get(d, {}).get(sort_field) is None]
+        )
+        # doc_id-asc base sort, then a STABLE value sort → Solr's
+        # (field, doc_id asc) with sortMissingLast in either direction
+        present.sort(key=lambda x: x[0])
+        present.sort(key=lambda x: x[1], reverse=not ascending)
+        ordered = present + [(d, None) for d in missing]
+        page = ordered[start : start + rows]
+        return [(start + i + 1, int(d), v) for i, (d, v) in enumerate(page)]
+
     def query(
         self,
         querystring: str,

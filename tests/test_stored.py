@@ -105,3 +105,44 @@ def test_highlight_fragment_selection():
     assert "<em>" not in highlight("sparkly things", ["spark"])
     # case-insensitive on the text side
     assert "<em>Spark</em>" in highlight("Spark rules", ["spark"])
+
+
+def test_search_sorted_parity_and_pagination(spark, root, cfg):
+    """Solr sort=field + start/rows: distributed facets.search_sorted
+    and LocalSearcher.search_sorted return identical pages."""
+    from golr_loader_spark.plans.build_index import read_index
+    from golr_loader_spark.plans.facets import search_sorted
+
+    ix = read_index(spark, root, cfg)
+    ls = LocalSearcher(root, cfg)
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+
+    def dist(query, **kw):
+        return [
+            (r["pos"], r["doc_id"], r[kw.get("sort_field", "lang")])
+            for r in search_sorted(
+                ix, docs, query, kw.pop("sort_field", "lang"), cfg=cfg, **kw
+            ).collect()
+        ]
+
+    # sort matching docs by lang asc: spark matches {0,1,3}
+    want = [(1, 0, "en"), (2, 1, "en"), (3, 3, "fr")]
+    assert dist("spark", ascending=True, rows=10) == want
+    assert ls.search_sorted("spark", "lang", ascending=True, rows=10) == want
+    # desc ordering, doc_id asc tie-break within 'en'
+    want_d = [(1, 3, "fr"), (2, 0, "en"), (3, 1, "en")]
+    assert dist("spark", ascending=False, rows=10) == want_d
+    assert ls.search_sorted("spark", "lang", ascending=False, rows=10) == want_d
+    # pagination: start=1 rows=1 → absolute pos 2
+    assert dist("spark", ascending=True, start=1, rows=1) == [(2, 1, "en")]
+    assert ls.search_sorted("spark", "lang", start=1, rows=1) == [(2, 1, "en")]
+    # past-the-end page
+    assert dist("spark", start=10, rows=5) == []
+    assert ls.search_sorted("spark", "lang", start=10, rows=5) == []
+    # fq restriction (non-scoring): only docs also containing 'query'
+    want_fq = [(1, 0, "en"), (2, 1, "en")]
+    assert dist("spark", fq="query", rows=10) == want_fq
+    assert ls.search_sorted("spark", "lang", fq="query", rows=10) == want_fq
+    # conjunctive matching
+    assert dist("spark query", mode="and", rows=10) == want_fq
+    assert ls.search_sorted("spark query", "lang", mode="and", rows=10) == want_fq
