@@ -175,6 +175,7 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_strategy: str = "auto",
 ) -> DataFrame:
     """Approximate cosine top-k via an INVERTED-FILE (IVF-flat) index:
     a coarse quantizer partitions the corpus into ``n_cells`` Voronoi
@@ -191,66 +192,123 @@ def ivf_cosine_topk(
     fully JVM-side in Spark, and admissibly "coarse": any quantizer
     partition is a valid IVF index, training only sharpens recall.
 
-    Plan shape at scale: the centroid table is ``n_cells`` rows →
-    collected to the driver and inlined as literals (exactly like the
-    LSH hyperplane constants), so corpus assignment is a PURE MAP
-    expression — an array_min-argmax over per-centroid rounded
-    cosines, zero shuffles of the corpus; probing then joins
-    candidates on the cell key against the broadcast probe table —
-    never a cross product against the corpus, and the only exchanges
-    in the whole plan are the final per-query top-k windows.
+    Plan shape at scale — two centroid strategies, picked by
+    ``centroid_strategy`` ("auto" = inline when n_cells ≤ 64, else
+    broadcast):
+
+    * **inline** (small n_cells): the centroid table is collected and
+      inlined as literals (like the LSH hyperplane constants), so
+      corpus assignment is a PURE MAP expression — zero shuffles of
+      the corpus. Breaks down at realistic nlist (4k-64k): the
+      expression tree carries n_cells array literals, blowing past
+      codegen method limits and plan-size sanity.
+    * **broadcast** (large n_cells): centroids live in a broadcast
+      DataFrame; assignment is a broadcast nested-loop join (corpus ×
+      n_cells rows) immediately collapsed by a map-side-combinable
+      ``min(struct(−cos, cell))`` groupBy — same FLOPs, one corpus-
+      row-count shuffle, plan size O(1) in n_cells. Both strategies
+      pick the identical cell (same rounded-cosine lexicographic
+      argmin), pytest-pinned.
+
+    Probing then joins candidates on the cell key against the
+    broadcast probe table — never a cross product against the corpus.
     """
+    spark = embeddings.sparkSession
     n = embeddings.count()
     stride = max(1, -(-n // n_cells))  # ceil
-    cents = (
+    cent_src = (
         embeddings.filter(F.col(id_col) % stride == 0)
         .orderBy(id_col)
         .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
-        )
-    ).collect()
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+    )
+    if centroid_strategy == "auto":
+        centroid_strategy = "inline" if n_cells <= 64 else "broadcast"
 
-    def cos_cent(v: str, cvec: list[float]) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        return F.round(
-            _dot(F.col(v), c) / (_norm(F.col(v)) * _norm(c)), 6
-        )
+    if centroid_strategy == "inline":
+        cents = cent_src.collect()
 
-    def nearest_cells(v: str) -> Column:
-        # sorted array of (−cos, cell) structs: lexicographic struct
-        # order = rounded cos desc, cell asc (the module float
-        # discipline) — [0] is the assignment, [:n_probe] the probes
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        (-cos_cent(v, r["cvec"])).alias("neg"),
-                        F.lit(int(r["cell"])).alias("cell"),
+        def cos_cent(v: str, cvec: list[float]) -> Column:
+            c = F.array(*[F.lit(float(x)) for x in cvec])
+            return F.round(
+                _dot(F.col(v), c) / (_norm(F.col(v)) * _norm(c)), 6
+            )
+
+        def nearest_cells(v: str) -> Column:
+            # sorted array of (−cos, cell) structs: lexicographic
+            # struct order = rounded cos desc, cell asc (the module
+            # float discipline) — [0] is the assignment, [:n_probe]
+            # the probes
+            return F.sort_array(
+                F.array(
+                    *[
+                        F.struct(
+                            (-cos_cent(v, r["cvec"])).alias("neg"),
+                            F.lit(int(r["cell"])).alias("cell"),
+                        )
+                        for r in cents
+                    ]
+                )
+            )
+
+        assigned = embeddings.withColumn(
+            "cell", nearest_cells(vec_col)[0]["cell"]
+        )
+        probes = (
+            embeddings.filter(F.col(id_col).isin(query_ids))
+            .select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            )
+            .withColumn(
+                "cell",
+                F.explode(
+                    F.transform(
+                        F.slice(nearest_cells("qvec"), 1, n_probe),
+                        lambda s: s["cell"],
                     )
-                    for r in cents
-                ]
+                ),
+            )
+            .select("query_id", "qvec", "cell")
+        )
+    elif centroid_strategy == "broadcast":
+        cents_df = F.broadcast(cent_src)
+        neg = -F.round(
+            _dot(F.col(vec_col), F.col("cvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("cvec"))),
+            6,
+        )
+        # corpus assignment: broadcast NL join × n_cells, collapsed by
+        # a map-side-combinable min(struct) — the (−cos, cell)
+        # lexicographic argmin is IDENTICAL to the inline path's
+        assigned = (
+            embeddings.join(cents_df)
+            .withColumn("_nc", F.struct(neg.alias("neg"), F.col("cell").alias("cell")))
+            .groupBy(id_col)
+            .agg(
+                F.min("_nc")["cell"].alias("cell"),
+                F.first(vec_col).alias(vec_col),
             )
         )
-
-    assigned = embeddings.withColumn(
-        "cell", nearest_cells(vec_col)[0]["cell"]
-    )
-    # queries → their n_probe nearest cells
-    probes = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    F.slice(nearest_cells("qvec"), 1, n_probe),
-                    lambda s: s["cell"],
-                )
-            ),
+        qsrc = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         )
-        .select("query_id", "qvec", "cell")
-    )
+        qneg = -F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+            6,
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.asc("_neg"), F.asc("cell")
+        )
+        probes = (
+            qsrc.join(cents_df)
+            .withColumn("_neg", qneg)
+            .withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= n_probe)
+            .select("query_id", "qvec", "cell")
+        )
+    else:
+        raise ValueError(f"unknown centroid_strategy {centroid_strategy!r}")
     pairs = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))

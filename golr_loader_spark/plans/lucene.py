@@ -652,3 +652,274 @@ def _exec(
         neg = neg.filter(cond).select("doc_id").distinct()
         out = out.join(neg, on="doc_id", how="left_anti")
     return out
+
+
+def _phrase_doc_score(
+    index: InvertedIndex,
+    ph: Phrase,
+    doc_id: int,
+    cfg: IndexConfig,
+    exclude_ids,
+) -> float | None:
+    """Phrase score of ONE doc (None when the doc doesn't contain the
+    phrase): run the positional bucket matcher over the doc's OWN
+    bucket only — a point lookup like ``bm25.explain``, not a corpus
+    query."""
+    from golr_loader_spark.functions.tokenize import analyze_phrase
+    from golr_loader_spark.plans.bm25 import _idf_table, _norm_excl
+    from golr_loader_spark.plans.build_index import bucket_of
+    from golr_loader_spark.plans.phrase import _phrase_bucket_factory
+
+    field = ph.field or next(iter(cfg.fields))
+    seq = analyze_phrase(ph.text, cfg.fields[field][0], cfg.min_term_len)
+    if not seq:
+        return None
+    uterms = sorted({t for t, _p in seq})
+    fn = _phrase_bucket_factory(
+        seq, _idf_table(index, uterms), field, index.avgdl_by_field[field],
+        cfg, index.n_docs, ph.slop, "phrase", _norm_excl(exclude_ids),
+    )
+    if fn is None:
+        return None
+    pdf = (
+        index.postings.filter(
+            F.col("term").isin(uterms)
+            & (F.col("field") == F.lit(field))
+            & (
+                F.col("bucket")
+                == bucket_of(
+                    F.lit(int(doc_id)), cfg.bucket_bits, cfg.id_space_bits
+                )
+            )
+        )
+        .toPandas()
+    )
+    if not len(pdf):
+        return None
+    res = fn(pdf)
+    hit = res[res["doc_id"] == doc_id]
+    if not len(hit):
+        return None
+    return float(hit["score"].iloc[0])
+
+
+def explain_lucene(
+    index: InvertedIndex,
+    query: str,
+    doc_id: int,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+    max_expansions: int = 1024,
+) -> dict:
+    """Lucene Explanation for a FULL query string (Solr debugQuery=on
+    over every clause type — ``bm25.explain`` covers plain term
+    queries): per-clause breakdown of ``doc_id``'s score under
+    ``query``, including boolean term clauses (with per-(term, field)
+    tf/dl/idf/weight entries), prefix/fuzzy/range expansions (their
+    expanded terms appear as term entries), phrase clauses, and
+    nested groups (recursive explanations). ``matches`` is False —
+    with a ``reason`` — when the doc fails a MUST clause or contains
+    a MUST_NOT member; the score then reflects Lucene's "did not
+    match" (0.0). When it matches, summing in the reported clause
+    order reproduces ``search_lucene``'s score for the doc."""
+    cfg = cfg or index.cfg
+    return _explain_clauses(
+        index, parse_lucene(query), int(doc_id), cfg, exclude_ids,
+        max_expansions,
+    )
+
+
+def _explain_clauses(
+    index: InvertedIndex,
+    clauses: list[tuple[str, object]],
+    doc_id: int,
+    cfg: IndexConfig,
+    exclude_ids,
+    max_expansions: int,
+) -> dict:
+    from golr_loader_spark.plans.bm25 import _avgdl, _idf_table
+    from golr_loader_spark.plans.build_index import bucket_of
+    from golr_loader_spark.plans.phrase import decode_postings
+
+    out: dict = {
+        "doc_id": doc_id, "matches": True, "score": 0.0, "clauses": [],
+    }
+    qan = query_analyzer(cfg)
+    term_clauses: list[tuple[str, set[str], list[str], float]] = []
+    rel: list[tuple[str, object]] = []
+    for occur, node in clauses:
+        if isinstance(node, Group):
+            rel.append((occur, node))
+            continue
+        nf = getattr(node, "field", None)
+        if nf is not None and nf not in cfg.fields:
+            raise ValueError(f"unknown field {nf!r} (config: {list(cfg.fields)})")
+        if isinstance(node, Phrase):
+            rel.append((occur, node))
+            continue
+        fields = [nf] if nf else list(cfg.fields)
+        if isinstance(node, Term):
+            an = cfg.fields[nf][0] if nf else qan
+            terms = set(analyze_query(node.text, an))
+        elif isinstance(node, TermRange):
+            terms = {
+                r["term"]
+                for r in _expand_range(index, cfg, node, max_expansions, fields)
+            }
+        elif isinstance(node, Prefix):
+            terms = {
+                r["term"]
+                for r in _expand_prefix(index, cfg, node.text, max_expansions, fields)
+            }
+        else:
+            terms = {
+                r["term"]
+                for r in _expand_fuzzy(
+                    index, cfg, node.text, node.max_edits, max_expansions, fields
+                )
+            }
+        if not terms:
+            if occur == MUST:
+                out["matches"] = False
+                out["reason"] = f"MUST clause {node!r} matches no indexed term"
+                return out
+            continue
+        term_clauses.append((occur, terms, fields, node.boost))
+
+    # point lookup: decode this doc's (term, field) postings only
+    all_terms = sorted({t for _o, ts, _f, _b in term_clauses for t in ts})
+    tfdl: dict[tuple[str, str], tuple[int, int]] = {}
+    if all_terms:
+        flat = (
+            decode_postings(index, all_terms, cfg, exclude_ids=exclude_ids)
+            .filter(
+                (F.col("doc_id") == doc_id)
+                & (
+                    F.col("bucket")
+                    == bucket_of(
+                        F.lit(doc_id), cfg.bucket_bits, cfg.id_space_bits
+                    )
+                )
+            )
+            .collect()
+        )
+        tfdl = {
+            (r["term"], r["field"]): (int(r["tf"]), int(r["dl"])) for r in flat
+        }
+
+    # clause-additive weights, exactly _exec's
+    idf = _idf_table(index, all_terms) if all_terms else {}
+    weights: dict[tuple[str, str], float] = {}
+    for occur, terms, fields, boost in term_clauses:
+        if occur == MUST_NOT:
+            continue
+        for t in terms:
+            for f in fields:
+                i = idf.get((t, f))
+                if i is None or f not in cfg.fields:
+                    continue
+                weights[(t, f)] = weights.get((t, f), 0.0) + (
+                    boost * cfg.fields[f][1] * i * (cfg.k1 + 1.0)
+                )
+
+    # MUST_NOT term membership disqualifies
+    for occur, terms, fields, _boost in term_clauses:
+        if occur != MUST_NOT:
+            continue
+        for (t, f) in tfdl:
+            if t in terms and f in fields:
+                out["matches"] = False
+                out["reason"] = f"doc contains prohibited term {t!r} in {f!r}"
+                out["score"] = 0.0
+                return out
+
+    # term MUST groups: any member (term in any listed field) present
+    for occur, terms, fields, _boost in term_clauses:
+        if occur != MUST:
+            continue
+        if not any(t in terms and f in fields for (t, f) in tfdl):
+            out["matches"] = False
+            out["reason"] = (
+                f"MUST clause over {sorted(terms)[:5]} not matched"
+            )
+            out["score"] = 0.0
+            return out
+
+    avgdl = _avgdl(index)
+    term_entries = []
+    bool_score = 0.0
+    for (t, f) in sorted(tfdl, key=lambda x: (x[1], x[0])):
+        wt = weights.get((t, f))
+        if wt is None:
+            continue
+        tf, dl = tfdl[(t, f)]
+        contrib = wt * tf / (
+            tf + cfg.k1 * ((1.0 - cfg.b) + cfg.b * dl / avgdl[f])
+        )
+        bool_score += contrib
+        term_entries.append(
+            {
+                "term": t, "field": f, "tf": tf, "dl": dl,
+                "avgdl": avgdl[f], "weight": wt, "contribution": contrib,
+            }
+        )
+    if term_entries:
+        out["clauses"].append(
+            {"kind": "terms", "score": bool_score, "terms": term_entries}
+        )
+    total = bool_score
+    matched_any = bool(term_entries)
+
+    rel.sort(key=lambda c: c[0] == MUST_NOT)
+    for occur, node in rel:
+        if isinstance(node, Phrase):
+            ps = _phrase_doc_score(index, node, doc_id, cfg, exclude_ids)
+            ps = None if ps is None else ps * float(node.boost)
+            entry = {
+                "kind": "phrase", "text": node.text, "slop": node.slop,
+                "field": node.field, "occur": occur,
+                "matched": ps is not None, "score": ps or 0.0,
+            }
+        else:
+            sub = _explain_clauses(
+                index, list(node.clauses), doc_id, cfg, exclude_ids,
+                max_expansions,
+            )
+            ps = (
+                sub["score"] * float(node.boost)
+                if sub["matches"] and (sub["clauses"] or sub["score"])
+                else None
+            )
+            # a group that structurally matches with score 0 still
+            # counts as matched when any sub-clause matched
+            if sub["matches"] and sub["clauses"]:
+                ps = sub["score"] * float(node.boost)
+            entry = {
+                "kind": "group", "occur": occur, "boost": node.boost,
+                "matched": ps is not None, "score": ps or 0.0,
+                "explanation": sub,
+            }
+        if occur == MUST_NOT:
+            if ps is not None:
+                out["matches"] = False
+                out["reason"] = f"doc matches prohibited {entry['kind']}"
+                out["score"] = 0.0
+                return out
+            continue
+        if occur == MUST and ps is None:
+            out["matches"] = False
+            out["reason"] = f"MUST {entry['kind']} not matched"
+            out["score"] = 0.0
+            return out
+        out["clauses"].append(entry)
+        if ps is not None:
+            total += ps
+            matched_any = True
+
+    if not matched_any:
+        out["matches"] = False
+        out["reason"] = "no positive clause matched"
+        out["score"] = 0.0
+        return out
+    out["score"] = total
+    return out

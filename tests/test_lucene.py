@@ -416,3 +416,38 @@ def test_serving_field_boost_parity(tmp_path, fix, fcfg):
         want = rows(search_lucene(fix, q, k=10, cfg=fcfg))
         got = ls.query(q, k=10)
         assert got == want, q
+
+
+def test_explain_lucene_pins_search_scores(ix, cfg):
+    """explain_lucene's total reproduces search_lucene's score for
+    every returned doc on mixed-clause queries (Solr debugQuery over
+    every clause type), and explains non-matches with a reason."""
+    from golr_loader_spark.plans.lucene import explain_lucene
+
+    for q in [
+        '+data s* "data query"',
+        'engine +"data query"',
+        "(data OR engine) AND sort",
+        'data -(spark engine)',
+        '(data query)^2 -streaming',
+        "[sc TO sp] runs~1",
+    ]:
+        got = dict(rows(search_lucene(ix, q, k=10, cfg=cfg)))
+        assert got, q
+        for d, s in got.items():
+            ex = explain_lucene(ix, q, d, cfg=cfg)
+            assert ex["matches"], (q, d, ex.get("reason"))
+            assert ex["score"] == pytest.approx(s, rel=1e-12), (q, d)
+            assert ex["clauses"], (q, d)
+    # non-match reasons
+    ex = explain_lucene(ix, "+data +query", 4, cfg=cfg)  # doc 4 unrelated
+    assert not ex["matches"] and "MUST" in ex["reason"]
+    ex2 = explain_lucene(ix, "data -spark", 0, cfg=cfg)  # doc 0 has spark
+    assert not ex2["matches"] and "prohibited" in ex2["reason"]
+    ex3 = explain_lucene(ix, 'data +"data query"', 1, cfg=cfg)  # no phrase in doc 1
+    assert not ex3["matches"]
+    # per-term entries carry the fold components
+    ex4 = explain_lucene(ix, "data query", 0, cfg=cfg)
+    assert {e["term"] for e in ex4["clauses"][0]["terms"]} == {"data", "query"}
+    for e in ex4["clauses"][0]["terms"]:
+        assert e["tf"] >= 1 and e["contribution"] > 0

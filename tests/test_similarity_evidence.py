@@ -135,3 +135,31 @@ def test_evidence_merge_groups_and_ontology_suppression(spark):
     # P10: ontology-ontology association carries no evidence fields
     d2 = got[("s2", "o2")]
     assert d2["evidence"] == [] and d2["source"] == []
+
+
+def test_ivf_broadcast_strategy_matches_inline(spark, sf_dir):
+    """The broadcast-centroid path (realistic nlist — no literal
+    inlining) returns IDENTICAL rows to the inline path: same rounded
+    (-cos, cell) lexicographic argmin in both assignment and probing.
+    Also runs at n_cells=256 where the inline expression tree would
+    bloat the plan."""
+    e = _emb(spark, sf_dir)
+    qids = list(range(6))
+    for n_cells, n_probe in [(8, 3), (16, 4)]:
+        inline = ivf_cosine_topk(
+            e, qids, k=10, n_cells=n_cells, n_probe=n_probe,
+            centroid_strategy="inline",
+        ).collect()
+        bcast = ivf_cosine_topk(
+            e, qids, k=10, n_cells=n_cells, n_probe=n_probe,
+            centroid_strategy="broadcast",
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(map(tuple, inline), key=lambda t: (t[0], t[1])) == \
+            sorted(map(tuple, bcast), key=lambda t: (t[0], t[1])), n_cells
+    # realistic nlist: broadcast path at 256 cells runs and returns
+    # a full page per query ("auto" picks broadcast above 64 cells)
+    big = ivf_cosine_topk(e, qids, k=5, n_cells=256, n_probe=32).collect()
+    assert {r["query_id"] for r in big} == set(qids)
+    for r in big:
+        assert 1 <= r["rank"] <= 5
