@@ -513,26 +513,6 @@ class LocalSearcher:
             (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
         ]
 
-    def _matching_ids(self, query: str, mode: str = "or") -> set[int]:
-        """Decode-only match set of a term query (the serving analog
-        of ``facets.matching_doc_ids``): union (``or``) or
-        intersection (``and``) of the analyzed terms' doc_id streams,
-        tombstone-masked."""
-        from golr_loader_spark.plans.facets import _match_bucket_factory
-
-        terms = analyze_query(query, query_analyzer(self.cfg))
-        if not terms:
-            return set()
-        blocks = self._read_blocks(terms)
-        if not len(blocks):
-            return set()
-        fn = _match_bucket_factory(
-            {t: list(self.cfg.fields) for t in terms},
-            set(terms) if mode == "and" else None,
-            self.tombstones,
-        )
-        return {int(d) for d in fn(blocks)["doc_id"].to_numpy()}
-
     def search_sorted(
         self,
         query: str,
@@ -552,7 +532,7 @@ class LocalSearcher:
         row for row."""
         from golr_loader_spark.plans.lucene import parse_lucene
 
-        ids = self._matching_ids(query, mode)
+        ids = {int(d) for d in self.matching_ids(query, mode)}
         if fq is not None:
             fset = self._exec_clauses_local(
                 parse_lucene(fq), max_expansions, None
@@ -829,33 +809,28 @@ class LocalSearcher:
                 scores = {d: s for d, s in scores.items() if d not in neg}
         return scores
 
-    def explain(self, query: str, doc_id: int) -> dict:
-        """Serving-path Lucene Explanation (Solr debugQuery=on): the
-        per-term score breakdown of ``doc_id`` for ``query`` — same
-        fields and fold order as the distributed ``bm25.explain``,
-        values identical by construction (same decoded postings, same
-        formula). The read prunes to the doc's own bucket."""
+    def _doc_tfdl(
+        self, terms: list[str], doc_id: int
+    ) -> dict[tuple[str, str], tuple[int, int]]:
+        """Point lookup: (tf, dl) per (term, field) for ONE doc —
+        reads only the given terms' blocks in the doc's own bucket,
+        tombstone-masked. Shared by ``explain`` and
+        ``explain_query``."""
         import numpy as _np
 
         from golr_loader_spark.functions.codec import varint_decode
         from golr_loader_spark.plans.bm25 import _live_of, _norm_excl
 
-        terms = analyze_query(query, query_analyzer(self.cfg))
-        out: dict = {"doc_id": int(doc_id), "score": 0.0, "terms": []}
+        found: dict[tuple[str, str], tuple[int, int]] = {}
         if not terms:
-            return out
-        idf = {
-            (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
-            for r in self._term_rows(terms)
-        }
+            return found
         blocks = self._read_blocks(terms)
         if not len(blocks):
-            return out
+            return found
         shift = max(0, self.cfg.id_space_bits - self.cfg.bucket_bits)
         bucket = int(_np.int64(doc_id) >> shift)
         blocks = blocks[blocks["bucket"] == bucket]
         excl = _norm_excl(self.tombstones)
-        found: dict[tuple[str, str], tuple[int, int]] = {}
         for r in blocks.itertuples(index=False):
             if not (r.doc_id_first <= doc_id):
                 continue
@@ -874,6 +849,23 @@ class LocalSearcher:
             tfs = varint_decode(r.tfs).astype(_np.int64)
             dls = varint_decode(r.dls).astype(_np.int64)
             found[(r.term, r.field)] = (int(tfs[i]), int(dls[i]))
+        return found
+
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Serving-path Lucene Explanation (Solr debugQuery=on): the
+        per-term score breakdown of ``doc_id`` for ``query`` — same
+        fields and fold order as the distributed ``bm25.explain``,
+        values identical by construction (same decoded postings, same
+        formula). The read prunes to the doc's own bucket."""
+        terms = analyze_query(query, query_analyzer(self.cfg))
+        out: dict = {"doc_id": int(doc_id), "score": 0.0, "terms": []}
+        if not terms:
+            return out
+        idf = {
+            (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
+            for r in self._term_rows(terms)
+        }
+        found = self._doc_tfdl(terms, doc_id)
         total = 0.0
         for (t, f) in sorted(found, key=lambda k: (k[1], k[0])):
             i = idf.get((t, f))
@@ -893,6 +885,218 @@ class LocalSearcher:
                     "contribution": contrib,
                 }
             )
+        out["score"] = total
+        return out
+
+    def explain_query(
+        self, query: str, doc_id: int, max_expansions: int = 1024
+    ) -> dict:
+        """Serving-path full-query explanation (Solr debugQuery over
+        every clause type) — the Spark-free mirror of
+        ``lucene.explain_lucene``: same output shape, same clause
+        semantics, totals reproduce ``LocalSearcher.query``'s score
+        for the doc."""
+        from golr_loader_spark.plans.lucene import parse_lucene
+
+        return self._explain_clauses_local(
+            parse_lucene(query), int(doc_id), max_expansions
+        )
+
+    def _explain_clauses_local(
+        self, clauses: list, doc_id: int, max_expansions: int
+    ) -> dict:
+        from golr_loader_spark.functions.tokenize import analyze_query
+        from golr_loader_spark.plans.lucene import (
+            Group,
+            Phrase,
+            Prefix,
+            Term,
+            TermRange,
+        )
+
+        out: dict = {
+            "doc_id": doc_id, "matches": True, "score": 0.0, "clauses": [],
+        }
+        qan = query_analyzer(self.cfg)
+        term_clauses: list[tuple[str, set[str], list[str], float]] = []
+        rel: list[tuple[str, object]] = []
+        vocab = None
+        for occur, node in clauses:
+            if isinstance(node, Group):
+                rel.append((occur, node))
+                continue
+            nf = getattr(node, "field", None)
+            if nf is not None and nf not in self.cfg.fields:
+                raise ValueError(
+                    f"unknown field {nf!r} (config: {list(self.cfg.fields)})"
+                )
+            if isinstance(node, Phrase):
+                rel.append((occur, node))
+                continue
+            fields = [nf] if nf else list(self.cfg.fields)
+            if isinstance(node, Term):
+                an = self.cfg.fields[nf][0] if nf else qan
+                terms = set(analyze_query(node.text, an))
+            else:
+                if vocab is None:
+                    vocab = self._vocab_terms()
+                if isinstance(node, Prefix):
+                    p = node.text.lower()
+                    cand_t = [t for t in vocab if t.startswith(p)]
+                elif isinstance(node, TermRange):
+                    cand_t = [
+                        t
+                        for t in vocab
+                        if (
+                            node.lo is None
+                            or (t >= node.lo if node.include_lo else t > node.lo)
+                        )
+                        and (
+                            node.hi is None
+                            or (t <= node.hi if node.include_hi else t < node.hi)
+                        )
+                    ]
+                else:
+                    t0 = node.text.lower()
+                    cand_t = [
+                        t for t in vocab if _lev_le(t0, t, node.max_edits)
+                    ]
+                terms = {
+                    r["term"]
+                    for r in self._term_rows(cand_t)
+                    if r["field"] in fields
+                }
+                if len(terms) > max_expansions:
+                    raise ValueError(
+                        f"clause expands to >{max_expansions} terms"
+                    )
+            if not terms:
+                if occur == "MUST":
+                    out["matches"] = False
+                    out["reason"] = (
+                        f"MUST clause {node!r} matches no indexed term"
+                    )
+                    return out
+                continue
+            term_clauses.append(
+                (occur, terms, fields, getattr(node, "boost", 1.0))
+            )
+
+        all_terms = sorted({t for _o, ts, _f, _b in term_clauses for t in ts})
+        tfdl = self._doc_tfdl(all_terms, doc_id)
+        idf = {
+            (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
+            for r in self._term_rows(all_terms)
+        } if all_terms else {}
+        weights: dict[tuple[str, str], float] = {}
+        for occur, terms, fields, boost in term_clauses:
+            if occur == "MUST_NOT":
+                continue
+            for t in terms:
+                for f in fields:
+                    i = idf.get((t, f))
+                    if i is None or f not in self.cfg.fields:
+                        continue
+                    weights[(t, f)] = weights.get((t, f), 0.0) + (
+                        boost * self.cfg.fields[f][1] * i
+                        * (self.cfg.k1 + 1.0)
+                    )
+
+        for occur, terms, fields, _boost in term_clauses:
+            if occur != "MUST_NOT":
+                continue
+            for (t, f) in tfdl:
+                if t in terms and f in fields:
+                    out["matches"] = False
+                    out["reason"] = (
+                        f"doc contains prohibited term {t!r} in {f!r}"
+                    )
+                    return out
+        for occur, terms, fields, _boost in term_clauses:
+            if occur != "MUST":
+                continue
+            if not any(t in terms and f in fields for (t, f) in tfdl):
+                out["matches"] = False
+                out["reason"] = f"MUST clause over {sorted(terms)[:5]} not matched"
+                return out
+
+        term_entries = []
+        bool_score = 0.0
+        for (t, f) in sorted(tfdl, key=lambda x: (x[1], x[0])):
+            wt = weights.get((t, f))
+            if wt is None:
+                continue
+            tf, dl = tfdl[(t, f)]
+            avg = self.avgdl[f]
+            contrib = wt * tf / (
+                tf + self.cfg.k1 * ((1.0 - self.cfg.b) + self.cfg.b * dl / avg)
+            )
+            bool_score += contrib
+            term_entries.append(
+                {
+                    "term": t, "field": f, "tf": tf, "dl": dl,
+                    "avgdl": avg, "weight": wt, "contribution": contrib,
+                }
+            )
+        if term_entries:
+            out["clauses"].append(
+                {"kind": "terms", "score": bool_score, "terms": term_entries}
+            )
+        total = bool_score
+        matched_any = bool(term_entries)
+
+        rel.sort(key=lambda c: c[0] == "MUST_NOT")
+        for occur, node in rel:
+            if isinstance(node, Phrase):
+                pres = dict(
+                    self.search_phrase(
+                        node.text, k=self.n_docs, slop=node.slop,
+                        field=node.field,
+                    )
+                )
+                ps = pres.get(doc_id)
+                ps = None if ps is None else ps * float(node.boost)
+                entry = {
+                    "kind": "phrase", "text": node.text, "slop": node.slop,
+                    "field": node.field, "occur": occur,
+                    "matched": ps is not None, "score": ps or 0.0,
+                }
+            else:
+                sub = self._explain_clauses_local(
+                    list(node.clauses), doc_id, max_expansions
+                )
+                ps = (
+                    sub["score"] * float(node.boost)
+                    if sub["matches"] and sub["clauses"]
+                    else None
+                )
+                entry = {
+                    "kind": "group", "occur": occur, "boost": node.boost,
+                    "matched": ps is not None, "score": ps or 0.0,
+                    "explanation": sub,
+                }
+            if occur == "MUST_NOT":
+                if ps is not None:
+                    out["matches"] = False
+                    out["reason"] = f"doc matches prohibited {entry['kind']}"
+                    out["score"] = 0.0
+                    return out
+                continue
+            if occur == "MUST" and ps is None:
+                out["matches"] = False
+                out["reason"] = f"MUST {entry['kind']} not matched"
+                out["score"] = 0.0
+                return out
+            out["clauses"].append(entry)
+            if ps is not None:
+                total += ps
+                matched_any = True
+
+        if not matched_any:
+            out["matches"] = False
+            out["reason"] = "no positive clause matched"
+            out["score"] = 0.0
+            return out
         out["score"] = total
         return out
 

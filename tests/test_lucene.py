@@ -451,3 +451,34 @@ def test_explain_lucene_pins_search_scores(ix, cfg):
     assert {e["term"] for e in ex4["clauses"][0]["terms"]} == {"data", "query"}
     for e in ex4["clauses"][0]["terms"]:
         assert e["tf"] >= 1 and e["contribution"] > 0
+
+
+def test_explain_query_serving_parity(tmp_path, ix, cfg):
+    """LocalSearcher.explain_query mirrors lucene.explain_lucene:
+    same totals, same match/no-match decisions, pinned to the serving
+    query() scores."""
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.lucene import explain_lucene
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "exq")
+    write_index(ix, root, term_partitions=2)
+    ls = LocalSearcher(root, cfg)
+    for q in [
+        '+data s* "data query"',
+        "(data OR engine) AND sort",
+        'data -(spark engine)',
+        "[sc TO sp] runs~1",
+    ]:
+        got = dict(ls.query(q, k=10))
+        assert got, q
+        for d, s in got.items():
+            exl = ls.explain_query(q, d)
+            exd = explain_lucene(ix, q, d, cfg=cfg)
+            assert exl["matches"] and exd["matches"], (q, d)
+            assert exl["score"] == pytest.approx(s, rel=1e-12), (q, d)
+            assert exl["score"] == pytest.approx(exd["score"], rel=1e-12)
+    # non-match parity
+    for q, d in [("+data +query", 4), ("data -spark", 0)]:
+        assert not ls.explain_query(q, d)["matches"]
+        assert not explain_lucene(ix, q, d, cfg=cfg)["matches"]
