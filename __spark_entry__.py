@@ -527,6 +527,48 @@ def _engine_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spellcheck suggestions on the REAL engine term dictionary
+    (Solr SpellCheckComponent / DirectSolrSpellChecker): corrections
+    for the misspelled 'sot' — vocabulary terms within 2 edits
+    sharing the first char, popularity-ranked (df desc, term asc).
+    SQL_Q49 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import suggest_terms
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    return suggest_terms(ix, "sot", k=5, max_edits=2, prefix_length=1, cfg=cfg)
+
+
+def _engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr StatsComponent on the REAL engine index: stats.field over
+    n_chars for docs matching ('data' OR 'query') with fq='spark' —
+    decode-only matching + one aggregate row (count/min/max/sum/mean/
+    sample stddev, floats rounded to 4). SQL_Q50 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import stats_field
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    vals = d.select("doc_id", F.col("n_chars").alias("value"))
+    return stats_field(ix, vals, "data query", cfg=cfg, fq="spark")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -549,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_dismax"] = _engine_dismax
     out["engine_drilldown"] = _engine_drilldown
     out["engine_sortpage"] = _engine_sortpage
+    out["engine_suggest"] = _engine_suggest
+    out["engine_stats"] = _engine_stats
     return out
 
 
@@ -570,6 +614,8 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q46,
         SQL_Q47,
         SQL_Q48,
+        SQL_Q49,
+        SQL_Q50,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -593,4 +639,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_dismax"] = SQL_Q46
     out["engine_drilldown"] = SQL_Q47
     out["engine_sortpage"] = SQL_Q48
+    out["engine_suggest"] = SQL_Q49
+    out["engine_stats"] = SQL_Q50
     return out

@@ -1536,6 +1536,51 @@ FROM ordered WHERE pos > 10 AND pos <= 20 ORDER BY pos
 """
 
 
+# Spellcheck/suggester oracle (engine twin: bm25.suggest_terms —
+# engine_suggest in __spark_entry__.py). Solr DirectSolrSpellChecker:
+# vocabulary terms within 2 edits of the misspelled 'sot' sharing
+# its first char, ranked by document frequency (popularity) then
+# term; df = distinct docs containing the term.
+SQL_Q49 = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+)
+SELECT term, df FROM df
+WHERE term LIKE 's%' AND term <> 'sot'
+  AND length(term) BETWEEN 1 AND 5
+  AND levenshtein(term, 'sot') <= 2
+ORDER BY df DESC, term ASC LIMIT 5
+"""
+
+
+# StatsComponent oracle (engine twin: facets.stats_field —
+# engine_stats in __spark_entry__.py). Solr stats.field=n_chars over
+# docs matching ('data' OR 'query') restricted by fq='spark':
+# count/min/max/sum/mean/sample-stddev, floats rounded to 4 (the
+# cross-engine float discipline).
+SQL_Q50 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), m AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data','query')
+  INTERSECT
+  SELECT doc_id FROM toks WHERE term = 'spark'
+), j AS (
+  SELECT d.n_chars AS value FROM documents d JOIN m USING (doc_id))
+SELECT CAST(count(value) AS BIGINT) AS n,
+       min(value) AS min, max(value) AS max,
+       round(CAST(sum(value) AS DOUBLE), 4) AS sum,
+       round(avg(value), 4) AS mean,
+       round(stddev_samp(value), 4) AS stddev
+FROM j
+"""
+
+
 # eDisMax oracle (engine twin: plans.dismax.search_dismax over a
 # two-field index — 'text' plus a derived 'title' = the first 8
 # tokens — with qf title^2 text, tie=0.3, mm=2; engine_dismax in

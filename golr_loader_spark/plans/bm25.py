@@ -796,6 +796,49 @@ def search_fuzzy(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def suggest_terms(
+    index: InvertedIndex,
+    text: str,
+    k: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    min_df: int = 1,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Solr SpellCheckComponent / DirectSolrSpellChecker analog:
+    did-you-mean suggestions for a (possibly misspelled) user term →
+    (term, df), the vocabulary terms within ``max_edits`` Levenshtein
+    edits of ``text`` (sharing its first ``prefix_length`` chars —
+    the DirectSpellChecker default of 1 — and not the input itself),
+    ranked by popularity (df desc, term asc) like Solr's
+    suggestion ordering. ``df`` sums over the config's fields.
+
+    Runs ENTIRELY on the term-dictionary table: a pushed-down prefix +
+    length band + levenshtein filter over vocabulary-sized metadata,
+    then a tiny top-k — the corpus is never touched (Lucene walks the
+    same terms index with a Levenshtein automaton)."""
+    cfg = cfg or index.cfg
+    q = text.strip().lower()
+    spark = index.postings.sparkSession
+    if not q:
+        return spark.createDataFrame([], "term string, df long")
+    ts = index.term_stats.filter(F.col("field").isin(list(cfg.fields)))
+    if prefix_length > 0:
+        ts = ts.filter(F.col("term").startswith(q[:prefix_length]))
+    cand = ts.filter(
+        (F.col("term") != q)
+        & F.length(F.col("term")).between(len(q) - max_edits, len(q) + max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+    )
+    return (
+        cand.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def more_like_this(
     index: InvertedIndex,
     documents: DataFrame,

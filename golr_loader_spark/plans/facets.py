@@ -260,6 +260,52 @@ def range_facet_counts(
     )
 
 
+def stats_field(
+    index: InvertedIndex,
+    values: DataFrame,
+    query: str,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    fq=None,
+    exclude_ids=None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Solr StatsComponent (stats.field over a numeric doc value):
+    one row (n, min, max, sum, mean, stddev) over ALL docs matching
+    ``query`` (decode-only matching — same plan shape and liveDocs
+    discipline as ``facet_counts``), optionally restricted by a
+    non-scoring ``fq``. ``values``: (doc_id, value). ``stddev`` is
+    the sample standard deviation (Solr's). ``round_to`` rounds the
+    float outputs for cross-engine comparison (the module's
+    round-then-compare float discipline); None keeps raw floats."""
+    cfg = cfg or index.cfg
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    v = values.select("doc_id", "value").withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    agg = m.join(v, on=["bucket", "doc_id"]).agg(
+        F.count("value").cast("long").alias("n"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.sum("value").cast("double").alias("sum"),
+        F.avg("value").alias("mean"),
+        F.stddev_samp("value").alias("stddev"),
+    )
+    if round_to is not None:
+        for c in ("sum", "mean", "stddev"):
+            agg = agg.withColumn(c, F.round(F.col(c), round_to))
+    return agg
+
+
 def search_sorted(
     index: InvertedIndex,
     documents: DataFrame,

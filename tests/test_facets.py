@@ -202,3 +202,71 @@ def test_tombstones_drop_from_counts(spark, docs, ix, cfg):
         ).collect()
     }
     assert got == {("en", 1), ("de", 2), ("fr", 1)}
+
+
+def test_suggest_terms_popularity_ranked(spark):
+    """Solr spellcheck: suggestions within max_edits of the input,
+    prefix-gated, ranked (df desc, term asc), input itself excluded."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import suggest_terms
+    from golr_loader_spark.plans.build_index import build_index
+
+    rows = [
+        (0, "query data"), (1, "query spark"), (2, "quest log"),
+        (3, "quest query"), (4, "queue depth"), (5, "unrelated"),
+    ]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3
+    )
+    ix = build_index(
+        spark.createDataFrame(rows, "doc_id long, text string"), cfg
+    )
+    got = [(r["term"], r["df"]) for r in suggest_terms(
+        ix, "quer", k=5, max_edits=2, prefix_length=1, cfg=cfg
+    ).collect()]
+    # query: lev 1 df 3, quest: lev 2 df 2, queue: lev 2 df 1
+    assert got == [("query", 3), ("quest", 2), ("queue", 1)]
+    # the input term itself is excluded even when indexed
+    got2 = [r["term"] for r in suggest_terms(
+        ix, "query", k=5, max_edits=1, cfg=cfg
+    ).collect()]
+    assert "query" not in got2
+    # min_df gate
+    got3 = [r["term"] for r in suggest_terms(
+        ix, "quer", k=5, max_edits=2, min_df=2, cfg=cfg
+    ).collect()]
+    assert got3 == ["query", "quest"]
+
+
+def test_stats_field_matches_python(spark):
+    """StatsComponent: n/min/max/sum/mean/stddev over the match set,
+    fq-restricted, vs a pure-Python computation."""
+    import statistics
+
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import stats_field
+
+    rows = [
+        (0, "data query", 10), (1, "data spark", 20), (2, "query spark", 30),
+        (3, "data query spark", 40), (4, "unrelated", 50),
+    ]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, value long")
+    ix = build_index(df.select("doc_id", "text"), cfg)
+    vals = df.select("doc_id", "value")
+    r = stats_field(ix, vals, "data query", cfg=cfg).collect()[0]
+    xs = [10, 20, 30, 40]  # docs matching data OR query
+    assert (r["n"], r["min"], r["max"]) == (4, 10, 40)
+    assert r["sum"] == sum(xs) and r["mean"] == sum(xs) / 4
+    assert r["stddev"] == round(statistics.stdev(xs), 4)
+    # fq drill-down: data|query docs that also contain spark
+    r2 = stats_field(ix, vals, "data query", cfg=cfg, fq="spark").collect()[0]
+    xs2 = [20, 30, 40]
+    assert (r2["n"], r2["min"], r2["max"]) == (3, 20, 40)
+    assert r2["mean"] == round(sum(xs2) / 3, 4)
+    # empty match set -> n=0 row with null stats
+    r3 = stats_field(ix, vals, "zzznope", cfg=cfg).collect()
+    assert len(r3) == 1 and r3[0]["n"] == 0
