@@ -153,12 +153,21 @@ def _dismax_bucket_factory(
     tie: float,
     mm_count: int,
     excl,
+    required: list[bool] | None = None,
+    word_boosts: list[float] | None = None,
 ):
     """Per-bucket dismax scorer shared by the distributed path and
     ``LocalSearcher.search_dismax`` (the module's factory pattern —
     both paths bit-identical by construction). ``qwords``: one dict
     per query word mapping qf field → that field's analyzed subterms.
-    ``weights``: (term, field) → qf·cfg-boost·idf·(k1+1)."""
+    ``weights``: (term, field) → qf·cfg-boost·idf·(k1+1).
+
+    ``required`` (edismax): per-word MUST flags — a doc survives only
+    when every required word matches, and ``mm_count`` then gates the
+    OPTIONAL words only (Lucene BooleanQuery: mm applies to SHOULD
+    clauses; with no required words every word is optional and mm
+    gates them all, min 1). ``word_boosts``: per-word clause boosts
+    (edismax ``term^2``), multiplying that word's dismax score."""
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         def empty() -> pd.DataFrame:
@@ -171,8 +180,10 @@ def _dismax_bucket_factory(
             return empty()
         uniq = np.unique(np.concatenate([ids for ids, _c in lists.values()]))
         score = np.zeros(len(uniq), dtype=np.float64)
-        nmatch = np.zeros(len(uniq), dtype=np.int32)
-        for per_field in qwords:  # query word order (float determinism)
+        n_opt = np.zeros(len(uniq), dtype=np.int32)
+        req_ok = np.ones(len(uniq), dtype=bool)
+        any_match = np.zeros(len(uniq), dtype=bool)
+        for wi, per_field in enumerate(qwords):  # query word order
             field_arrs: list[np.ndarray] = []
             matched = np.zeros(len(uniq), dtype=bool)
             for f in sorted(per_field):  # deterministic field order
@@ -188,7 +199,10 @@ def _dismax_bucket_factory(
                 if hit.any():
                     field_arrs.append(arr)
                     matched |= hit
+            is_req = bool(required[wi]) if required else False
             if not field_arrs:
+                if is_req:
+                    return empty()  # a required word absent everywhere
                 continue
             m = np.vstack(field_arrs)
             mx = m.max(axis=0)
@@ -196,9 +210,18 @@ def _dismax_bucket_factory(
                 word_score = mx + tie * (m.sum(axis=0) - mx)
             else:
                 word_score = mx
+            if word_boosts is not None:
+                word_score = word_score * word_boosts[wi]
             score += np.where(matched, word_score, 0.0)
-            nmatch += matched
-        ok = nmatch >= max(mm_count, 1)
+            any_match |= matched
+            if is_req:
+                req_ok &= matched
+            else:
+                n_opt += matched
+        if required and any(required):
+            ok = req_ok & any_match & (n_opt >= mm_count)
+        else:
+            ok = n_opt >= max(mm_count, 1)
         if not ok.any():
             return empty()
         docs, sc = uniq[ok], score[ok]
@@ -278,3 +301,226 @@ def search_dismax(
         fn, schema="doc_id long, score double"
     )
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_edismax(
+    index: InvertedIndex,
+    query: str,
+    qf,
+    k: int = 10,
+    tie: float = 0.0,
+    mm=0,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Extended DisMax (Solr ``defType=edismax`` with query syntax):
+    the user query is parsed with the Lucene grammar
+    (``plans.lucene.parse_lucene``) and its TERM and PHRASE clauses
+    score DisjunctionMax across the qf fields:
+
+    * bare terms — dismax across qf (``max + tie·rest``), per-word
+      clause boosts (``term^2``) multiply the word's dismax score;
+    * ``+term`` / ``-term`` — MUST words gate the match set (all
+      required words must match; ``mm`` then applies to the OPTIONAL
+      words only); MUST_NOT words disqualify via a decode-only
+      anti-join over every qf field;
+    * ``field:term`` — an explicit field overrides qf (Solr
+      semantics): the word scores on that field alone;
+    * ``"a phrase"``/``~slop`` — the phrase runs per qf field on the
+      positional index, each field's score scaled by its qf boost,
+      combined as ``max + tie·rest`` across the fields it matches;
+      MUST/SHOULD/MUST_NOT phrase occurs combine relationally exactly
+      as in ``search_lucene`` (mm does NOT count phrase clauses —
+      documented divergence from Solr's all-optional-clauses mm).
+
+    Unsupported inside edismax (clear ``ValueError`` — use
+    ``search_lucene``): prefix/fuzzy/range clauses and parenthesized
+    groups. Plan shape: ONE bucket-grouped job for all word clauses
+    + one positional-phrase job per (phrase × qf field), combined
+    with the same semi/anti join shapes as ``search_lucene``."""
+    from golr_loader_spark.plans.lucene import (
+        MUST,
+        MUST_NOT,
+        Phrase,
+        Term,
+        parse_lucene,
+    )
+    from golr_loader_spark.plans.phrase import (
+        decode_postings,
+        phrase_search_positional,
+    )
+
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    qf_map = parse_qf(qf)
+    for f in qf_map:
+        if f not in cfg.fields:
+            raise ValueError(f"qf field {f!r} not in config ({list(cfg.fields)})")
+    clauses = parse_lucene(query)
+    if not clauses:
+        return empty
+
+    qwords: list[dict[str, list[str]]] = []
+    required: list[bool] = []
+    word_boosts: list[float] = []
+    prohibited_terms: set[tuple[str, str]] = set()
+    phrases: list[tuple[str, Phrase]] = []
+    for occur, node in clauses:
+        if isinstance(node, Phrase):
+            phrases.append((occur, node))
+            continue
+        if not isinstance(node, Term):
+            raise ValueError(
+                f"edismax supports term and phrase clauses only, got "
+                f"{type(node).__name__} — use search_lucene"
+            )
+        # explicit field: overrides qf (Solr); else dismax across qf
+        fields = (
+            {node.field: qf_map.get(node.field, 1.0)}
+            if node.field
+            else qf_map
+        )
+        if node.field and node.field not in cfg.fields:
+            raise ValueError(f"unknown field {node.field!r}")
+        per_field: dict[str, list[str]] = {}
+        for f in fields:
+            terms = analyze_query(node.text, cfg.fields[f][0])
+            if terms:
+                per_field[f] = terms
+        if occur == MUST_NOT:
+            for f in fields:
+                for t in per_field.get(f, []):
+                    prohibited_terms.add((t, f))
+            continue
+        if not per_field:
+            if occur == MUST:
+                return empty
+            continue
+        qwords.append(per_field)
+        required.append(occur == MUST)
+        word_boosts.append(float(node.boost))
+
+    if not qwords and not phrases:
+        return empty
+    mm_count = parse_mm(mm, sum(1 for r in required if not r))
+
+    bool_df = None
+    if qwords:
+        all_terms = sorted({t for pf in qwords for ts in pf.values() for t in ts})
+        idf = _idf_table(index, all_terms)
+        # weights use the per-word field map (an explicit field: term
+        # scores under that field's qf boost, defaulting to 1.0)
+        weights: dict[tuple[str, str], float] = {}
+        for pf in qwords:
+            for f, ts in pf.items():
+                b = qf_map.get(f, 1.0)
+                for t in ts:
+                    i = idf.get((t, f))
+                    if i is not None:
+                        weights[(t, f)] = cfg.fields[f][1] * b * i * (cfg.k1 + 1.0)
+        if not weights and any(required):
+            return empty
+        if weights:
+            fn = _dismax_bucket_factory(
+                qwords, weights, _avgdl(index), cfg,
+                k if not phrases and not prohibited_terms else index.n_docs,
+                float(tie), mm_count, _norm_excl(exclude_ids),
+                required=required, word_boosts=word_boosts,
+            )
+            cand = index.postings.filter(
+                F.col("term").isin(all_terms)
+                & F.col("field").isin(sorted({f for pf in qwords for f in pf}))
+            )
+            bool_df = cand.groupBy("bucket").applyInPandas(
+                fn, schema="doc_id long, score double"
+            )
+        elif any(required):
+            return empty
+
+    out = bool_df
+    has_must = any(required)
+    phrases.sort(key=lambda c: c[0] == MUST_NOT)
+    for occur, ph in phrases:
+        # per-qf-field phrase scores, dismax-combined (max + tie·rest)
+        fields = [ph.field] if ph.field else sorted(qf_map)
+        parts = []
+        for i, f in enumerate(fields):
+            b = qf_map.get(f, 1.0)
+            parts.append(
+                phrase_search_positional(
+                    index, ph.text, k=index.n_docs, slop=ph.slop, cfg=cfg,
+                    exclude_ids=exclude_ids, field=f,
+                ).select(
+                    "doc_id",
+                    (F.col("score") * F.lit(float(b))).alias(f"_s{i}"),
+                )
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.join(p, on="doc_id", how="full_outer")
+        cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(parts))]
+        mx = cols[0] if len(cols) == 1 else F.greatest(*cols)
+        total = cols[0]
+        for c in cols[1:]:
+            total = total + c
+        ps = (mx + F.lit(float(tie)) * (total - mx)) * F.lit(float(ph.boost))
+        pdf = merged.select("doc_id", ps.alias("_ps"))
+        if occur == MUST_NOT:
+            if out is not None:
+                out = out.join(pdf.select("doc_id"), on="doc_id", how="left_anti")
+            continue
+        if out is None:
+            out = pdf.withColumnRenamed("_ps", "score")
+            if occur == MUST:
+                has_must = True
+            continue
+        if occur == MUST:
+            if has_must:
+                out = (
+                    out.join(pdf, on="doc_id", how="inner")
+                    .withColumn("score", F.col("score") + F.col("_ps"))
+                    .drop("_ps")
+                )
+            else:
+                out = (
+                    out.join(pdf, on="doc_id", how="right_outer")
+                    .withColumn(
+                        "score",
+                        F.coalesce(F.col("score"), F.lit(0.0)) + F.col("_ps"),
+                    )
+                    .drop("_ps")
+                )
+            has_must = True
+        else:
+            how = "left_outer" if has_must else "full_outer"
+            out = (
+                out.join(pdf, on="doc_id", how=how)
+                .withColumn(
+                    "score",
+                    F.coalesce(F.col("score"), F.lit(0.0))
+                    + F.coalesce(F.col("_ps"), F.lit(0.0)),
+                )
+                .drop("_ps")
+            )
+    if out is None:
+        return empty
+    if prohibited_terms:
+        # the dismax bucket factory never vets MUST_NOT members (they
+        # carry no weights), so prohibition is ALWAYS relational here:
+        # decode-only anti-join over the prohibited (term, field)s
+        neg = decode_postings(
+            index,
+            sorted({t for t, _f in prohibited_terms}),
+            cfg,
+            exclude_ids=exclude_ids,
+        )
+        cond = F.lit(False)
+        for t, f in sorted(prohibited_terms):
+            cond = cond | ((F.col("term") == t) & (F.col("field") == f))
+        out = out.join(
+            neg.filter(cond).select("doc_id").distinct(),
+            on="doc_id",
+            how="left_anti",
+        )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -513,6 +513,190 @@ class LocalSearcher:
             (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
         ]
 
+    def search_edismax(
+        self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0
+    ) -> list[tuple[int, float]]:
+        """Serving-path extended DisMax (Solr defType=edismax with
+        query syntax — see ``dismax.search_edismax``): term/phrase
+        clauses with +/- occurs, explicit field: overrides, per-word
+        clause boosts, dismax across qf with tie, mm over optional
+        words. Mirrors the distributed path clause for clause."""
+        from golr_loader_spark.plans.bm25 import _norm_excl
+        from golr_loader_spark.plans.dismax import (
+            _dismax_bucket_factory,
+            parse_mm,
+            parse_qf,
+        )
+        from golr_loader_spark.plans.facets import _match_bucket_factory
+        from golr_loader_spark.plans.lucene import Phrase, Term, parse_lucene
+
+        qf_map = parse_qf(qf)
+        for f in qf_map:
+            if f not in self.cfg.fields:
+                raise ValueError(
+                    f"qf field {f!r} not in config ({list(self.cfg.fields)})"
+                )
+        clauses = parse_lucene(query)
+        if not clauses:
+            return []
+
+        qwords: list[dict[str, list[str]]] = []
+        required: list[bool] = []
+        word_boosts: list[float] = []
+        prohibited: set[tuple[str, str]] = set()
+        phrases: list[tuple[str, "Phrase"]] = []
+        for occur, node in clauses:
+            if isinstance(node, Phrase):
+                phrases.append((occur, node))
+                continue
+            if not isinstance(node, Term):
+                raise ValueError(
+                    f"edismax supports term and phrase clauses only, got "
+                    f"{type(node).__name__} — use query()"
+                )
+            fields = (
+                {node.field: qf_map.get(node.field, 1.0)}
+                if node.field
+                else qf_map
+            )
+            if node.field and node.field not in self.cfg.fields:
+                raise ValueError(f"unknown field {node.field!r}")
+            per_field: dict[str, list[str]] = {}
+            for f in fields:
+                terms = analyze_query(node.text, self.cfg.fields[f][0])
+                if terms:
+                    per_field[f] = terms
+            if occur == "MUST_NOT":
+                for f in fields:
+                    for t in per_field.get(f, []):
+                        prohibited.add((t, f))
+                continue
+            if not per_field:
+                if occur == "MUST":
+                    return []
+                continue
+            qwords.append(per_field)
+            required.append(occur == "MUST")
+            word_boosts.append(float(node.boost))
+
+        if not qwords and not phrases:
+            return []
+        mm_count = parse_mm(mm, sum(1 for r in required if not r))
+
+        scores: dict[int, float] = {}
+        matched_bool = False
+        if qwords:
+            all_terms = sorted(
+                {t for pf in qwords for ts in pf.values() for t in ts}
+            )
+            idf = {
+                (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
+                for r in self._term_rows(all_terms)
+            }
+            weights: dict[tuple[str, str], float] = {}
+            for pf in qwords:
+                for f, ts in pf.items():
+                    b = qf_map.get(f, 1.0)
+                    for t in ts:
+                        i = idf.get((t, f))
+                        if i is not None:
+                            weights[(t, f)] = (
+                                self.cfg.fields[f][1] * b * i
+                                * (self.cfg.k1 + 1.0)
+                            )
+            if not weights and any(required):
+                return []
+            if weights:
+                score_group = _dismax_bucket_factory(
+                    qwords, weights, self.avgdl, self.cfg, self.n_docs,
+                    float(tie), mm_count, _norm_excl(self.tombstones),
+                    required=required, word_boosts=word_boosts,
+                )
+                blocks = self._read_blocks(all_terms)
+                if len(blocks):
+                    parts = [
+                        score_group(pdf)
+                        for _b, pdf in blocks.groupby("bucket", sort=False)
+                    ]
+                    allp = pd.concat(parts, ignore_index=True)
+                    scores = {
+                        int(r.doc_id): float(r.score)
+                        for r in allp.itertuples(index=False)
+                    }
+                elif any(required):
+                    return []
+                matched_bool = True
+            elif any(required):
+                return []
+
+        has_must = any(required)
+        phrases.sort(key=lambda c: c[0] == "MUST_NOT")
+        for occur, ph in phrases:
+            fields = [ph.field] if ph.field else sorted(qf_map)
+            per_f: list[dict[int, float]] = []
+            for f in fields:
+                b = qf_map.get(f, 1.0)
+                per_f.append(
+                    {
+                        d: s * b
+                        for d, s in self.search_phrase(
+                            ph.text, k=self.n_docs, slop=ph.slop, field=f
+                        )
+                    }
+                )
+            pres: dict[int, float] = {}
+            for d in set().union(*per_f):
+                vals = [m.get(d, 0.0) for m in per_f]
+                mx = max(vals)
+                pres[d] = (mx + float(tie) * (sum(vals) - mx)) * float(
+                    ph.boost
+                )
+            if occur == "MUST_NOT":
+                if matched_bool or scores:
+                    scores = {
+                        d: s for d, s in scores.items() if d not in pres
+                    }
+                continue
+            if not matched_bool and not scores:
+                scores = dict(pres)
+                matched_bool = True
+                if occur == "MUST":
+                    has_must = True
+                continue
+            if occur == "MUST":
+                if has_must:
+                    scores = {
+                        d: s + pres[d]
+                        for d, s in scores.items()
+                        if d in pres
+                    }
+                else:
+                    scores = {
+                        d: scores.get(d, 0.0) + ps for d, ps in pres.items()
+                    }
+                has_must = True
+            else:
+                if has_must:
+                    scores = {
+                        d: s + pres.get(d, 0.0) for d, s in scores.items()
+                    }
+                else:
+                    for d, ps in pres.items():
+                        scores[d] = scores.get(d, 0.0) + ps
+        if prohibited and scores:
+            # always relational: the dismax factory never vets
+            # MUST_NOT members (they carry no weights)
+            tmap: dict[str, list[str]] = {}
+            for t, f in prohibited:
+                tmap.setdefault(t, []).append(f)
+            blocks = self._read_blocks(sorted(tmap))
+            if len(blocks):
+                fn = _match_bucket_factory(tmap, None, self.tombstones)
+                neg = {int(d) for d in fn(blocks)["doc_id"].to_numpy()}
+                scores = {d: s for d, s in scores.items() if d not in neg}
+        out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [(int(d), float(s)) for d, s in out]
+
     def search_sorted(
         self,
         query: str,

@@ -179,3 +179,108 @@ def test_serving_dismax_parity(tmp_path, ix, cfg):
         want = rows(search_dismax(ix, query, qf, k=20, tie=tie, mm=mm, cfg=cfg))
         got = ls.search_dismax(query, qf, k=20, tie=tie, mm=mm)
         assert got == want, (query, qf)
+
+
+# ---------------------------------------------------------- edismax
+
+def test_edismax_bare_terms_equal_dismax(ix, cfg):
+    from golr_loader_spark.plans.dismax import search_edismax
+
+    for q, tie, mm in [("data query", 0.3, 0), ("data query spark", 0.1, 2)]:
+        got = rows(search_edismax(ix, q, "text title^2", k=20, tie=tie, mm=mm, cfg=cfg))
+        want = rows(search_dismax(ix, q, "text title^2", k=20, tie=tie, mm=mm, cfg=cfg))
+        assert got == want, q
+
+
+def test_edismax_required_and_prohibited(ix, cfg):
+    from golr_loader_spark.plans.dismax import search_edismax
+
+    qf = {"text": 1.0, "title": 1.0}
+    # +data spark: all docs containing data (any field) — optional
+    # spark adds score
+    got = dict(rows(search_edismax(ix, "+data spark", qf, k=20, cfg=cfg)))
+    base = dict(rows(search_dismax(ix, "data spark", qf, k=20, cfg=cfg)))
+    data_docs = {d for d, _s in rows(search_dismax(ix, "data", qf, k=20, cfg=cfg))}
+    assert set(got) == data_docs
+    for d in got:
+        assert got[d] == pytest.approx(base[d], rel=1e-12)
+    # -spark data: data docs minus docs with spark in any qf field
+    got2 = {d for d, _s in rows(search_edismax(ix, "data -spark", qf, k=20, cfg=cfg))}
+    spark_docs = {d for d, _s in rows(search_dismax(ix, "spark", qf, k=20, cfg=cfg))}
+    assert got2 == data_docs - spark_docs
+
+
+def test_edismax_explicit_field_overrides_qf(ix, cfg):
+    from golr_loader_spark.plans.dismax import search_edismax
+
+    # title:data scores on title alone (qf boost of title applies)
+    got = dict(rows(search_edismax(ix, "title:data", "text title^2", k=20, cfg=cfg)))
+    want = dict(rows(search_dismax(ix, "data", {"title": 2.0}, k=20, cfg=cfg)))
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_edismax_phrase_dismax_across_fields(spark, ix, cfg):
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+    from golr_loader_spark.plans.dismax import search_edismax
+
+    pytest.importorskip("numpy")
+    # positional two-field index
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.config import IndexConfig
+
+    pcfg = IndexConfig(
+        fields={"text": ("simple", 1.0), "title": ("simple", 1.0)},
+        bucket_bits=2, id_space_bits=3, positions=True,
+    )
+    pix = build_index(spark.createDataFrame(ROWS, SCHEMA).cache(), pcfg)
+    tie, bq = 0.25, {"text": 1.0, "title": 2.0}
+    got = dict(rows(search_edismax(pix, '"data query"', bq, k=20, tie=tie, cfg=pcfg)))
+    pt = {r["doc_id"]: r["score"] * 1.0 for r in phrase_search_positional(
+        pix, "data query", k=20, cfg=pcfg, field="text").collect()}
+    pti = {r["doc_id"]: r["score"] * 2.0 for r in phrase_search_positional(
+        pix, "data query", k=20, cfg=pcfg, field="title").collect()}
+    want = {}
+    for d in set(pt) | set(pti):
+        vals = [pt.get(d, 0.0), pti.get(d, 0.0)]
+        mx = max(vals)
+        want[d] = mx + tie * (sum(vals) - mx)
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    # doc 1 matches the phrase in title only — must be present
+    assert 1 in got
+    # MUST phrase + optional term keeps all phrase docs
+    got2 = dict(rows(search_edismax(pix, 'engine +"data query"', bq, k=20, cfg=pcfg)))
+    assert set(got2) == set(want)
+    # unsupported node kinds raise
+    with pytest.raises(ValueError, match="search_lucene"):
+        search_edismax(pix, "dat* query", bq, k=5, cfg=pcfg)
+
+
+def test_edismax_serving_parity(tmp_path, spark, cfg):
+    from golr_loader_spark.plans.build_index import build_index, write_index
+    from golr_loader_spark.plans.dismax import search_edismax
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    pcfg = IndexConfig(
+        fields={"text": ("simple", 1.0), "title": ("simple", 1.0)},
+        bucket_bits=2, id_space_bits=3, positions=True,
+    )
+    pix = build_index(spark.createDataFrame(ROWS, SCHEMA).cache(), pcfg)
+    root = str(tmp_path / "edx")
+    write_index(pix, root, term_partitions=2)
+    ls = LocalSearcher(root, pcfg)
+    for q, qf, tie, mm in [
+        ("data query", "text title^2", 0.3, 0),
+        ("+data spark", "text title", 0.0, 0),
+        ("data -spark", "text title", 0.0, 0),
+        ("title:data spark^2", "text title^2", 0.2, 0),
+        ('"data query" engine', "text title^2", 0.25, 0),
+        ('engine +"data query"', "text title", 0.1, 0),
+        ("data query spark", "text title", 0.0, 2),
+    ]:
+        want = rows(search_edismax(pix, q, qf, k=20, tie=tie, mm=mm, cfg=pcfg))
+        got = ls.search_edismax(q, qf, k=20, tie=tie, mm=mm)
+        assert got == want, (q, qf, tie, mm)
