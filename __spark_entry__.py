@@ -569,6 +569,40 @@ def _engine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_field(ix, vals, "data query", cfg=cfg, fq="spark")
 
 
+def _engine_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boost/function query on the REAL engine index (Solr edismax
+    bf= additive boost): BM25('data query spark') + ln(1 + n_chars),
+    scored untruncated before combining (a below-top-k doc can rise
+    once boosted), round-to-4-then-rank. SQL_Q51 is the DuckDB
+    twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import search_boosted
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    bv = d.select(
+        "doc_id", F.log(F.lit(1.0) + F.col("n_chars").cast("double")).alias("boost")
+    )
+    top = (
+        search_boosted(ix, "data query spark", bv, k=200, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -593,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_sortpage"] = _engine_sortpage
     out["engine_suggest"] = _engine_suggest
     out["engine_stats"] = _engine_stats
+    out["engine_boost"] = _engine_boost
     return out
 
 
@@ -616,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q48,
         SQL_Q49,
         SQL_Q50,
+        SQL_Q51,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -641,4 +677,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_sortpage"] = SQL_Q48
     out["engine_suggest"] = SQL_Q49
     out["engine_stats"] = SQL_Q50
+    out["engine_boost"] = SQL_Q51
     return out

@@ -1536,6 +1536,42 @@ FROM ordered WHERE pos > 10 AND pos <= 20 ORDER BY pos
 """
 
 
+# Boost/function-query oracle (engine twin: bm25.search_boosted —
+# engine_boost in __spark_entry__.py). Solr edismax bf= additive
+# boost: BM25('data query spark') + ln(1 + n_chars) per doc, rounded
+# to 4 then ranked — a below-top-k doc can rise after boosting, so
+# the engine must score untruncated before combining.
+SQL_Q51 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('data','query','spark')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)),
+scored AS (
+  SELECT c.doc_id,
+         round(sum(c.contrib ORDER BY c.term) + ln(1.0 + any_value(d.n_chars)), 4) AS score
+  FROM contribs c JOIN documents d USING (doc_id)
+  GROUP BY c.doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 # Spellcheck/suggester oracle (engine twin: bm25.suggest_terms —
 # engine_suggest in __spark_entry__.py). Solr DirectSolrSpellChecker:
 # vocabulary terms within 2 edits of the misspelled 'sot' sharing

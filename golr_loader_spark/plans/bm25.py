@@ -796,6 +796,57 @@ def search_fuzzy(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_boosted(
+    index: InvertedIndex,
+    query: str,
+    boost_values: DataFrame,
+    k: int = 10,
+    boost_mode: str = "sum",
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    exclude_ids=None,
+    missing: float | None = None,
+) -> DataFrame:
+    """Solr boost/function queries (edismax ``bf=`` additive /
+    ``boost=`` multiplicative): BM25-score the query, then combine
+    each doc's relevance with a precomputed per-doc boost value →
+    top-k (doc_id, score).
+
+    ``boost_values``: (doc_id, boost) — the materialized function
+    query (e.g. ``ln(1 + popularity)``, a recency decay, a pagerank
+    column). ``boost_mode="sum"`` adds (Solr bf), ``"multiply"``
+    scales (Solr boost=). Docs matching the query but absent from
+    ``boost_values`` take ``missing`` (default 0.0 for sum — bf of an
+    absent field is 0 — and 1.0 for multiply, the neutral element).
+
+    Plan shape: the scorer runs UNtruncated (k = corpus size — a
+    below-top-k doc can rise once boosted, so per-bucket truncation
+    before the combine would be inadmissible), then ONE equi-join
+    against the boost table (broadcast when small, co-partitioned on
+    doc_id otherwise) and a TakeOrderedAndProject. The boost join is
+    the only addition over ``search``'s plan."""
+    cfg = cfg or index.cfg
+    if boost_mode not in ("sum", "multiply"):
+        raise ValueError(f"boost_mode must be sum|multiply, got {boost_mode!r}")
+    if missing is None:
+        missing = 0.0 if boost_mode == "sum" else 1.0
+    scored = search(
+        index, query, k=index.n_docs, cfg=cfg, mode=mode,
+        exclude_ids=exclude_ids,
+    )
+    b = boost_values.select("doc_id", F.col("boost").cast("double"))
+    combined = scored.join(b, on="doc_id", how="left").withColumn(
+        "score",
+        (
+            F.col("score") + F.coalesce(F.col("boost"), F.lit(float(missing)))
+            if boost_mode == "sum"
+            else F.col("score")
+            * F.coalesce(F.col("boost"), F.lit(float(missing)))
+        ),
+    ).drop("boost")
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def suggest_terms(
     index: InvertedIndex,
     text: str,

@@ -270,3 +270,54 @@ def test_stats_field_matches_python(spark):
     # empty match set -> n=0 row with null stats
     r3 = stats_field(ix, vals, "zzznope", cfg=cfg).collect()
     assert len(r3) == 1 and r3[0]["n"] == 0
+
+
+def test_search_boosted_function_query(spark):
+    """Solr bf/boost function queries: the combine happens on the
+    UNtruncated score set (a below-top-k doc can rise), sum and
+    multiply modes, neutral missing defaults."""
+    import math
+
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import search, search_boosted
+    from golr_loader_spark.plans.build_index import build_index
+
+    rows = [
+        (0, "data query", 1.0), (1, "data data query", 100.0),
+        (2, "query other", 5.0), (3, "data noise words", 0.5),
+        (4, "unrelated", 1000.0),
+    ]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, pop double")
+    ix = build_index(df.select("doc_id", "text"), cfg)
+    bv = df.selectExpr("doc_id", "ln(1 + pop) AS boost")
+    base = dict(
+        (r["doc_id"], r["score"])
+        for r in search(ix, "data query", k=10, cfg=cfg).collect()
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_boosted(ix, "data query", bv, k=10, cfg=cfg).collect()
+    ]
+    want = {d: s + math.log(1 + dict((r[0], r[2]) for r in rows)[d]) for d, s in base.items()}
+    assert dict(got) == pytest.approx(want)
+    # ranking respects the boost (doc 1 pop=100 outranks all)
+    assert got[0][0] == 1
+    # doc 4 does not match the query — boosts never create matches
+    assert 4 not in dict(got)
+    # multiply mode with a missing doc takes the neutral 1.0
+    bv2 = spark.createDataFrame([(0, 2.0)], "doc_id long, boost double")
+    got2 = dict(
+        (r["doc_id"], r["score"])
+        for r in search_boosted(
+            ix, "data query", bv2, k=10, boost_mode="multiply", cfg=cfg
+        ).collect()
+    )
+    assert got2[0] == pytest.approx(2.0 * base[0])
+    for d in base:
+        if d != 0:
+            assert got2[d] == pytest.approx(base[d])
+    with pytest.raises(ValueError):
+        search_boosted(ix, "data", bv, boost_mode="bad", cfg=cfg)
