@@ -513,6 +513,103 @@ class LocalSearcher:
             (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
         ]
 
+    def suggest(
+        self,
+        text: str,
+        k: int = 5,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        min_df: int = 1,
+    ) -> list[tuple[str, int]]:
+        """Serving-path spellcheck (Solr SpellCheckComponent — the
+        Spark-free twin of ``bm25.suggest_terms``): corrections from
+        the in-memory term dictionary within ``max_edits``,
+        popularity-ranked (df summed over fields, desc; term asc)."""
+        q = text.strip().lower()
+        if not q:
+            return []
+        p = q[:prefix_length] if prefix_length > 0 else ""
+        cand = [
+            t
+            for t in self._vocab_terms()
+            if t != q
+            and t.startswith(p)
+            and abs(len(t) - len(q)) <= max_edits
+            and _lev_le(q, t, max_edits)
+        ]
+        dfs: dict[str, int] = {}
+        for r in self._term_rows(cand):
+            if r["field"] in self.cfg.fields:
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+        out = [(t, d) for t, d in dfs.items() if d >= min_df]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    def stats_field(
+        self, query: str, field: str, mode: str = "or", fq: str | None = None
+    ) -> dict:
+        """Serving-path StatsComponent (twin of
+        ``facets.stats_field``): count/min/max/sum/mean/sample-stddev
+        of a STORED numeric field over the match set, floats rounded
+        to 4 (the cross-engine discipline)."""
+        import statistics
+
+        from golr_loader_spark.plans.lucene import parse_lucene
+
+        ids = {int(d) for d in self.matching_ids(query, mode)}
+        if fq is not None:
+            fset = self._exec_clauses_local(parse_lucene(fq), 1024, None)
+            ids &= set(fset) if fset is not None else set()
+        empty = {
+            "n": 0, "min": None, "max": None,
+            "sum": None, "mean": None, "stddev": None,
+        }
+        if not ids:
+            return empty
+        stored = self.fetch(sorted(ids), [field])
+        xs = [
+            v[field]
+            for v in stored.values()
+            if v.get(field) is not None
+        ]
+        if not xs:
+            return empty
+        return {
+            "n": len(xs),
+            "min": min(xs),
+            "max": max(xs),
+            "sum": round(float(sum(xs)), 4),
+            "mean": round(float(sum(xs)) / len(xs), 4),
+            "stddev": round(statistics.stdev(xs), 4) if len(xs) > 1 else None,
+        }
+
+    def search_boosted(
+        self,
+        query: str,
+        boosts: dict[int, float],
+        k: int = 10,
+        boost_mode: str = "sum",
+        missing: float | None = None,
+    ) -> list[tuple[int, float]]:
+        """Serving-path boost/function query (twin of
+        ``bm25.search_boosted``): BM25 over the full match set, then
+        combine with the per-doc ``boosts`` map (sum = Solr bf,
+        multiply = Solr boost=; absent docs take the neutral
+        ``missing``)."""
+        if boost_mode not in ("sum", "multiply"):
+            raise ValueError(
+                f"boost_mode must be sum|multiply, got {boost_mode!r}"
+            )
+        if missing is None:
+            missing = 0.0 if boost_mode == "sum" else 1.0
+        scored = self.search(query, k=self.n_docs)
+        if boost_mode == "sum":
+            out = [(d, s + boosts.get(d, missing)) for d, s in scored]
+        else:
+            out = [(d, s * boosts.get(d, missing)) for d, s in scored]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return [(int(d), float(s)) for d, s in out[:k]]
+
     def search_edismax(
         self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0
     ) -> list[tuple[int, float]]:

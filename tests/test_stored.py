@@ -146,3 +146,56 @@ def test_search_sorted_parity_and_pagination(spark, root, cfg):
     # conjunctive matching
     assert dist("spark query", mode="and", rows=10) == want_fq
     assert ls.search_sorted("spark query", "lang", mode="and", rows=10) == want_fq
+
+
+def test_serving_suggest_stats_boost_parity(spark, root, cfg):
+    """Serving twins of suggest_terms / stats_field / search_boosted
+    return the same results as the distributed paths over the same
+    persisted root."""
+    from golr_loader_spark.plans.bm25 import search_boosted, suggest_terms
+    from golr_loader_spark.plans.build_index import read_index
+    from golr_loader_spark.plans.facets import stats_field
+
+    ix = read_index(spark, root, cfg)
+    ls = LocalSearcher(root, cfg)
+    # suggest: 'quary' -> query (df 2); 'spark' excluded (self) etc.
+    want_s = [(r["term"], r["df"]) for r in suggest_terms(
+        ix, "quary", k=5, max_edits=2, prefix_length=1, cfg=cfg
+    ).collect()]
+    assert ls.suggest("quary", k=5, max_edits=2, prefix_length=1) == want_s
+    assert want_s and want_s[0][0] == "query"
+    # boost parity: boosts keyed by doc_id
+    boosts = {0: 2.0, 1: 0.5, 3: 1.0}
+    bdf = spark.createDataFrame(
+        [(d, b) for d, b in boosts.items()], "doc_id long, boost double"
+    )
+    want_b = [(r["doc_id"], r["score"]) for r in search_boosted(
+        ix, "spark query", bdf, k=5, boost_mode="multiply", cfg=cfg
+    ).collect()]
+    got_b = ls.search_boosted("spark query", boosts, k=5, boost_mode="multiply")
+    assert [(d, pytest.approx(s, rel=1e-12)) for d, s in want_b] == got_b
+
+
+def test_serving_stats_field(spark, cfg, tmp_path):
+    """stats_field serving twin over a stored numeric field."""
+    from golr_loader_spark.plans.build_index import build_index, write_index
+    from golr_loader_spark.plans.facets import stats_field
+    from golr_loader_spark.plans.build_index import read_index
+
+    rows = [
+        (0, "data query", 10), (1, "data spark", 20),
+        (2, "query spark", 30), (3, "data query spark", 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, nval long")
+    ix = build_index(docs.select("doc_id", "text"), cfg)
+    r2 = str(tmp_path / "stx")
+    write_index(ix, r2, term_partitions=2, documents=docs, store_fields=["nval"])
+    ls = LocalSearcher(r2, cfg)
+    dist = stats_field(
+        ix, docs.selectExpr("doc_id", "nval AS value"), "data query", cfg=cfg,
+        fq="spark",
+    ).collect()[0]
+    got = ls.stats_field("data query", "nval", fq="spark")
+    assert got["n"] == dist["n"] and got["min"] == dist["min"]
+    assert got["max"] == dist["max"] and got["sum"] == dist["sum"]
+    assert got["mean"] == dist["mean"] and got["stddev"] == dist["stddev"]
