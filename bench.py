@@ -166,11 +166,23 @@ def main() -> None:
         id_space_bits=max(2, (n_docs - 1).bit_length()),
         positions=True,
     )
-    t0 = time.perf_counter()
-    ixp = build_index(assign_dense_ids(docs), cfgp, n_docs=n_docs)
-    ixp.term_stats = ixp.term_stats.persist()
-    ixp.term_stats.count()
-    timings["index_build_positional"] = round(time.perf_counter() - t0, 3)
+    # min-of-2 like the base build (a single-rep positional build
+    # measured 27 s in one epoch vs 12-19 s typical — host-steal
+    # bursts need the same rep discipline as every other metric)
+    posb_s = None
+    ixp = None
+    for rep in range(2):
+        if rep > 0:
+            spark.catalog.clearCache()
+            docs = flatten_documents(synth_corpus(spark, n_docs, seed=42)).persist()
+            docs.count()
+        t0 = time.perf_counter()
+        ixp = build_index(assign_dense_ids(docs), cfgp, n_docs=n_docs)
+        ixp.term_stats = ixp.term_stats.persist()
+        ixp.term_stats.count()
+        wall = time.perf_counter() - t0
+        posb_s = wall if posb_s is None else min(posb_s, wall)
+    timings["index_build_positional"] = round(posb_s, 3)
     compp = ixp.postings.agg(
         F.sum(F.length("poss")).alias("b"), F.sum("n").alias("p")
     ).collect()[0]
