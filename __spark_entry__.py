@@ -603,6 +603,55 @@ def _engine_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CursorMark keyset deep paging on the REAL engine index (Solr
+    cursorMark / ES search_after): the 10 docs strictly after the
+    cursor (n_chars=300, doc_id=100) in (n_chars DESC, doc_id ASC)
+    order over docs matching ('data' OR 'query'). The cursor is a
+    pushed-down keyset filter — page N costs page 1, the
+    scale-correct deep-paging shape. SQL_Q52 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import search_after
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    return search_after(
+        ix, d, "data query", "n_chars", after_value=300, after_doc_id=100,
+        ascending=False, rows=10, cfg=cfg,
+    )
+
+
+def _engine_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot facets on the REAL engine index (Solr
+    facet.pivot=lang,source): two-level drill-down counts over docs
+    matching ('data' OR 'query'), both levels ranked (count desc,
+    value asc), top 10 outer x top 5 inner. SQL_Q53 is the DuckDB
+    twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import pivot_facet_counts
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    return pivot_facet_counts(
+        ix, d, "data query", "lang", "source", cfg=cfg,
+        top_outer=10, top_inner=5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -628,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_suggest"] = _engine_suggest
     out["engine_stats"] = _engine_stats
     out["engine_boost"] = _engine_boost
+    out["engine_cursor"] = _engine_cursor
+    out["engine_pivot"] = _engine_pivot
     return out
 
 
@@ -652,6 +703,8 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q49,
         SQL_Q50,
         SQL_Q51,
+        SQL_Q52,
+        SQL_Q53,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -678,4 +731,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_suggest"] = SQL_Q49
     out["engine_stats"] = SQL_Q50
     out["engine_boost"] = SQL_Q51
+    out["engine_cursor"] = SQL_Q52
+    out["engine_pivot"] = SQL_Q53
     return out

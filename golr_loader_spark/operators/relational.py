@@ -1536,6 +1536,56 @@ FROM ordered WHERE pos > 10 AND pos <= 20 ORDER BY pos
 """
 
 
+# CursorMark/keyset deep-paging oracle (engine twin:
+# facets.search_after — engine_cursor in __spark_entry__.py). Solr
+# cursorMark: the 10 docs strictly after the cursor
+# (n_chars=300, doc_id=100) in (n_chars DESC, doc_id ASC) order over
+# docs matching ('data' OR 'query') — a pushed-down keyset filter,
+# never an offset sort of the skipped prefix.
+SQL_Q52 = """
+WITH matched AS (
+  SELECT DISTINCT doc_id
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term IN ('data','query')
+), sel AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d JOIN matched USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+    AND (d.n_chars < 300 OR (d.n_chars = 300 AND d.doc_id > 100)))
+SELECT doc_id, n_chars FROM sel
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+
+# Pivot-facet oracle (engine twin: facets.pivot_facet_counts —
+# engine_pivot in __spark_entry__.py). Solr facet.pivot=lang,source
+# over docs matching ('data' OR 'query'): two-level counts with both
+# levels ranked (count desc, value asc), top 10 outer × top 5 inner.
+SQL_Q53 = """
+WITH matched AS (
+  SELECT DISTINCT doc_id
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term IN ('data','query')
+), pairs AS (
+  SELECT lang AS outer_value, source AS inner_value,
+         CAST(count(*) AS BIGINT) AS inner_n
+  FROM documents JOIN matched USING (doc_id)
+  GROUP BY lang, source
+), outer_r AS (
+  SELECT outer_value, outer_n,
+         CAST(row_number() OVER (ORDER BY outer_n DESC, outer_value ASC) AS INTEGER) AS outer_rank
+  FROM (SELECT outer_value, CAST(sum(inner_n) AS BIGINT) AS outer_n
+        FROM pairs GROUP BY outer_value)
+), inner_r AS (
+  SELECT p.outer_value, o.outer_n, o.outer_rank, p.inner_value, p.inner_n,
+         CAST(row_number() OVER (PARTITION BY p.outer_value ORDER BY p.inner_n DESC, p.inner_value ASC) AS INTEGER) AS inner_rank
+  FROM pairs p JOIN outer_r o USING (outer_value)
+  WHERE o.outer_rank <= 10)
+SELECT outer_value, outer_n, outer_rank, inner_value, inner_n, inner_rank
+FROM inner_r WHERE inner_rank <= 5
+"""
+
+
 # Boost/function-query oracle (engine twin: bm25.search_boosted —
 # engine_boost in __spark_entry__.py). Solr edismax bf= additive
 # boost: BM25('data query spark') + ln(1 + n_chars) per doc, rounded

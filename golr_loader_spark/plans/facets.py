@@ -260,6 +260,90 @@ def range_facet_counts(
     )
 
 
+def pivot_facet_counts(
+    index: InvertedIndex,
+    documents: DataFrame,
+    query: str,
+    outer: str,
+    inner: str,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    top_outer: int = 10,
+    top_inner: int = 5,
+    min_count: int = 1,
+    fq=None,
+    id_col: str = "doc_id",
+    exclude_ids=None,
+) -> DataFrame:
+    """Solr pivot facets (``facet.pivot=outer,inner``): two-level
+    drill-down counts over ALL docs matching ``query`` → one row per
+    (outer value, inner value) with both levels' counts and ranks:
+    (outer_value, outer_n, outer_rank, inner_value, inner_n,
+    inner_rank). Outer values ranked by (count desc, value asc), the
+    top ``top_outer`` kept; within each, inner values likewise with
+    ``top_inner``. Same decode-only matching and (bucket, doc_id)
+    join shape as ``facet_counts``; both windows partition over the
+    (tiny) distinct-value sets, never the corpus."""
+    cfg = cfg or index.cfg
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    d = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(outer).cast("string").alias("outer_value"),
+        F.col(inner).cast("string").alias("inner_value"),
+    ).withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    pairs = (
+        m.join(d, on=["bucket", "doc_id"])
+        .filter(F.col("outer_value").isNotNull() & F.col("inner_value").isNotNull())
+        .groupBy("outer_value", "inner_value")
+        .agg(F.count("*").cast("long").alias("inner_n"))
+        .filter(F.col("inner_n") >= min_count)
+    )
+    # outer ranking: TakeOrderedAndProject over the distinct outer
+    # values, rank attached driver-side to ≤ top_outer rows (the q24
+    # pattern — no partitionless window anywhere in the plan)
+    heads = (
+        pairs.groupBy("outer_value")
+        .agg(F.sum("inner_n").cast("long").alias("outer_n"))
+        .orderBy(F.desc("outer_n"), F.asc("outer_value"))
+        .limit(top_outer)
+        .collect()
+    )
+    if not heads:
+        return pairs.sparkSession.createDataFrame(
+            [],
+            "outer_value string, outer_n long, outer_rank int, "
+            "inner_value string, inner_n long, inner_rank int",
+        )
+    heads_df = pairs.sparkSession.createDataFrame(
+        [(r["outer_value"], r["outer_n"], i + 1) for i, r in enumerate(heads)],
+        "outer_value string, outer_n long, outer_rank int",
+    )
+    w_in = Window.partitionBy("outer_value").orderBy(
+        F.desc("inner_n"), F.asc("inner_value")
+    )
+    return (
+        pairs.join(F.broadcast(heads_df), on="outer_value")
+        .withColumn("inner_rank", F.row_number().over(w_in))
+        .filter(F.col("inner_rank") <= top_inner)
+        .select(
+            "outer_value", "outer_n", "outer_rank",
+            "inner_value", "inner_n", "inner_rank",
+        )
+        .orderBy("outer_rank", "inner_rank")
+    )
+
+
 def stats_field(
     index: InvertedIndex,
     values: DataFrame,
@@ -374,6 +458,69 @@ def search_sorted(
         [(start + i + 1, r["doc_id"], r[sort_field]) for i, r in enumerate(page)],
         schema,
     )
+
+
+def search_after(
+    index: InvertedIndex,
+    documents: DataFrame,
+    query: str,
+    sort_field: str,
+    after_value=None,
+    after_doc_id: int | None = None,
+    ascending: bool = True,
+    rows: int = 10,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    fq=None,
+    id_col: str = "doc_id",
+    exclude_ids=None,
+) -> DataFrame:
+    """Solr cursorMark / ES search_after: KEYSET deep paging over the
+    (sort_field, doc_id) order → (doc_id, <sort_field>), the ``rows``
+    docs strictly after the cursor ``(after_value, after_doc_id)``
+    (None/None = first page).
+
+    This is the scale-correct deep-paging operator: unlike
+    ``search_sorted``'s offset (which must order the skipped prefix),
+    the cursor predicate — ``v < after`` OR ``(v = after AND doc_id >
+    after_doc_id)`` for desc, mirrored for asc — is a plain filter
+    that Catalyst pushes into the scan, so page N costs the same as
+    page 1 at any depth. The caller threads the cursor by reading the
+    last returned row (exactly Solr's nextCursorMark contract). Docs
+    with NULL sort values are excluded (Solr cursorMark requires a
+    non-null unique tiebreak; our tiebreak is doc_id, but a NULL sort
+    key has no position in the keyset order)."""
+    cfg = cfg or index.cfg
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    c = F.col(sort_field)
+    vals = documents.select(
+        F.col(id_col).alias("doc_id"), c
+    ).filter(c.isNotNull())
+    if after_value is not None:
+        lt = c < F.lit(after_value)
+        gt = c > F.lit(after_value)
+        tie = (c == F.lit(after_value)) & (
+            F.col("doc_id") > F.lit(int(after_doc_id))
+            if after_doc_id is not None
+            else F.lit(False)
+        )
+        vals = vals.filter((gt if ascending else lt) | tie)
+    vals = vals.withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    j = m.join(vals, on=["bucket", "doc_id"]).select("doc_id", sort_field)
+    return j.orderBy(
+        c.asc() if ascending else c.desc(), F.asc("doc_id")
+    ).limit(rows)
 
 
 def grouped_topk(

@@ -321,3 +321,92 @@ def test_search_boosted_function_query(spark):
             assert got2[d] == pytest.approx(base[d])
     with pytest.raises(ValueError):
         search_boosted(ix, "data", bv, boost_mode="bad", cfg=cfg)
+
+
+def test_search_after_keyset_equals_offset_pages(spark):
+    """CursorMark keyset paging walks the same total order as offset
+    pagination (search_sorted), page by page, threading the cursor
+    from each page's last row — Solr's nextCursorMark contract."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import search_after, search_sorted
+
+    rows = [(i, "data" if i % 3 else "data query", (i * 7) % 5) for i in range(20)]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=5
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp long")
+    ix = build_index(df.select("doc_id", "text"), cfg)
+    # walk with the cursor in pages of 6
+    got, after_v, after_d = [], None, None
+    while True:
+        page = [
+            (r["doc_id"], r["grp"])
+            for r in search_after(
+                ix, df, "data", "grp", after_value=after_v,
+                after_doc_id=after_d, ascending=False, rows=6, cfg=cfg,
+            ).collect()
+        ]
+        if not page:
+            break
+        got.extend(page)
+        after_d, after_v = page[-1][0], page[-1][1]
+    # search_sorted returns (pos, doc_id, grp); align shapes
+    want = [(d, v) for _p, d, v in [
+        (r["pos"], r["doc_id"], r["grp"])
+        for r in search_sorted(
+            ix, df, "data", "grp", ascending=False, start=0, rows=100, cfg=cfg
+        ).collect()
+    ]]
+    assert got == want and len(got) == 20
+    # ascending walk too
+    got_a, av, ad = [], None, None
+    for _ in range(10):
+        page = [
+            (r["doc_id"], r["grp"])
+            for r in search_after(
+                ix, df, "data", "grp", after_value=av, after_doc_id=ad,
+                ascending=True, rows=7, cfg=cfg,
+            ).collect()
+        ]
+        if not page:
+            break
+        got_a.extend(page)
+        ad, av = page[-1][0], page[-1][1]
+    want_a = [(d, v) for _p, d, v in [
+        (r["pos"], r["doc_id"], r["grp"])
+        for r in search_sorted(
+            ix, df, "data", "grp", ascending=True, start=0, rows=100, cfg=cfg
+        ).collect()
+    ]]
+    assert got_a == want_a
+
+
+def test_pivot_facet_counts_two_level(spark):
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import pivot_facet_counts
+
+    rows = [
+        (0, "data x", "en", "a"), (1, "data y", "en", "a"),
+        (2, "data z", "en", "b"), (3, "data w", "de", "c"),
+        (4, "data v", "de", "c"), (5, "data u", "de", "c"),
+        (6, "other", "fr", "d"),
+    ]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, src string")
+    ix = build_index(df.select("doc_id", "text"), cfg)
+    got = [
+        tuple(r) for r in pivot_facet_counts(
+            ix, df, "data", "lang", "src", cfg=cfg, top_outer=2, top_inner=2
+        ).collect()
+    ]
+    # 'data' matches docs 0-5: de->c:3 (outer 3), en->a:2,b:1 (outer 3)
+    # tie on outer count 3 -> 'de' < 'en'
+    assert got == [
+        ("de", 3, 1, "c", 3, 1),
+        ("en", 3, 2, "a", 2, 1),
+        ("en", 3, 2, "b", 1, 2),
+    ]
