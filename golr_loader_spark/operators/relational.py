@@ -1716,6 +1716,35 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+def q36_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): deterministic
+    token-budget pack assignment for every document, contiguous in
+    doc_id order within each source shard — the dataset-assembly step
+    of an LLM pretraining pipeline. One shard-partitioned window
+    (cumulative token sum), no global ordering."""
+    from golr_loader_spark.operators.textstats import pack_sequences
+
+    d = load(spark, sf, "documents")
+    return pack_sequences(d, budget=2000, shard_col="source")
+
+
+SQL_Q36B = """
+WITH toks AS (
+  SELECT doc_id, source AS shard,
+         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM toks)
+SELECT doc_id, shard, n_tokens,
+       shard || '/' || CAST(CAST(floor((c - n_tokens) / 2000.0) AS BIGINT) AS VARCHAR) AS pack_id
+FROM cum
+"""
+
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),
@@ -1751,4 +1780,5 @@ QUERIES: dict[str, tuple] = {
     "q33_decontaminate": (q33_decontaminate, SQL_Q33),
     "q34_repetition_score": (q34_repetition_score, SQL_Q34),
     "q35_json_props_stats": (q35_json_props_stats, SQL_Q35),
+    "q36_pack_sequences": (q36_pack_sequences, SQL_Q36B),
 }

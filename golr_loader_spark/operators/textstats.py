@@ -142,3 +142,55 @@ def repetition_score(
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    shard_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing (the concat-and-chunk assembly step
+    of an LLM pretraining pipeline): assign each document to a
+    fixed-token-budget pack, deterministically — contiguous packing
+    in ``id_col`` order WITHIN each ``shard_col`` shard. A doc's pack
+    is ``floor(start_offset / budget)`` where start_offset is the
+    running token total of the docs before it in its shard, i.e. the
+    pack its first token lands in when the shard's docs are
+    concatenated in id order.
+
+    → (doc_id, shard, n_tokens, pack_id) with ``pack_id =
+    '<shard>/<bin>'``. Tokens are whitespace tokens (the module's
+    counting convention, shared with ``token_stats``).
+
+    Scale shape: ONE partitioned window (cumulative sum per shard) —
+    shards are the parallelism unit exactly as in a real packing job
+    (each worker packs its own shard stream); no global ordering, no
+    partitionless window, no corpus collect. ANSI-SQL-expressible
+    (SUM OVER PARTITION BY ... ROWS UNBOUNDED PRECEDING), so
+    DuckDB-oracle-checkable."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.lower(F.col(text_col)), " "))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(shard_col).alias("shard"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("_cum", F.sum("n_tokens").over(
+            Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .withColumn(
+            "pack_id",
+            F.concat_ws(
+                "/",
+                F.col("shard"),
+                F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(budget))
+                .cast("long").cast("string"),
+            ),
+        )
+        .drop("_cum")
+    )

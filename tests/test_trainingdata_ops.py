@@ -58,3 +58,29 @@ def test_repetition_score_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     plan = repetition_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    """Concat-and-chunk packing: a doc's pack is the bin its FIRST
+    token lands in; packs are contiguous in doc_id order per shard
+    and never interleave shards."""
+    from golr_loader_spark.operators.textstats import pack_sequences
+
+    rows = [
+        (0, "a b c", "s1"),      # 3 tokens, cum 3  -> bin 0
+        (1, "d e f g", "s1"),    # 4 tokens, starts at 3 -> bin 0
+        (2, "h i", "s1"),        # starts at 7 -> bin 1
+        (3, "j k l m n", "s1"),  # starts at 9 -> bin 1
+        (4, "o", "s1"),          # starts at 14 -> bin 2
+        (5, "p q r s t u", "s2"),  # own shard: starts at 0 -> bin 0
+        (6, "v", "s2"),          # starts at 6 -> bin 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"])
+        for r in pack_sequences(df, budget=5, shard_col="source").collect()
+    }
+    assert got == {
+        0: (3, "s1/0"), 1: (4, "s1/0"), 2: (2, "s1/1"),
+        3: (5, "s1/1"), 4: (1, "s1/2"), 5: (6, "s2/0"), 6: (1, "s2/1"),
+    }
