@@ -405,9 +405,15 @@ def _score_bucket_factory(
             neg = np.unique(np.concatenate(neg_sets))
             ok = ~np.isin(uniq, neg, assume_unique=True)
             uniq, scores = uniq[ok], scores[ok]
-        # top-k by (score desc, doc_id asc)
-        order = np.lexsort((uniq, -scores))[:k]
-        return pd.DataFrame({"doc_id": uniq[order], "score": scores[order]})
+        # top-k by (score desc, doc_id asc); when nothing truncates
+        # (k >= group size — phrase-mode search_lucene, grouped_topk,
+        # fq paths run with k = corpus size) skip the sort: the global
+        # TakeOrdered downstream orders anyway, and the per-bucket
+        # lexsort of the full match set is pure waste
+        if k < len(uniq):
+            order = np.lexsort((uniq, -scores))[:k]
+            uniq, scores = uniq[order], scores[order]
+        return pd.DataFrame({"doc_id": uniq, "score": scores})
 
     return score_group
 
@@ -545,8 +551,10 @@ def _score_bucket_multi_factory(
                     n_match[np.searchsorted(uniq, t_ids)] += 1
                 ok = n_match == len(required)
                 uniq, scores = uniq[ok], scores[ok]
-            order = np.lexsort((uniq, -scores))[:k]
-            out = pd.DataFrame({"doc_id": uniq[order], "score": scores[order]})
+            if k < len(uniq):
+                order = np.lexsort((uniq, -scores))[:k]
+                uniq, scores = uniq[order], scores[order]
+            out = pd.DataFrame({"doc_id": uniq, "score": scores})
             out.insert(0, "query_id", np.int32(qid))
             outs.append(out)
         if not outs:

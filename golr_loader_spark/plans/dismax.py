@@ -225,8 +225,10 @@ def _dismax_bucket_factory(
         if not ok.any():
             return empty()
         docs, sc = uniq[ok], score[ok]
-        order = np.lexsort((docs, -sc))[:k]
-        return pd.DataFrame({"doc_id": docs[order], "score": sc[order]})
+        if k < len(docs):  # skip the sort when nothing truncates
+            order = np.lexsort((docs, -sc))[:k]
+            docs, sc = docs[order], sc[order]
+        return pd.DataFrame({"doc_id": docs, "score": sc})
 
     return score_group
 

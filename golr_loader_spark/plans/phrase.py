@@ -473,8 +473,10 @@ def _phrase_bucket_factory(
             dl = dls0[o][np.searchsorted(ids0[o], cand_ids)].astype(np.float64)
             score = wt * freq / (freq + k1 * ((1.0 - b) + b * dl / avgdl))
         docs, sc = cand_ids[hit], score[hit]
-        order = np.lexsort((docs, -sc))[:k]
-        return pd.DataFrame({"doc_id": docs[order], "score": sc[order]})
+        if k < len(docs):  # skip the sort when nothing truncates
+            order = np.lexsort((docs, -sc))[:k]
+            docs, sc = docs[order], sc[order]
+        return pd.DataFrame({"doc_id": docs, "score": sc})
 
     return score_group
 
@@ -595,8 +597,10 @@ def _span_bucket_factory(
         dl = dls0[o][np.searchsorted(ids0[o], cand_ids)].astype(np.float64)
         score = wt * freq / (freq + k1 * ((1.0 - b) + b * dl / avgdl))
         docs, sc = cand_ids[hit], score[hit]
-        order = np.lexsort((docs, -sc))[:k]
-        return pd.DataFrame({"doc_id": docs[order], "score": sc[order]})
+        if k < len(docs):  # skip the sort when nothing truncates
+            order = np.lexsort((docs, -sc))[:k]
+            docs, sc = docs[order], sc[order]
+        return pd.DataFrame({"doc_id": docs, "score": sc})
 
     return score_group
 
