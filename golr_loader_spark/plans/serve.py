@@ -610,6 +610,47 @@ class LocalSearcher:
         out.sort(key=lambda x: (-x[1], x[0]))
         return [(int(d), float(s)) for d, s in out[:k]]
 
+    def search_after(
+        self,
+        query: str,
+        sort_field: str,
+        after_value=None,
+        after_doc_id: int | None = None,
+        ascending: bool = True,
+        rows: int = 10,
+        mode: str = "or",
+        fq: str | None = None,
+    ) -> list[tuple[int, object]]:
+        """Serving-path cursorMark keyset paging (twin of
+        ``facets.search_after``): the ``rows`` docs strictly after the
+        (value, doc_id) cursor in (sort_field, doc_id) order —
+        NULL-sort-valued docs excluded, cursor threaded from the last
+        returned row."""
+        from golr_loader_spark.plans.lucene import parse_lucene
+
+        ids = {int(d) for d in self.matching_ids(query, mode)}
+        if fq is not None:
+            fset = self._exec_clauses_local(parse_lucene(fq), 1024, None)
+            ids &= set(fset) if fset is not None else set()
+        if not ids:
+            return []
+        stored = self.fetch(sorted(ids), [sort_field])
+        pairs = [
+            (d, v[sort_field])
+            for d, v in stored.items()
+            if v.get(sort_field) is not None
+        ]
+        if after_value is not None:
+            def past(dv):
+                d, v = dv
+                if v != after_value:
+                    return v > after_value if ascending else v < after_value
+                return after_doc_id is not None and d > after_doc_id
+            pairs = [p for p in pairs if past(p)]
+        pairs.sort(key=lambda x: x[0])
+        pairs.sort(key=lambda x: x[1], reverse=not ascending)
+        return [(int(d), v) for d, v in pairs[:rows]]
+
     def search_edismax(
         self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0
     ) -> list[tuple[int, float]]:

@@ -199,3 +199,35 @@ def test_serving_stats_field(spark, cfg, tmp_path):
     assert got["n"] == dist["n"] and got["min"] == dist["min"]
     assert got["max"] == dist["max"] and got["sum"] == dist["sum"]
     assert got["mean"] == dist["mean"] and got["stddev"] == dist["stddev"]
+
+
+def test_serving_search_after_parity(spark, cfg, tmp_path):
+    """Cursor paging serving twin walks the same pages as the
+    distributed facets.search_after."""
+    from golr_loader_spark.plans.build_index import build_index, read_index, write_index
+    from golr_loader_spark.plans.facets import search_after
+
+    rows = [(i, "data" if i % 3 else "data query", (i * 7) % 5) for i in range(15)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp long")
+    cfg2 = IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=4)
+    ix = build_index(docs.select("doc_id", "text"), cfg2)
+    root = str(tmp_path / "cur")
+    write_index(ix, root, term_partitions=2, documents=docs, store_fields=["grp"])
+    ls = LocalSearcher(root, cfg2)
+    av, ad = None, None
+    for _page in range(5):
+        want = [
+            (r["doc_id"], r["grp"])
+            for r in search_after(
+                ix, docs, "data", "grp", after_value=av, after_doc_id=ad,
+                ascending=False, rows=4, cfg=cfg2,
+            ).collect()
+        ]
+        got = ls.search_after(
+            "data", "grp", after_value=av, after_doc_id=ad,
+            ascending=False, rows=4,
+        )
+        assert got == want, (av, ad)
+        if not want:
+            break
+        ad, av = want[-1][0], want[-1][1]
