@@ -1522,6 +1522,67 @@ class LocalSearcher:
         return out
 
 
+    def pivot_facet_counts(
+        self,
+        query: str,
+        outer: str,
+        inner: str,
+        mode: str = "or",
+        top_outer: int = 10,
+        top_inner: int = 5,
+        min_count: int = 1,
+    ) -> list[tuple[str, int, int, str, int, int]]:
+        """Serving-path pivot facets (twin of
+        ``facets.pivot_facet_counts``): two-level drill-down counts
+        from the preloaded facet table → [(outer_value, outer_n,
+        outer_rank, inner_value, inner_n, inner_rank)], both levels
+        ranked (count desc, value asc), same ordering as the
+        distributed path."""
+        import numpy as _np
+
+        loaded = self._load_facets()
+        if loaded is False:
+            raise FileNotFoundError(f"{self._root}/facets not written")
+        f_ids, f_facets, f_values = loaded
+        matched = self.matching_ids(query, mode=mode)
+        if not len(matched):
+            return []
+        pos = _np.searchsorted(matched, f_ids)
+        pos[pos >= len(matched)] = 0
+        hit = matched[pos] == f_ids
+        sel = pd.DataFrame(
+            {"doc_id": f_ids[hit], "facet": f_facets[hit], "value": f_values[hit]}
+        )
+        o = sel[sel["facet"] == outer][["doc_id", "value"]].rename(
+            columns={"value": "outer_value"}
+        )
+        i = sel[sel["facet"] == inner][["doc_id", "value"]].rename(
+            columns={"value": "inner_value"}
+        )
+        merged = o.merge(i, on="doc_id")
+        if not len(merged):
+            return []
+        counts = (
+            merged.groupby(["outer_value", "inner_value"], sort=False)
+            .size()
+            .reset_index(name="inner_n")
+        )
+        counts = counts[counts["inner_n"] >= min_count]
+        outer_n = counts.groupby("outer_value")["inner_n"].sum()
+        heads = sorted(
+            ((int(n), v) for v, n in outer_n.items()), key=lambda x: (-x[0], x[1])
+        )[:top_outer]
+        out: list[tuple[str, int, int, str, int, int]] = []
+        for orank, (on, ov) in enumerate(heads, 1):
+            grp = counts[counts["outer_value"] == ov]
+            inner_sorted = sorted(
+                ((int(r.inner_n), r.inner_value) for r in grp.itertuples()),
+                key=lambda x: (-x[0], x[1]),
+            )[:top_inner]
+            for irank, (inn, iv) in enumerate(inner_sorted, 1):
+                out.append((str(ov), on, orank, str(iv), inn, irank))
+        return out
+
     # ------------------------------------------------- stored fields
 
     def fetch(self, doc_ids: list[int], fields: list[str] | None = None) -> dict[int, dict]:

@@ -410,3 +410,36 @@ def test_pivot_facet_counts_two_level(spark):
         ("en", 3, 2, "a", 2, 1),
         ("en", 3, 2, "b", 1, 2),
     ]
+
+
+def test_pivot_serving_parity(spark, tmp_path):
+    """LocalSearcher.pivot_facet_counts returns the same ranked rows
+    as the distributed facets.pivot_facet_counts over the same
+    persisted root."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index, write_index
+    from golr_loader_spark.plans.facets import build_facets, pivot_facet_counts
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    rows = [
+        (0, "data x", "en", "a"), (1, "data y", "en", "a"),
+        (2, "data z", "en", "b"), (3, "data w", "de", "c"),
+        (4, "data v", "de", "c"), (5, "data u", "de", "c"),
+        (6, "other", "fr", "d"),
+    ]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, src string")
+    ix = build_index(df.select("doc_id", "text"), cfg)
+    fx = build_facets(df, ["lang", "src"], cfg)
+    root = str(tmp_path / "pvt")
+    write_index(ix, root, term_partitions=2, facets=fx)
+    ls = LocalSearcher(root, cfg)
+    want = [
+        tuple(r) for r in pivot_facet_counts(
+            ix, df, "data", "lang", "src", cfg=cfg, top_outer=2, top_inner=2
+        ).collect()
+    ]
+    got = ls.pivot_facet_counts("data", "lang", "src", top_outer=2, top_inner=2)
+    assert got == want and len(got) == 3
