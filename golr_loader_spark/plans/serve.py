@@ -1583,6 +1583,82 @@ class LocalSearcher:
                 out.append((str(ov), on, orank, str(iv), inn, irank))
         return out
 
+    def range_facet_counts(
+        self,
+        query: str,
+        field: str,
+        width: float,
+        mode: str = "or",
+        min_count: int = 1,
+    ) -> list[tuple[float, int]]:
+        """Serving-path range facets (twin of
+        ``facets.range_facet_counts``): histogram of a STORED numeric
+        field over the match set → [(lo, n)] ordered by lo, where
+        lo = floor(value / width) · width."""
+        import math
+
+        ids = {int(d) for d in self.matching_ids(query, mode)}
+        if not ids:
+            return []
+        stored = self.fetch(sorted(ids), [field])
+        bins: dict[float, int] = {}
+        for v in stored.values():
+            x = v.get(field)
+            if x is None:
+                continue
+            lo = math.floor(float(x) / width) * width
+            bins[lo] = bins.get(lo, 0) + 1
+        return sorted((lo, n) for lo, n in bins.items() if n >= min_count)
+
+    def grouped_topk(
+        self,
+        facet: str,
+        query: str,
+        docs_per_group: int = 2,
+        k_groups: int = 10,
+        mode: str = "or",
+        round_scores: int | None = None,
+    ) -> list[tuple[int, str, int, int, float]]:
+        """Serving-path field collapsing (twin of
+        ``facets.grouped_topk``): BM25-score the full match set, keep
+        the top ``docs_per_group`` per facet value, return the top
+        ``k_groups`` groups ordered by their best doc → [(group_rank,
+        value, rank, doc_id, score)] in (group_rank, rank) order."""
+        loaded = self._load_facets()
+        if loaded is False:
+            raise FileNotFoundError(f"{self._root}/facets not written")
+        f_ids, f_facets, f_values = loaded
+        scored = self.search(query, k=self.n_docs)
+        if mode == "and":
+            # conjunctive match set gates the scored rows
+            keep = {int(d) for d in self.matching_ids(query, mode="and")}
+            scored = [(d, s) for d, s in scored if d in keep]
+        if not scored:
+            return []
+        if round_scores is not None:
+            scored = [(d, round(s, round_scores)) for d, s in scored]
+        smap = dict(scored)
+        mask = f_facets == facet
+        fid, fval = f_ids[mask], f_values[mask]
+        per_value: dict[str, list[tuple[float, int]]] = {}
+        for d, v in zip(fid, fval):
+            s = smap.get(int(d))
+            if s is not None:
+                per_value.setdefault(str(v), []).append((s, int(d)))
+        ranked: dict[str, list[tuple[int, float]]] = {}
+        heads: list[tuple[float, int, str]] = []
+        for v, lst in per_value.items():
+            lst.sort(key=lambda x: (-x[0], x[1]))
+            ranked[v] = [(d, s) for s, d in lst[:docs_per_group]]
+            best_s, best_d = lst[0]
+            heads.append((best_s, best_d, v))
+        heads.sort(key=lambda x: (-x[0], x[2]))
+        out: list[tuple[int, str, int, int, float]] = []
+        for grank, (_s, _d, v) in enumerate(heads[:k_groups], 1):
+            for r, (d, s) in enumerate(ranked[v], 1):
+                out.append((grank, v, r, d, float(s)))
+        return out
+
     # ------------------------------------------------- stored fields
 
     def fetch(self, doc_ids: list[int], fields: list[str] | None = None) -> dict[int, dict]:

@@ -443,3 +443,53 @@ def test_pivot_serving_parity(spark, tmp_path):
     ]
     got = ls.pivot_facet_counts("data", "lang", "src", top_outer=2, top_inner=2)
     assert got == want and len(got) == 3
+
+
+def test_range_and_collapse_serving_parity(spark, tmp_path):
+    """Serving twins for range facets and field collapsing match the
+    distributed paths over the same persisted root."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index, read_index, write_index
+    from golr_loader_spark.plans.facets import (
+        build_facets,
+        grouped_topk,
+        range_facet_counts,
+    )
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    rows = [
+        (0, "data query spark", "en", 12), (1, "data spark", "en", 27),
+        (2, "query spark", "de", 31), (3, "data query", "de", 44),
+        (4, "data data query", "fr", 58), (5, "other", "fr", 70),
+    ]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, nval long")
+    ix = build_index(df.select("doc_id", "text"), cfg)
+    fx = build_facets(df, ["lang"], cfg)
+    root = str(tmp_path / "rng")
+    write_index(ix, root, term_partitions=2, documents=df, facets=fx,
+                store_fields=["nval"])
+    ls = LocalSearcher(root, cfg)
+    # range facets
+    want_r = [
+        (r["lo"], r["n"])
+        for r in range_facet_counts(
+            ix, df.selectExpr("doc_id", "nval AS value"), "data query",
+            width=20.0, cfg=cfg,
+        ).collect()
+    ]
+    got_r = ls.range_facet_counts("data query", "nval", width=20.0)
+    assert got_r == want_r and len(got_r) >= 2
+    # field collapsing
+    want_g = [
+        (r["group_rank"], r["value"], r["rank"], r["doc_id"], r["score"])
+        for r in grouped_topk(
+            ix, fx, "lang", "data query", cfg=cfg, docs_per_group=2,
+            k_groups=3, round_scores=4,
+        ).collect()
+    ]
+    got_g = ls.grouped_topk("lang", "data query", docs_per_group=2,
+                            k_groups=3, round_scores=4)
+    assert got_g == want_g and len(got_g) >= 3
