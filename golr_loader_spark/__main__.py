@@ -89,8 +89,21 @@ def cmd_query(args) -> None:
         rows = phrase_search_positional(
             ix, args.q, k=args.k, slop=args.slop, cfg=cfg
         ).collect()
+    elif args.lucene:
+        from golr_loader_spark.plans.lucene import search_lucene
+
+        rows = search_lucene(
+            ix, args.q, k=args.k, cfg=cfg, fq=args.fq
+        ).collect()
+    elif args.dismax:
+        from golr_loader_spark.plans.dismax import search_edismax
+
+        rows = search_edismax(
+            ix, args.q, args.dismax, k=args.k, tie=args.tie, mm=args.mm,
+            cfg=cfg,
+        ).collect()
     else:
-        rows = search(ix, args.q, k=args.k, cfg=cfg).collect()
+        rows = search(ix, args.q, k=args.k, cfg=cfg, fq=args.fq).collect()
     wall = time.perf_counter() - t0
     print(json.dumps({
         "query": args.q, "k": args.k, "wall_ms": round(wall * 1000, 1),
@@ -143,6 +156,26 @@ def main(argv: list[str] | None = None) -> None:
         help="treat --q as a phrase (needs an index built with --positions)",
     )
     q.add_argument("--slop", type=int, default=0, help="phrase slop (Lucene)")
+    q.add_argument(
+        "--lucene",
+        action="store_true",
+        help='treat --q as a Lucene query string (+must -not AND/OR '
+        '"phrase"~N prefix* fuzzy~N field:term (groups) [a TO b])',
+    )
+    q.add_argument(
+        "--dismax",
+        metavar="QF",
+        default=None,
+        help="run --q through eDisMax with this qf spec "
+        "(e.g. 'title^2 body'); supports +/- occurs and phrases",
+    )
+    q.add_argument("--tie", type=float, default=0.0, help="dismax tie breaker")
+    q.add_argument("--mm", default=0, help="dismax minimum-should-match")
+    q.add_argument(
+        "--fq",
+        default=None,
+        help="Solr filter query: non-scoring match-set restriction",
+    )
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
