@@ -482,3 +482,81 @@ def test_explain_query_serving_parity(tmp_path, ix, cfg):
     for q, d in [("+data +query", 4), ("data -spark", 0)]:
         assert not ls.explain_query(q, d)["matches"]
         assert not explain_lucene(ix, q, d, cfg=cfg)["matches"]
+
+
+# ------------------------------------------- randomized query fuzz
+
+def _random_queries(seed: int, n: int) -> list[str]:
+    """Deterministic pseudo-random query strings over the ROWS vocab
+    plus junk terms, exercising every clause type the grammar
+    supports (occurs, boosts, phrases with slop, prefixes, fuzzies,
+    ranges, nested groups)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["data", "query", "spark", "engine", "runs", "sort", "scan",
+             "span", "streaming", "zzznope", "qx"]
+
+    def term(depth=0):
+        w = rng.choice(vocab)
+        r = rng.random()
+        if r < 0.12:
+            return w[: max(1, len(w) // 2)] + "*"
+        if r < 0.22:
+            return w + "~1"
+        if r < 0.30:
+            return f"{w}^{rng.choice(['2', '0.5', '3'])}"
+        if r < 0.38:
+            lo, hi = sorted(rng.sample(vocab, 2))
+            lb, rb = rng.choice("[{"), rng.choice("]}")
+            return f"{lb}{lo} TO {hi}{rb}"
+        if r < 0.50:
+            ph = " ".join(rng.sample(vocab[:8], rng.randint(2, 3)))
+            slop = rng.choice(["", "~1", "~2"])
+            return f'"{ph}"{slop}'
+        if r < 0.58 and depth < 2:
+            inner = " ".join(clause(depth + 1) for _ in range(rng.randint(1, 3)))
+            return f"({inner})"
+        return w
+
+    def clause(depth=0):
+        occ = rng.choice(["", "", "", "+", "-"])
+        return occ + term(depth)
+
+    out = []
+    for _ in range(n):
+        parts = [clause() for _ in range(rng.randint(1, 4))]
+        if rng.random() < 0.3:
+            parts.insert(1 if len(parts) > 1 else 0, rng.choice(["AND", "OR"]))
+        out.append(" ".join(parts))
+    return out
+
+
+def test_fuzz_query_strings_serving_parity(tmp_path, ix, cfg):
+    """Randomized grammar fuzz: every generated query either raises
+    the same ValueError on both paths or returns IDENTICAL results
+    from search_lucene and LocalSearcher.query — the strongest
+    whole-surface property we can assert without a second engine."""
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    root = str(tmp_path / "fz")
+    write_index(ix, root, term_partitions=2)
+    ls = LocalSearcher(root, cfg)
+    checked = 0
+    for q in _random_queries(seed=7, n=30):
+        try:
+            want = rows(search_lucene(ix, q, k=10, cfg=cfg))
+            d_err = None
+        except ValueError as e:
+            want, d_err = None, str(e)
+        try:
+            got = ls.query(q, k=10)
+            s_err = None
+        except ValueError as e:
+            got, s_err = None, str(e)
+        assert (d_err is None) == (s_err is None), (q, d_err, s_err)
+        if d_err is None:
+            assert got == want, q
+            checked += 1
+    assert checked >= 20  # the grammar mostly generates executable queries
