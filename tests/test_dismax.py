@@ -284,3 +284,60 @@ def test_edismax_serving_parity(tmp_path, spark, cfg):
         want = rows(search_edismax(pix, q, qf, k=20, tie=tie, mm=mm, cfg=pcfg))
         got = ls.search_edismax(q, qf, k=20, tie=tie, mm=mm)
         assert got == want, (q, qf, tie, mm)
+
+
+def test_fuzz_edismax_serving_parity(tmp_path, spark):
+    """Randomized edismax fuzz: random term/phrase queries with
+    random qf/tie/mm either raise the same error on both paths or
+    return identical results (distributed vs serving)."""
+    import random
+
+    from golr_loader_spark.plans.build_index import build_index, write_index
+    from golr_loader_spark.plans.dismax import search_edismax
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    pcfg = IndexConfig(
+        fields={"text": ("simple", 1.0), "title": ("simple", 1.0)},
+        bucket_bits=2, id_space_bits=3, positions=True,
+    )
+    pix = build_index(spark.createDataFrame(ROWS, SCHEMA).cache(), pcfg)
+    root = str(tmp_path / "efz")
+    write_index(pix, root, term_partitions=2)
+    ls = LocalSearcher(root, pcfg)
+    rng = random.Random(11)
+    vocab = ["data", "query", "spark", "engine", "runs", "build", "plan", "zzz"]
+
+    def clause():
+        occ = rng.choice(["", "", "", "+", "-"])
+        r = rng.random()
+        if r < 0.25:
+            ph = " ".join(rng.sample(vocab[:5], 2))
+            return f'{occ}"{ph}"'
+        w = rng.choice(vocab)
+        if r < 0.40:
+            return f"{occ}title:{w}"
+        if r < 0.50:
+            return f"{occ}{w}^2"
+        return occ + w
+
+    checked = 0
+    for _ in range(25):
+        q = " ".join(clause() for _ in range(rng.randint(1, 4)))
+        qf = rng.choice(["text title", "text title^2", "text^0.5 title"])
+        tie = rng.choice([0.0, 0.2, 1.0])
+        mm = rng.choice([0, 1, "50%"])
+        try:
+            want = rows(search_edismax(pix, q, qf, k=20, tie=tie, mm=mm, cfg=pcfg))
+            d_err = None
+        except ValueError as e:
+            want, d_err = None, str(e)
+        try:
+            got = ls.search_edismax(q, qf, k=20, tie=tie, mm=mm)
+            s_err = None
+        except ValueError as e:
+            got, s_err = None, str(e)
+        assert (d_err is None) == (s_err is None), (q, d_err, s_err)
+        if d_err is None:
+            assert got == want, (q, qf, tie, mm)
+            checked += 1
+    assert checked >= 18
