@@ -173,6 +173,7 @@ def main() -> None:
     ixp = None
     for rep in range(2):
         if rep > 0:
+            docs.unpersist()
             spark.catalog.clearCache()
             docs = flatten_documents(synth_corpus(spark, n_docs, seed=42)).persist()
             docs.count()

@@ -32,6 +32,7 @@ import math
 
 import numpy as np
 import pandas as pd
+from pyspark.broadcast import Broadcast
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -151,18 +152,25 @@ _DEAD_EVERYWHERE = np.iinfo(np.int64).max
 
 def _norm_excl(exclude_ids):
     """Normalize an exclusion spec to ``(ids sorted asc, dead_below)``
-    or None. Two accepted shapes:
+    or None. Three accepted shapes:
 
     * a plain int array — docs dead in EVERY segment (hard deletes);
     * an ``(ids, dead_below)`` pair — Lucene per-segment liveDocs: a
       posting of doc X stored in segment s is dead iff
       ``s < dead_below[X]`` (an upsert at segment e tombstones the
-      older copies with dead_below = e; hard deletes use int64 max).
+      older copies with dead_below = e; hard deletes use int64 max);
+    * a ``pyspark.Broadcast`` wrapping an already-normalized non-None
+      pair (from ``broadcast_excl``) — passed through untouched so the
+      liveDocs arrays ride Spark's broadcast machinery instead of
+      being pickled into every task closure; ``_live_of`` resolves
+      ``.value`` executor-side.
 
     Duplicate ids keep the MAX dead_below — the latest operation wins
     (delete after upsert ⇒ dead everywhere)."""
     if exclude_ids is None:
         return None
+    if isinstance(exclude_ids, Broadcast):
+        return exclude_ids
     if isinstance(exclude_ids, tuple):
         ids, db = exclude_ids
         ids = np.asarray(ids, dtype=np.int64)
@@ -182,9 +190,26 @@ def _norm_excl(exclude_ids):
     return arr, np.full(len(arr), _DEAD_EVERYWHERE, dtype=np.int64)
 
 
+def broadcast_excl(spark, exclude_ids):
+    """Normalize an exclusion spec ONCE and wrap it in a SparkContext
+    broadcast; pass the result as ``exclude_ids`` to any search /
+    facet / phrase call. A 10^8-row delete set then ships via the
+    broadcast machinery (one torrent per executor) instead of being
+    serialized into every stage's task binary. Returns None when the
+    set is empty — a Broadcast handed to the scorers always wraps a
+    non-None normalized pair."""
+    norm = _norm_excl(exclude_ids)
+    if norm is None or isinstance(norm, Broadcast):
+        return norm
+    return spark.sparkContext.broadcast(norm)
+
+
 def _live_of(ids: np.ndarray, segs: np.ndarray, excl) -> np.ndarray:
     """Boolean live-mask for postings ``ids`` stored in segments
-    ``segs`` under normalized exclusion ``excl``."""
+    ``segs`` under normalized exclusion ``excl`` (resolving a
+    ``broadcast_excl`` Broadcast to its value)."""
+    if isinstance(excl, Broadcast):
+        excl = excl.value
     t_ids, t_db = excl
     pos = np.minimum(np.searchsorted(t_ids, ids), len(t_ids) - 1)
     hit = t_ids[pos] == ids

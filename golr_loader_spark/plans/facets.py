@@ -107,7 +107,7 @@ def _match_bucket_factory(
         has_seg = "segment" in pdf.columns
         per_term: dict[str, list[np.ndarray]] = {}
         for (term, _field), rows in pdf.groupby(["term", "field"], sort=False):
-            if term not in term_fields:
+            if term_fields is not None and term not in term_fields:
                 continue
             segs = (
                 rows["segment"].to_numpy(np.int64)
@@ -174,6 +174,37 @@ def matching_doc_ids(
     ).select(*sel)
     term_fields = {t: list(cfg.fields) for t in terms}
     fn = _match_bucket_factory(term_fields, required, exclude_ids)
+    return (
+        cand.groupBy("bucket")
+        .applyInPandas(fn, schema="doc_id long")
+        .withColumn(
+            "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+        )
+        .select("bucket", "doc_id")
+    )
+
+
+def all_doc_ids(
+    index: InvertedIndex,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+) -> DataFrame:
+    """The live doc universe → (bucket, doc_id): Lucene's
+    MatchAllDocsQuery over this index. The only doc registry the index
+    keeps is the posting lists themselves, so the universe is the
+    per-bucket union of every list's decoded doc-id stream (tombstones
+    masked per segment). A doc whose content analyzed to zero tokens
+    is absent — it can never match any query, so pure-negative fq
+    excluding it is a no-op either way. Cost: one decode pass over the
+    block table, the same shape as matching a corpus-wide stop term."""
+    cfg = cfg or index.cfg
+    sel = ["bucket", "term", "field", "doc_id_first", "doc_ids"]
+    if "segment" in index.postings.columns:
+        sel.append("segment")
+    cand = index.postings.filter(
+        F.col("field").isin(list(cfg.fields))
+    ).select(*sel)
+    fn = _match_bucket_factory(None, None, exclude_ids)
     return (
         cand.groupBy("bucket")
         .applyInPandas(fn, schema="doc_id long")

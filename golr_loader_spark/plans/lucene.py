@@ -368,7 +368,14 @@ def search_lucene(
     clauses = parse_lucene(query)
     if not clauses:
         return empty
-    out = _exec(index, clauses, cfg, exclude_ids, max_expansions, k)
+    # Under fq the complete match set must be scored BEFORE the filter
+    # intersects it: fq-passing docs ranked below k among pre-filter
+    # matches would otherwise be lost (mirrors bm25.search's
+    # `k if fq is None else n_docs` invariant).
+    out = _exec(
+        index, clauses, cfg, exclude_ids, max_expansions,
+        k if fq is None else None,
+    )
     if out is None:
         return empty
     if fq is not None:
@@ -408,6 +415,22 @@ def fq_doc_ids(
     if not clauses:
         return spark.createDataFrame([], "bucket int, doc_id long")
     occurs = {occ for occ, _n in clauses}
+    if occurs == {MUST_NOT}:
+        # Solr explicitly supports pure-negative filter queries by
+        # implying *:* (SolrQueryParser's all-negative rewrite): the
+        # match set is the live doc universe minus the negated match
+        # set. Flip the clauses positive, execute, and anti-join from
+        # all_doc_ids.
+        from golr_loader_spark.plans.facets import all_doc_ids
+
+        flipped = [(SHOULD, n) for _o, n in clauses]
+        neg = _exec(index, flipped, cfg, exclude_ids, max_expansions, None)
+        universe = all_doc_ids(index, cfg=cfg, exclude_ids=exclude_ids)
+        if neg is None:
+            return universe
+        return universe.join(
+            neg.select("doc_id"), on="doc_id", how="left_anti"
+        ).select("bucket", "doc_id")
     all_bare_terms = all(
         isinstance(n, Term) and n.field is None for _o, n in clauses
     )

@@ -95,6 +95,17 @@ def load_tombstone_ids(spark: SparkSession, root: str) -> np.ndarray:
     return load_tombstones(spark, root)[0]
 
 
+def broadcast_tombstones(spark: SparkSession, root: str):
+    """Current tombstone set as a ``bm25.broadcast_excl`` Broadcast
+    (None when empty) — the exclude_ids shape the distributed query
+    paths should be handed for long-lived sessions: the liveDocs
+    arrays ship once per executor over the broadcast channel instead
+    of inside every pickled task closure."""
+    from golr_loader_spark.plans.bm25 import broadcast_excl
+
+    return broadcast_excl(spark, load_tombstones(spark, root))
+
+
 def _swap_tables(root: str, tmp: str, tables: tuple) -> None:
     """Move freshly-written tables from ``tmp`` into ``root`` with the
     narrowest practical crash window: each old table is atomically

@@ -554,12 +554,9 @@ class LocalSearcher:
         to 4 (the cross-engine discipline)."""
         import statistics
 
-        from golr_loader_spark.plans.lucene import parse_lucene
-
         ids = {int(d) for d in self.matching_ids(query, mode)}
         if fq is not None:
-            fset = self._exec_clauses_local(parse_lucene(fq), 1024, None)
-            ids &= set(fset) if fset is not None else set()
+            ids &= self._fq_ids_local(fq)
         empty = {
             "n": 0, "min": None, "max": None,
             "sum": None, "mean": None, "stddev": None,
@@ -626,12 +623,9 @@ class LocalSearcher:
         (value, doc_id) cursor in (sort_field, doc_id) order —
         NULL-sort-valued docs excluded, cursor threaded from the last
         returned row."""
-        from golr_loader_spark.plans.lucene import parse_lucene
-
         ids = {int(d) for d in self.matching_ids(query, mode)}
         if fq is not None:
-            fset = self._exec_clauses_local(parse_lucene(fq), 1024, None)
-            ids &= set(fset) if fset is not None else set()
+            ids &= self._fq_ids_local(fq)
         if not ids:
             return []
         stored = self.fetch(sorted(ids), [sort_field])
@@ -852,14 +846,9 @@ class LocalSearcher:
         (row-group-pruned point reads), (value NULLS LAST, doc_id asc)
         ordering, offset pagination. Mirrors ``facets.search_sorted``
         row for row."""
-        from golr_loader_spark.plans.lucene import parse_lucene
-
         ids = {int(d) for d in self.matching_ids(query, mode)}
         if fq is not None:
-            fset = self._exec_clauses_local(
-                parse_lucene(fq), max_expansions, None
-            )
-            ids &= set(fset) if fset is not None else set()
+            ids &= self._fq_ids_local(fq, max_expansions)
         if not ids:
             return []
         stored = self.fetch(sorted(ids), [sort_field])
@@ -899,17 +888,69 @@ class LocalSearcher:
         clauses = parse_lucene(querystring)
         if not clauses:
             return []
-        scores = self._exec_clauses_local(clauses, max_expansions, k)
+        # Under fq, score the complete match set (k hint None) before
+        # the filter intersects it — truncating first loses fq-passing
+        # docs ranked below k pre-filter (same invariant as
+        # lucene.search_lucene / bm25.search).
+        scores = self._exec_clauses_local(
+            clauses, max_expansions, k if fq is None else None
+        )
         if scores is None:
             return []
         if fq is not None:
-            fset = self._exec_clauses_local(
-                parse_lucene(fq), max_expansions, None
-            )
-            keep = set(fset) if fset is not None else set()
+            keep = self._fq_ids_local(fq, max_expansions)
             scores = {d: s for d, s in scores.items() if d in keep}
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
+
+    def _all_doc_ids_local(self) -> set[int]:
+        """Live doc universe (serving twin of ``facets.all_doc_ids``):
+        union of every posting list's decoded doc-id stream,
+        tombstone-masked. One pass over the block table, memoized per
+        searcher instance (invalidated with the searcher, like any
+        Lucene reader-scoped cache)."""
+        cached = getattr(self, "_all_ids_cache", None)
+        if cached is not None:
+            return cached
+        from golr_loader_spark.plans.facets import _match_bucket_factory
+
+        blocks = self.postings.to_table(
+            filter=pc.field("field").isin(list(self.cfg.fields))
+        ).to_pandas()
+        if not len(blocks):
+            self._all_ids_cache = set()
+            return self._all_ids_cache
+        fn = _match_bucket_factory(None, None, self.tombstones)
+        self._all_ids_cache = {
+            int(d) for d in fn(blocks)["doc_id"].to_numpy()
+        }
+        return self._all_ids_cache
+
+    def _fq_ids_local(self, fq, max_expansions: int = 1024) -> set[int]:
+        """Solr fq → doc_id match set (serving twin of
+        ``lucene.fq_doc_ids``), including the Solr pure-negative
+        rewrite: an all-MUST_NOT fq implies *:* — the live universe
+        minus the negated match set (SolrQueryParser's all-negative
+        handling). Complete set, never top-k truncated."""
+        from golr_loader_spark.plans.lucene import (
+            MUST_NOT,
+            SHOULD,
+            parse_lucene,
+        )
+
+        clauses = parse_lucene(fq) if isinstance(fq, str) else list(fq)
+        if not clauses:
+            return set()
+        occurs = {occ for occ, _n in clauses}
+        if occurs == {MUST_NOT}:
+            flipped = [(SHOULD, n) for _o, n in clauses]
+            neg = self._exec_clauses_local(flipped, max_expansions, None)
+            universe = self._all_doc_ids_local()
+            if neg is None:
+                return set(universe)
+            return universe - {int(d) for d in neg}
+        fset = self._exec_clauses_local(clauses, max_expansions, None)
+        return {int(d) for d in fset} if fset is not None else set()
 
     def _exec_clauses_local(
         self,
