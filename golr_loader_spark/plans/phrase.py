@@ -43,20 +43,22 @@ Two phrase paths:
   with the substring test, so it shares the same DuckDB oracle
   family (SQL_Q37 / SQL_Q44).
 
-**Sloppy-matching DIVERGENCE from Lucene** (``slop > 0`` only):
-this engine's sloppy matcher is *ordered, forward-displacement*
-— a greedy chain over ascending positions accepting a match when
-``span − (len(phrase) − 1) ≤ slop``. Lucene's SloppyPhraseScorer
-instead treats slop as an *edit distance* over term positions,
-which additionally admits REORDERED terms (doc ``query data``
-matches ``"data query"~2`` in Lucene — a transposition costs 2 —
-but never here, at any slop). Exact phrases (``slop=0``) agree
-with Lucene on every analyzer. Users of ``"…"~N`` syntax should
-expect a subset of Solr's sloppy match set when term order is
-inverted in the document. The same ordered semantics apply on the
-serving path (``LocalSearcher.search_phrase``) and in
-``span_near_search``'s ordered mode; ``span_near_search`` with
-``in_order=False`` is the operator that admits reordered terms.
+**Sloppy matching** (``slop > 0``) follows Lucene's
+SloppyPhraseScorer semantics: slop is an *edit distance* over
+adjusted term positions (position − query offset) — a doc matches
+when some assignment of one occurrence per query slot (distinct
+document positions for slots sharing a term) spans ≤ ``slop``
+adjusted positions. REORDERED terms are admissible: doc ``query
+data`` matches ``"data query"~2`` (a transposition costs 2), exactly
+as in Solr. Phrase frequency is Lucene's slop factor Σ
+1/(1+matchLength) over the pq sweep's matches; for repeated-term
+phrases whose greedy sweep (Lucene's own is equally greedy) finds
+nothing, an exact pruned search rescues membership — strictly more
+faithful to the match condition than Lucene's scorer. Exact phrases
+(``slop=0``) use the vectorized chain matcher (Lucene
+ExactPhraseScorer analog; each match contributes slop factor 1).
+The serving path (``LocalSearcher.search_phrase``) shares the same
+bucket factory, so both paths agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -264,21 +266,23 @@ def phrase_search_positional(
     (``IndexConfig(positions=True)``) — works with ANY analyzer,
     unlike ``phrase_search``'s substring verification (simple-only).
 
-    **Matching** (per candidate doc, fully vectorized across every
-    occurrence in the bucket): the query analyzes to an ordered
-    (term, position) sequence; a doc matches when an increasing chain
-    of indexed occurrences realizes the sequence with total extra
-    displacement ≤ ``slop``. The chain is found greedily — for each
-    occurrence of the first term, each later term takes its EARLIEST
-    occurrence at distance ≥ the query-position gap; the greedy chain
-    minimizes the final span, so "span − query span ≤ slop" decides
-    ordered sloppy matches exactly. ``slop=0`` ⇔ exact phrase (every
-    gap exact), which on the ``simple`` analyzer coincides with the
-    ``' t1 t2 '`` substring semantics of ``phrase_search`` / SQL_Q37.
+    **Matching**: ``slop=0`` ⇔ exact phrase — a doc matches when an
+    increasing chain of indexed occurrences realizes the query's
+    (term, position) sequence with every gap exact, found by a greedy
+    chain walk fully vectorized across every occurrence in the bucket;
+    on the ``simple`` analyzer this coincides with the ``' t1 t2 '``
+    substring semantics of ``phrase_search`` / SQL_Q37. ``slop>0`` is
+    Lucene's SloppyPhraseScorer edit distance over ADJUSTED positions
+    (position − query offset): some assignment of one occurrence per
+    slot — distinct document positions for repeated terms — must span
+    ≤ ``slop``; reordered terms are admissible (a transposition costs
+    2), matching Solr. See the module docstring for the sweep and the
+    repeated-term rescue.
 
     **Scoring**: ``scoring="phrase"`` (default — Lucene PhraseWeight):
-    tf = number of matching chains with distinct first-term
-    occurrences, idf = Σ idf(term_i) over the query sequence, folded
+    tf = phrase frequency — at slop=0 the number of exact matches, at
+    slop>0 Lucene's Σ 1/(1+matchLength) over the sweep's matches —
+    idf = Σ idf(term_i) over the query sequence, folded
     through the standard BM25 tf-normalization with the doc's dl and
     the corpus avgdl. ``scoring="terms"``: the per-term BM25 sum over
     the phrase's distinct terms in sorted term order — on a
@@ -363,6 +367,170 @@ def _decode_positional_lists(pdf: pd.DataFrame, excl) -> dict[str, tuple]:
     return per_term
 
 
+def _lucene_sloppy_freq(
+    arrs: list, offs: list[int], terms: list[str], slop: int
+) -> float:
+    """One doc's sloppy phrase frequency — Lucene's
+    SloppyPhraseScorer.phraseFreq() structure. ``arrs[i]`` is slot i's
+    sorted ADJUSTED positions (doc position − query offset), ``offs``
+    the query offsets (for the repeat-collision check on actual
+    positions), ``terms`` the slot terms.
+
+    A match is a choice of one occurrence per slot whose adjusted
+    positions span ≤ ``slop`` (this is what admits REORDERED terms: a
+    transposition costs 2); the sweep advances the minimal phrase
+    position through a priority queue, scoring 1/(1+matchLength) per
+    match exactly like Lucene's slop factor. Slots sharing a term must
+    occupy DISTINCT document positions (Lucene's repeats discipline)."""
+    import heapq
+
+    n = len(arrs)
+    if n == 1:
+        return float(len(arrs[0]))
+    idx = [0] * n
+    pos = [0] * n
+    taken: dict[str, set] = {}
+    for i in range(n):
+        a = arrs[i]
+        held = taken.setdefault(terms[i], set())
+        j = 0
+        while j < len(a) and (a[j] + offs[i]) in held:
+            j += 1
+        if j >= len(a):
+            return 0.0
+        idx[i], pos[i] = j, int(a[j])
+        held.add(int(a[j]) + offs[i])
+    end = max(pos)
+    heap = [(pos[i], i) for i in range(n)]
+    heapq.heapify(heap)
+    p0, pp = heapq.heappop(heap)
+    match_len = end - p0
+    nxt = heap[0][0]
+    freq = 0.0
+    while True:
+        a = arrs[pp]
+        held = taken[terms[pp]]
+        held.discard(pos[pp] + offs[pp])
+        j = idx[pp] + 1
+        while j < len(a) and (a[j] + offs[pp]) in held:
+            j += 1
+        if j >= len(a):
+            break
+        idx[pp], pos[pp] = j, int(a[j])
+        held.add(pos[pp] + offs[pp])
+        if pos[pp] > end:
+            end = pos[pp]
+        if pos[pp] > nxt:
+            # done minimizing the current leader's match length
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            heapq.heappush(heap, (pos[pp], pp))
+            _p, pp = heapq.heappop(heap)
+            nxt = heap[0][0]
+            match_len = end - pos[pp]
+        else:
+            ml2 = end - pos[pp]
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq += 1.0 / (1.0 + match_len)
+    if freq == 0.0 and len(set(terms)) < n:
+        # Repeated-term phrases: the greedy sweep (like Lucene's own
+        # non-backtracking SloppyPhraseScorer) can miss assignments
+        # where a repeat must "leapfrog" a position another slot
+        # holds. Rescue membership with an exact pruned search for the
+        # minimal adjusted span — strictly MORE faithful to the match
+        # condition than Lucene's scorer, scored as one best match.
+        span = _min_span_with_repeats(arrs, offs, terms, slop)
+        if span is not None:
+            return 1.0 / (1.0 + span)
+    return freq
+
+
+def _min_span_with_repeats(
+    arrs: list, offs: list[int], terms: list[str], slop: int
+):
+    """Exact minimal adjusted-position span over assignments of one
+    occurrence per slot (distinct actual positions for same-term
+    slots), or None if no assignment spans ≤ slop. DFS ordered by
+    fewest-occurrences-first, pruned the moment a partial span exceeds
+    ``slop`` — per-doc occurrence lists are tiny, and this only runs
+    when the greedy sweep of a repeated-term phrase found nothing."""
+    n = len(arrs)
+    order = sorted(range(n), key=lambda i: len(arrs[i]))
+    best = None
+    used: dict[str, set] = {}
+
+    def dfs(d: int, lo: int, hi: int) -> None:
+        nonlocal best
+        if best == 0:
+            return
+        if d == n:
+            span = hi - lo
+            if best is None or span < best:
+                best = span
+            return
+        i = order[d]
+        t, o = terms[i], offs[i]
+        held = used.setdefault(t, set())
+        for a in arrs[i]:
+            a = int(a)
+            act = a + o
+            if act in held:
+                continue
+            nlo = a if d == 0 else min(lo, a)
+            nhi = a if d == 0 else max(hi, a)
+            if nhi - nlo > slop:
+                continue
+            held.add(act)
+            dfs(d + 1, nlo, nhi)
+            held.discard(act)
+
+    dfs(0, 0, 0)
+    return best
+
+
+def _sloppy_bucket_freqs(
+    comp: dict[str, np.ndarray],
+    seq: list[tuple[str, int]],
+    cand_ids: np.ndarray,
+    P: int,
+    slop: int,
+) -> np.ndarray:
+    """Per-candidate-doc Lucene sloppy phrase frequencies for one
+    bucket. ``comp[t]`` is term t's sorted composite (dense doc index
+    × P + position) occurrence array. Doc slicing is one vectorized
+    searchsorted per term; the per-doc sweep is bounded by the doc's
+    own phrase-term occurrences (candidates already contain every
+    term, so selective phrases visit few docs). Only the ``slop>0``
+    path pays this — exact phrases keep the fully-vectorized chain."""
+    uts = list(dict.fromkeys(t for t, _p in seq))
+    bounds = {}
+    base = np.asarray(
+        [int(j) * P for j in range(len(cand_ids))], dtype=np.int64
+    )
+    for t in uts:
+        a = comp[t]
+        bounds[t] = (np.searchsorted(a, base), np.searchsorted(a, base + P))
+    offs = [p for _t, p in seq]
+    terms = [t for t, _p in seq]
+    out = np.zeros(len(cand_ids), dtype=np.float64)
+    for j in range(len(cand_ids)):
+        per_t = {}
+        ok = True
+        for t in uts:
+            lo, hi = bounds[t][0][j], bounds[t][1][j]
+            if hi <= lo:
+                ok = False
+                break
+            per_t[t] = comp[t][lo:hi] - np.int64(j) * P
+        if not ok:
+            continue
+        arrs = [per_t[t] - o for t, o in zip(terms, offs)]
+        out[j] = _lucene_sloppy_freq(arrs, offs, terms, slop)
+    return out
+
+
 def _phrase_bucket_factory(
     seq: list[tuple[str, int]],
     idf: dict[tuple[str, str], float],
@@ -430,29 +598,42 @@ def _phrase_bucket_factory(
             ok = cand_ids[dic] == docrep
             comp[t] = np.sort(dic[ok].astype(np.int64) * P + pos_t[ok])
 
-        # greedy minimal chain, vectorized over ALL first-term
-        # occurrences at once
         t0 = terms_seq[0]
-        start = comp[t0]
-        cur = start.copy()
-        valid = np.ones(len(cur), dtype=bool)
-        for (t_prev, p_prev), (t_i, p_i) in zip(seq[:-1], seq[1:]):
-            gap = p_i - p_prev
-            arr = comp[t_i]
-            idx = np.searchsorted(arr, cur + gap, side="left")
-            ok = idx < len(arr)
-            nxt = arr[np.minimum(idx, len(arr) - 1)]
-            ok &= (nxt // P) == (cur // P)  # stayed inside the doc
-            valid &= ok
-            cur = np.where(ok, nxt, cur)
-        extra = (cur - start) - q_span
-        match = valid & (extra <= slop)
-        if not match.any():
-            return empty()
-        freq = np.bincount(
-            (start[match] // P).astype(np.int64), minlength=len(cand_ids)
-        ).astype(np.float64)
-        hit = freq > 0
+        if slop > 0:
+            # Lucene SloppyPhraseScorer semantics: adjusted-position
+            # windows ≤ slop (REORDERED terms admissible — a
+            # transposition costs 2), freq = Σ 1/(1+matchLength) over
+            # the pq sweep's matches, repeats occupy distinct
+            # positions. Per-doc sweep; only sloppy queries pay it.
+            freq = _sloppy_bucket_freqs(comp, seq, cand_ids, P, slop)
+            hit = freq > 0
+            if not hit.any():
+                return empty()
+        else:
+            # exact phrase: greedy minimal chain, vectorized over ALL
+            # first-term occurrences at once (each exact match
+            # contributes 1 — identical to Lucene's matchLength=0
+            # slop factor)
+            start = comp[t0]
+            cur = start.copy()
+            valid = np.ones(len(cur), dtype=bool)
+            for (t_prev, p_prev), (t_i, p_i) in zip(seq[:-1], seq[1:]):
+                gap = p_i - p_prev
+                arr = comp[t_i]
+                idx = np.searchsorted(arr, cur + gap, side="left")
+                ok = idx < len(arr)
+                nxt = arr[np.minimum(idx, len(arr) - 1)]
+                ok &= (nxt // P) == (cur // P)  # stayed inside the doc
+                valid &= ok
+                cur = np.where(ok, nxt, cur)
+            extra = (cur - start) - q_span
+            match = valid & (extra <= slop)
+            if not match.any():
+                return empty()
+            freq = np.bincount(
+                (start[match] // P).astype(np.int64), minlength=len(cand_ids)
+            ).astype(np.float64)
+            hit = freq > 0
 
         if scoring == "terms":
             # per-term BM25 sum in sorted term order — float-for-float

@@ -67,25 +67,46 @@ def _brute_positions(text: str, analyzer: str) -> dict[str, list[int]]:
 
 
 def _brute_phrase_freq(text: str, phrase: str, analyzer: str, slop: int) -> int:
-    """Greedy-minimal-chain sloppy phrase count, pure Python."""
+    """Lucene sloppy MEMBERSHIP by brute-force enumeration (1 iff the
+    doc matches): some assignment of one occurrence per query slot —
+    distinct document positions for slots sharing a term — has
+    adjusted-position span (max(pos−offset) − min(pos−offset)) ≤ slop.
+    This is SloppyPhraseScorer's match condition and admits reordered
+    terms (a transposition costs 2). Exact counts are pinned
+    separately in the frequency tests."""
+    import itertools
+
     seq = analyze_phrase(phrase, analyzer)
     if not seq:
         return 0
     pos = _brute_positions(text, analyzer)
     if any(t not in pos for t, _ in seq):
         return 0
-    n = 0
-    for q0 in pos[seq[0][0]]:
-        cur, ok = q0, True
-        for (_tp, pp), (ti, pi) in zip(seq[:-1], seq[1:]):
-            nxts = [x for x in pos[ti] if x >= cur + (pi - pp)]
-            if not nxts:
+    if slop == 0:
+        # exact-phrase count (the engine's ExactPhrase analog): starts
+        # where every slot sits at start + offset
+        n = 0
+        base = seq[0][1]
+        for q0 in pos[seq[0][0]]:
+            if all(q0 + (pi - base) in pos[ti] for ti, pi in seq[1:]):
+                n += 1
+        return n
+    slots = [(t, p) for t, p in seq]
+    for choice in itertools.product(*[pos[t] for t, _p in slots]):
+        used: dict[str, set] = {}
+        ok = True
+        for (t, _o), c in zip(slots, choice):
+            s = used.setdefault(t, set())
+            if c in s:
                 ok = False
                 break
-            cur = min(nxts)
-        if ok and (cur - q0) - (seq[-1][1] - seq[0][1]) <= slop:
-            n += 1
-    return n
+            s.add(c)
+        if not ok:
+            continue
+        adj = [c - o for (_t, o), c in zip(slots, choice)]
+        if max(adj) - min(adj) <= slop:
+            return 1
+    return 0
 
 
 @pytest.fixture(scope="module")
@@ -175,16 +196,24 @@ def test_positional_membership_simple(ix_pos, cfg_pos):
         ).collect()
     }
     assert got == {0, 2, 5}
-    # wrong order / gapped docs excluded; slop=2 lets the reversed
-    # pair in doc 1 stay out (ordered matcher) but bridges doc 3's
-    # empty-token gap ("data <''> query": span 2, extra 1)
+    # slop=2 bridges doc 3's empty-token gap ("data <''> query") AND
+    # admits doc 1's reversed pair ("query data" — a transposition
+    # costs 2 in Lucene's adjusted-position semantics)
     got2 = {
         r["doc_id"]
         for r in phrase_search_positional(
             ix_pos, "data query", k=10, slop=2, cfg=cfg_pos
         ).collect()
     }
-    assert got2 == {0, 2, 3, 5}
+    assert got2 == {0, 1, 2, 3, 5}
+    # slop=1 is NOT enough for the transposition
+    got1 = {
+        r["doc_id"]
+        for r in phrase_search_positional(
+            ix_pos, "data query", k=10, slop=1, cfg=cfg_pos
+        ).collect()
+    }
+    assert 1 not in got1 and {0, 2, 3, 5} <= got1
 
 
 def test_positional_code_phrases(ix_code, cfg_code):
@@ -463,6 +492,10 @@ def test_property_phrase_vs_brute(spark):
     probes = [
         ("a b", 0), ("a b", 1), ("b a c", 0), ("b a c", 2),
         ("a a", 0), ("c d a", 3), ("a b a", 1),
+        # transposition-heavy: slop ≥ 2 admits reordered pairs, higher
+        # slops admit rotated triples (Lucene adjusted-span semantics)
+        ("a b", 2), ("d c", 2), ("b a c", 4), ("c b a", 4),
+        ("a b a", 3), ("d a", 1),
     ]
     for phrase, slop in probes:
         want = {
