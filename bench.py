@@ -153,6 +153,25 @@ def main() -> None:
             ),
             1,
         )
+        # sharded serving (plans.shard): scatter-gather p95 at 2 and
+        # 4 shards over the same index — the SolrCloud-shaped path a
+        # 100x corpus needs once one mmap view can't hold the postings
+        from golr_loader_spark.plans.shard import ShardedSearcher, shard_index
+
+        for n_sh in (2, 4):
+            sh_roots = shard_index(
+                spark, td, f"{td}/sharded{n_sh}", n_sh, cfg=cfg
+            )
+            ss = ShardedSearcher(sh_roots, cfg)
+            for q in queries.values():
+                ss.search(q, k=10)
+            extras[f"serve_p95_ms_{n_sh}shard"] = round(
+                min(
+                    p95_latency_ms(ss, list(queries.values()), k=10)
+                    for _ in range(3)
+                ),
+                1,
+            )
 
     # ---- engine arm: positional index + phrase queries ------------------
     # one positional build (IndexConfig(positions=True)) over the SAME

@@ -1,0 +1,483 @@
+"""Sharded serving: SolrCloud's shards + scatter-gather top-k merge.
+
+The reference POSTs its documents into production Solr, which is
+SolrCloud in every real deployment: documents hash-route to shards,
+each shard is an independent Lucene core, and a coordinator
+scatter-gathers per-shard top-k lists into the global page
+(GolrLoader.java:498-515 is the loader half; this module is the
+serving half a golr user actually queries). At 100× corpus scale a
+single mmap view cannot hold the postings; sharding by doc range is
+how the low-latency path keeps working.
+
+* ``shard_index(spark, root, out_root, n_shards)`` — split a
+  persisted index root (``write_index`` layout) into ``n_shards``
+  independent, individually ``LocalSearcher``-able directories.
+  Routing is ``bucket % n_shards`` over the existing monotone
+  doc-range buckets, so every doc's postings, stored fields, and
+  facet rows land on exactly one shard. **Corpus-level statistics
+  (stats, term_stats) are copied whole to every shard** — BM25
+  weights are computed from GLOBAL df/n_docs/avgdl, which is what
+  makes per-shard scores globally comparable and the merged ranking
+  bit-identical to the unsharded searcher (Solr gets the same effect
+  with distributed IDF; we get it for free because the dictionary is
+  vocabulary-sized metadata). Tombstones are copied whole (a mask
+  only affects docs the shard actually holds).
+
+* ``ShardedSearcher(roots)`` — the coordinator: holds one
+  ``LocalSearcher`` per shard and reproduces the full serving
+  surface. Ranked queries run on every shard with the same ``k`` and
+  k-way merge on (score desc, doc_id asc) — each shard's contribution
+  to the global top-k is within its local top-k because scores are
+  globally weighted, so merging truncated lists is EXACT, not
+  approximate. Facet/stats operations merge complete per-shard counts
+  (Solr's two-phase facet refinement exists because its shards
+  truncate counts; we request untruncated per-shard counts — facet
+  value sets are small — and merge exactly). Point operations
+  (explain, fetch) route by the same ``bucket % n_shards`` rule.
+
+Parity contract (pytest ``test_shard.py``): every query type returns
+results identical to a ``LocalSearcher`` over the unsharded root.
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.plans.serve import LocalSearcher
+
+_BIG = 1 << 60  # "untruncated" top for per-shard facet requests
+
+
+def shard_of_doc(doc_id: int, cfg: IndexConfig, n_shards: int) -> int:
+    """doc_id → owning shard: the arithmetic-shift bucket (same as
+    build_index.bucket_of) mod n_shards. Python's ``>>`` and ``%``
+    match Spark's shiftright/pmod on negative ids."""
+    shift = max(0, cfg.id_space_bits - cfg.bucket_bits)
+    return (int(doc_id) >> shift) % n_shards
+
+
+def shard_index(
+    spark: SparkSession,
+    root: str,
+    out_root: str,
+    n_shards: int,
+    cfg: IndexConfig | None = None,
+    term_partitions: int = 4,
+) -> list[str]:
+    """Split a persisted index root into ``n_shards`` independent
+    shard directories (each a complete ``write_index`` layout) and
+    return their paths.
+
+    Table handling:
+    * ``postings`` — filtered by ``bucket % n_shards``, rewritten with
+      the same term-range partitioning + in-file (term, field, bucket,
+      block_id) sort as ``write_index`` so per-shard row-group pruning
+      and the ``_RowGroupIndex`` fast path keep working;
+    * ``stored`` / ``facets`` / ``docs`` — filtered by the owning
+      shard of ``doc_id``, keeping their doc_id sort;
+    * ``stats`` / ``term_stats`` / ``tombstones`` — copied whole
+      (global statistics; see module docstring).
+    """
+    cfg = cfg or IndexConfig()
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    roots = [f"{out_root}/shard{s}" for s in range(n_shards)]
+    postings = spark.read.parquet(f"{root}/postings")
+    shard_col = F.pmod(F.col("bucket"), F.lit(n_shards))
+    shift = max(0, cfg.id_space_bits - cfg.bucket_bits)
+
+    for s, sroot in enumerate(roots):
+        (
+            postings.filter(shard_col == s)
+            .repartitionByRange(max(1, term_partitions), "term")
+            .sortWithinPartitions("term", "field", "bucket", "block_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(4 << 20))
+            .parquet(f"{sroot}/postings")
+        )
+        for tbl in ("stats", "term_stats"):
+            shutil.copytree(
+                f"{root}/{tbl}", f"{sroot}/{tbl}", dirs_exist_ok=True
+            )
+        if os.path.isdir(f"{root}/tombstones"):
+            shutil.copytree(
+                f"{root}/tombstones", f"{sroot}/tombstones", dirs_exist_ok=True
+            )
+        for tbl in ("stored", "facets", "docs"):
+            if not os.path.isdir(f"{root}/{tbl}"):
+                continue
+            df = spark.read.parquet(f"{root}/{tbl}")
+            owned = df.filter(
+                F.pmod(F.shiftright(F.col("doc_id"), shift), F.lit(n_shards))
+                == s
+            )
+            (
+                owned.repartitionByRange(
+                    max(1, term_partitions // 2), "doc_id"
+                )
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{sroot}/{tbl}")
+            )
+    return roots
+
+
+def _merge_ranked(
+    parts: list[list[tuple[int, float]]], k: int
+) -> list[tuple[int, float]]:
+    """k-way merge of per-shard (doc_id, score) lists, each already in
+    (score desc, doc_id asc) order — the global order under the same
+    key because scores are globally weighted."""
+    merged = heapq.merge(*parts, key=lambda x: (-x[1], x[0]))
+    out = []
+    for item in merged:
+        out.append((int(item[0]), float(item[1])))
+        if len(out) == k:
+            break
+    return out
+
+
+class ShardedSearcher:
+    """Scatter-gather coordinator over per-shard ``LocalSearcher``s —
+    the SolrCloud-coordinator analog. Same API surface and IDENTICAL
+    results as one ``LocalSearcher`` over the unsharded root (see the
+    module docstring for why the merges are exact)."""
+
+    def __init__(self, roots: list[str], cfg: IndexConfig | None = None):
+        if not roots:
+            raise ValueError("need at least one shard root")
+        self.shards = [LocalSearcher(r, cfg) for r in roots]
+        self.cfg = self.shards[0].cfg
+        self.n_docs = self.shards[0].n_docs
+        self.avgdl = self.shards[0].avgdl
+
+    @classmethod
+    def open(cls, out_root: str, cfg: IndexConfig | None = None):
+        roots = sorted(
+            glob.glob(f"{out_root}/shard*"),
+            key=lambda p: int(p.rsplit("shard", 1)[1]),
+        )
+        return cls(roots, cfg)
+
+    # ------------------------------------------------ ranked queries
+
+    def _scatter_topk(self, _fn_name: str, _merge_k: int, *args, **kwargs):
+        parts = [getattr(s, _fn_name)(*args, **kwargs) for s in self.shards]
+        return _merge_ranked(parts, _merge_k)
+
+    def search(self, query: str, k: int = 10, mode: str = "or"):
+        return self._scatter_topk("search", k, query, k, mode=mode)
+
+    def search_many(self, queries: dict, k: int = 10, mode: str = "or"):
+        return {q: self.search(s, k, mode=mode) for q, s in queries.items()}
+
+    def search_boolean(self, must=None, should=None, must_not=None, k: int = 10):
+        return self._scatter_topk(
+            "search_boolean", k, must=must, should=should, must_not=must_not, k=k
+        )
+
+    def search_prefix(self, prefix: str, k: int = 10, max_expansions: int = 1024):
+        return self._scatter_topk(
+            "search_prefix", k, prefix, k, max_expansions=max_expansions
+        )
+
+    def search_fuzzy(
+        self, query_term: str, max_edits: int = 1, prefix_length: int = 0,
+        k: int = 10, max_expansions: int = 64,
+    ):
+        return self._scatter_topk(
+            "search_fuzzy", k, query_term, max_edits=max_edits,
+            prefix_length=prefix_length, k=k, max_expansions=max_expansions,
+        )
+
+    def search_phrase(
+        self, phrase: str, k: int = 10, slop: int = 0,
+        field: str | None = None, scoring: str = "phrase",
+    ):
+        return self._scatter_topk(
+            "search_phrase", k, phrase, k=k, slop=slop, field=field,
+            scoring=scoring,
+        )
+
+    def search_span_near(
+        self, terms: list[str], window: int, k: int = 10,
+        field: str | None = None,
+    ):
+        return self._scatter_topk(
+            "search_span_near", k, terms, window, k=k, field=field
+        )
+
+    def search_dismax(self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0):
+        return self._scatter_topk("search_dismax", k, query, qf, k=k, tie=tie, mm=mm)
+
+    def search_edismax(self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0):
+        return self._scatter_topk("search_edismax", k, query, qf, k=k, tie=tie, mm=mm)
+
+    def search_boosted(
+        self, query: str, boosts: dict, k: int = 10,
+        boost_mode: str = "sum", missing: float | None = None,
+    ):
+        return self._scatter_topk(
+            "search_boosted", k, query, boosts, k=k, boost_mode=boost_mode,
+            missing=missing,
+        )
+
+    def query(
+        self, querystring: str, k: int = 10, max_expansions: int = 1024,
+        fq: str | None = None,
+    ):
+        return self._scatter_topk(
+            "query", k, querystring, k=k, max_expansions=max_expansions, fq=fq
+        )
+
+    # --------------------------------------------- match-set reads
+
+    def matching_ids(self, query: str, mode: str = "or"):
+        import numpy as np
+
+        parts = [s.matching_ids(query, mode=mode) for s in self.shards]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(parts))
+
+    # ------------------------------------------------ facets / stats
+
+    def facet_counts(
+        self, query: str, mode: str = "or", top: int = 10, min_count: int = 1
+    ):
+        sums: dict[str, dict[str, int]] = {}
+        for s in self.shards:
+            for facet, vals in s.facet_counts(
+                query, mode=mode, top=_BIG, min_count=1
+            ).items():
+                agg = sums.setdefault(facet, {})
+                for v, n in vals:
+                    agg[v] = agg.get(v, 0) + n
+        out: dict[str, list[tuple[str, int]]] = {}
+        for facet, agg in sums.items():
+            vals = sorted(
+                ((n, v) for v, n in agg.items() if n >= min_count),
+                key=lambda x: (-x[0], x[1]),
+            )[:top]
+            out[facet] = [(v, n) for n, v in vals]
+        return out
+
+    def range_facet_counts(
+        self, query: str, field: str, width: float, mode: str = "or",
+        min_count: int = 1,
+    ):
+        bins: dict[float, int] = {}
+        for s in self.shards:
+            for lo, n in s.range_facet_counts(
+                query, field, width, mode=mode, min_count=1
+            ):
+                bins[lo] = bins.get(lo, 0) + n
+        return sorted((lo, n) for lo, n in bins.items() if n >= min_count)
+
+    def pivot_facet_counts(
+        self, query: str, outer: str, inner: str, mode: str = "or",
+        top_outer: int = 10, top_inner: int = 5, min_count: int = 1,
+    ):
+        pairs: dict[tuple[str, str], int] = {}
+        for s in self.shards:
+            for ov, _on, _orank, iv, inn, _irank in s.pivot_facet_counts(
+                query, outer, inner, mode=mode,
+                top_outer=_BIG, top_inner=_BIG, min_count=1,
+            ):
+                pairs[(ov, iv)] = pairs.get((ov, iv), 0) + inn
+        pairs = {k: n for k, n in pairs.items() if n >= min_count}
+        if not pairs:
+            return []
+        outer_n: dict[str, int] = {}
+        for (ov, _iv), n in pairs.items():
+            outer_n[ov] = outer_n.get(ov, 0) + n
+        heads = sorted(
+            ((n, v) for v, n in outer_n.items()), key=lambda x: (-x[0], x[1])
+        )[:top_outer]
+        out = []
+        for orank, (on, ov) in enumerate(heads, 1):
+            inner_sorted = sorted(
+                ((n, iv) for (o, iv), n in pairs.items() if o == ov),
+                key=lambda x: (-x[0], x[1]),
+            )[:top_inner]
+            for irank, (inn, iv) in enumerate(inner_sorted, 1):
+                out.append((str(ov), on, orank, str(iv), inn, irank))
+        return out
+
+    def stats_field(
+        self, query: str, field: str, mode: str = "or", fq: str | None = None
+    ) -> dict:
+        """Exact merged StatsComponent: gather the raw field values
+        from every shard's match set (each shard only holds its own
+        docs) and run the identical reduction — per-shard pre-rounded
+        moments would not merge exactly."""
+        import statistics
+
+        xs: list = []
+        for s in self.shards:
+            ids = {int(d) for d in s.matching_ids(query, mode)}
+            if fq is not None:
+                ids &= s._fq_ids_local(fq)
+            if not ids:
+                continue
+            stored = s.fetch(sorted(ids), [field])
+            xs.extend(
+                v[field] for v in stored.values() if v.get(field) is not None
+            )
+        if not xs:
+            return {
+                "n": 0, "min": None, "max": None,
+                "sum": None, "mean": None, "stddev": None,
+            }
+        return {
+            "n": len(xs),
+            "min": min(xs),
+            "max": max(xs),
+            "sum": round(float(sum(xs)), 4),
+            "mean": round(float(sum(xs)) / len(xs), 4),
+            "stddev": round(statistics.stdev(xs), 4) if len(xs) > 1 else None,
+        }
+
+    def suggest(self, text: str, k: int = 5, **kwargs):
+        # the term dictionary is global metadata copied to every shard
+        return self.shards[0].suggest(text, k=k, **kwargs)
+
+    # -------------------------------------------------- sort / paging
+
+    def search_sorted(
+        self, query: str, sort_field: str, ascending: bool = True,
+        start: int = 0, rows: int = 10, mode: str = "or",
+        fq: str | None = None, max_expansions: int = 1024,
+    ):
+        """Merged Solr sort= + start/rows: each shard serves its first
+        ``start + rows`` rows (a superset of its contribution to the
+        global page), merged on (value with NULLS LAST, doc_id asc)
+        and re-sliced."""
+        need = start + rows
+        present: list[tuple[object, int]] = []
+        missing: list[int] = []
+        for s in self.shards:
+            for _pos, d, v in s.search_sorted(
+                query, sort_field, ascending=ascending, start=0, rows=need,
+                mode=mode, fq=fq, max_expansions=max_expansions,
+            ):
+                if v is None:
+                    missing.append(d)
+                else:
+                    present.append((v, d))
+        present.sort(key=lambda x: x[1])
+        present.sort(key=lambda x: x[0], reverse=not ascending)
+        ordered = [(d, v) for v, d in present] + [
+            (d, None) for d in sorted(missing)
+        ]
+        page = ordered[start : start + rows]
+        return [(start + i + 1, int(d), v) for i, (d, v) in enumerate(page)]
+
+    def search_after(
+        self, query: str, sort_field: str, after_value=None,
+        after_doc_id: int | None = None, ascending: bool = True,
+        rows: int = 10, mode: str = "or", fq: str | None = None,
+    ):
+        pairs: list[tuple[object, int]] = []
+        for s in self.shards:
+            for d, v in s.search_after(
+                query, sort_field, after_value=after_value,
+                after_doc_id=after_doc_id, ascending=ascending, rows=rows,
+                mode=mode, fq=fq,
+            ):
+                pairs.append((v, d))
+        pairs.sort(key=lambda x: x[1])
+        pairs.sort(key=lambda x: x[0], reverse=not ascending)
+        return [(int(d), v) for v, d in pairs[:rows]]
+
+    def grouped_topk(
+        self, facet: str, query: str, docs_per_group: int = 2,
+        k_groups: int = 10, mode: str = "or",
+        round_scores: int | None = None,
+    ):
+        per_value: dict[str, list[tuple[float, int]]] = {}
+        for s in self.shards:
+            for _grank, v, _r, d, sc in s.grouped_topk(
+                facet, query, docs_per_group=docs_per_group,
+                k_groups=k_groups, mode=mode, round_scores=round_scores,
+            ):
+                per_value.setdefault(v, []).append((sc, d))
+        if not per_value:
+            return []
+        ranked: dict[str, list[tuple[int, float]]] = {}
+        heads: list[tuple[float, str]] = []
+        for v, lst in per_value.items():
+            lst.sort(key=lambda x: (-x[0], x[1]))
+            ranked[v] = [(d, sc) for sc, d in lst[:docs_per_group]]
+            heads.append((lst[0][0], v))
+        heads.sort(key=lambda x: (-x[0], x[1]))
+        out = []
+        for grank, (_s, v) in enumerate(heads[:k_groups], 1):
+            for r, (d, sc) in enumerate(ranked[v], 1):
+                out.append((grank, v, r, d, float(sc)))
+        return out
+
+    # --------------------------------------------- point operations
+
+    def _owner(self, doc_id: int) -> LocalSearcher:
+        return self.shards[shard_of_doc(doc_id, self.cfg, len(self.shards))]
+
+    def fetch(self, doc_ids: list[int], fields: list[str] | None = None):
+        by_shard: dict[int, list[int]] = {}
+        for d in doc_ids:
+            by_shard.setdefault(
+                shard_of_doc(d, self.cfg, len(self.shards)), []
+            ).append(d)
+        out: dict[int, dict] = {}
+        for s, ids in by_shard.items():
+            out.update(self.shards[s].fetch(ids, fields))
+        return out
+
+    def search_fetch(
+        self, query: str, k: int = 10, mode: str = "or",
+        fields: list[str] | None = None, highlight_field: str | None = None,
+        frag_size: int = 80,
+    ):
+        from golr_loader_spark.functions.tokenize import analyze_query
+        from golr_loader_spark.plans.bm25 import query_analyzer
+        from golr_loader_spark.plans.serve import highlight
+
+        hits = self.search(query, k=k, mode=mode)
+        if not hits:
+            return []
+        stored = self.fetch(
+            [d for d, _s in hits],
+            list(
+                {*(fields or []),
+                 *([highlight_field] if highlight_field else [])}
+            ) or None,
+        )
+        terms = analyze_query(query, query_analyzer(self.cfg))
+        out = []
+        for doc_id, score in hits:
+            row = {"doc_id": doc_id, "score": score}
+            row.update(stored.get(doc_id, {}))
+            if (
+                highlight_field
+                and highlight_field in row
+                and row[highlight_field]
+            ):
+                row["highlight"] = highlight(
+                    str(row[highlight_field]), terms, frag_size=frag_size
+                )
+            out.append(row)
+        return out
+
+    def explain(self, query: str, doc_id: int) -> dict:
+        return self._owner(doc_id).explain(query, doc_id)
+
+    def explain_query(self, querystring: str, doc_id: int, **kwargs) -> dict:
+        return self._owner(doc_id).explain_query(querystring, doc_id, **kwargs)
