@@ -421,6 +421,82 @@ def stats_field(
     return agg
 
 
+def search_fetch(
+    index: InvertedIndex,
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    fields: list[str] | None = None,
+    highlight_field: str | None = None,
+    frag_size: int = 80,
+    exclude_ids=None,
+) -> DataFrame:
+    """Distributed Solr response assembly — top-k + stored fields +
+    token-exact highlighting as ONE DataFrame, the batch-export twin
+    of ``serve.LocalSearcher.search_fetch`` (hl=on): (doc_id, score,
+    rank, <fields…>[, highlight]). ``documents``: the stored-fields
+    table (doc_id + requested columns).
+
+    Plan shape: the hit list is a BOUNDED ≤k-row collect (the vetted
+    driver-collect discipline — every collect in plans/ is ≤k or
+    ≤max_expansions), so ranks need no partitionless window and the
+    doc_id set pushes down into the stored scan as an isin predicate
+    (parquet row-group pruning — a page of k hits costs O(k)
+    row-group reads, same as the serving path). The highlighter is
+    the SAME function the serving path uses (``serve.highlight``),
+    applied through an Arrow-batched pandas UDF over the fragment
+    column — snippet generation is pure string work Catalyst cannot
+    express, and the UDF touches only the ≤k joined rows. Parity with
+    the serving twin is pytest-pinned row for row."""
+    from pyspark.sql.functions import pandas_udf
+
+    from golr_loader_spark.plans.bm25 import search
+
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    hit_rows = search(
+        index, query, k=k, cfg=cfg, mode=mode, exclude_ids=exclude_ids
+    ).collect()  # bounded: ≤ k rows
+    if not hit_rows:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, rank int"
+        )
+    ranked = spark.createDataFrame(
+        [
+            (int(r["doc_id"]), float(r["score"]), i + 1)
+            for i, r in enumerate(hit_rows)
+        ],
+        "doc_id long, score double, rank int",
+    )
+    ids = [int(r["doc_id"]) for r in hit_rows]
+    want = list(fields or [c for c in documents.columns if c != "doc_id"])
+    need = list(dict.fromkeys(
+        want + ([highlight_field] if highlight_field else [])
+    ))
+    out = F.broadcast(ranked).join(
+        documents.select("doc_id", *need).filter(F.col("doc_id").isin(ids)),
+        on="doc_id",
+        how="left",
+    )
+    if highlight_field:
+        terms = analyze_query(query, query_analyzer(cfg))
+        fsz = int(frag_size)
+
+        @pandas_udf("string")
+        def _hl(col: pd.Series) -> pd.Series:
+            from golr_loader_spark.plans.serve import highlight
+
+            return col.map(
+                lambda t: None if t is None
+                else highlight(str(t), terms, frag_size=fsz)
+            )
+
+        out = out.withColumn("highlight", _hl(F.col(highlight_field)))
+    return out.orderBy(F.asc("rank"))
+
+
 def search_sorted(
     index: InvertedIndex,
     documents: DataFrame,

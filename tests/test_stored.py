@@ -231,3 +231,30 @@ def test_serving_search_after_parity(spark, cfg, tmp_path):
         if not want:
             break
         ad, av = want[-1][0], want[-1][1]
+
+
+def test_distributed_search_fetch_matches_serving(spark, root, cfg):
+    """facets.search_fetch (the batch-export Spark path) returns row
+    for row what LocalSearcher.search_fetch serves — same hits, same
+    stored fields, same highlighter output (shared highlight())."""
+    from golr_loader_spark.plans.build_index import read_index
+    from golr_loader_spark.plans.facets import search_fetch
+
+    ls = LocalSearcher(root, cfg)
+    ix = read_index(spark, root, cfg)
+    docs = spark.read.parquet(f"{root}/stored")
+    for q, hf in [("spark query", "text"), ("catalyst", "text"), ("spark", None)]:
+        want = ls.search_fetch(q, k=3, fields=["lang"], highlight_field=hf)
+        got_rows = search_fetch(
+            ix, docs, q, k=3, cfg=cfg, fields=["lang"], highlight_field=hf
+        ).collect()
+        got = []
+        for r in sorted(got_rows, key=lambda r: r["rank"]):
+            row = {"doc_id": r["doc_id"], "score": r["score"], "lang": r["lang"]}
+            if hf:
+                row[hf] = r[hf]
+                row["highlight"] = r["highlight"]
+            got.append(row)
+        assert got == want, q
+    # empty hit set
+    assert search_fetch(ix, docs, "xyzzyq", k=3, cfg=cfg).count() == 0
