@@ -652,6 +652,48 @@ def _engine_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_fetchpage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Solr response page on the REAL engine index
+    (q=data query spark, fl=lang,source): ``facets.search_fetch``
+    joins the bounded hit list back to the stored-fields table with
+    the doc_id set pushed into the scan. The oracle discipline
+    (round-to-4-then-rank, ≤50 rows re-ranked driver-side) matches
+    the other engine-gate rows; SQL_Q54 is the DuckDB twin. The
+    highlight column is exercised by the serving-parity pytest
+    (no SQL analog for snippet assembly)."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import search_fetch
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    page = search_fetch(
+        ix, d.select("doc_id", "lang", "source"), "data query spark",
+        k=200, cfg=cfg, fields=["lang", "source"],
+    ).collect()
+    rows = sorted(
+        (
+            (round(float(r["score"]), 4), int(r["doc_id"]),
+             r["lang"], r["source"])
+            for r in page
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:50]
+    return spark.createDataFrame(
+        [
+            (i + 1, doc_id, score, lang, source)
+            for i, (score, doc_id, lang, source) in enumerate(rows)
+        ],
+        "rank int, doc_id long, score double, lang string, source string",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -679,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_boost"] = _engine_boost
     out["engine_cursor"] = _engine_cursor
     out["engine_pivot"] = _engine_pivot
+    out["engine_fetchpage"] = _engine_fetchpage
     return out
 
 
@@ -705,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q51,
         SQL_Q52,
         SQL_Q53,
+        SQL_Q54,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -733,4 +777,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_boost"] = SQL_Q51
     out["engine_cursor"] = SQL_Q52
     out["engine_pivot"] = SQL_Q53
+    out["engine_fetchpage"] = SQL_Q54
     return out

@@ -1586,6 +1586,19 @@ FROM inner_r WHERE inner_rank <= 5
 """
 
 
+# Search-then-fetch oracle (engine twin: facets.search_fetch —
+# engine_fetchpage in __spark_entry__.py): the full Solr response
+# page — ranked BM25 top-50 joined back to the stored fields
+# (fl=lang,source). Same scoring CTEs as SQL_Q24; the highlight
+# column is snippet assembly with no SQL analog and is covered by the
+# serving-parity pytest instead.
+SQL_Q54 = SQL_Q24.replace(
+    "SELECT rank, doc_id, score FROM ranked WHERE rank <= 50",
+    """SELECT r.rank, r.doc_id, r.score, d.lang, d.source
+FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 50""",
+)
+
+
 # Boost/function-query oracle (engine twin: bm25.search_boosted —
 # engine_boost in __spark_entry__.py). Solr edismax bf= additive
 # boost: BM25('data query spark') + ln(1 + n_chars) per doc, rounded
