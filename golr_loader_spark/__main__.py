@@ -100,7 +100,7 @@ def cmd_query(args) -> None:
 
         rows = search_edismax(
             ix, args.q, args.dismax, k=args.k, tie=args.tie, mm=args.mm,
-            cfg=cfg,
+            cfg=cfg, pf=args.pf, pf2=args.pf2, pf3=args.pf3, ps=args.ps,
         ).collect()
     else:
         rows = search(ix, args.q, k=args.k, cfg=cfg, fq=args.fq).collect()
@@ -171,6 +171,15 @@ def main(argv: list[str] | None = None) -> None:
     )
     q.add_argument("--tie", type=float, default=0.0, help="dismax tie breaker")
     q.add_argument("--mm", default=0, help="dismax minimum-should-match")
+    q.add_argument(
+        "--pf",
+        default=None,
+        help="dismax phrase-boost fields (Solr pf, e.g. 'title^5 text'; "
+        "needs an index built with --positions)",
+    )
+    q.add_argument("--pf2", default=None, help="word-pair phrase-boost fields")
+    q.add_argument("--pf3", default=None, help="word-triple phrase-boost fields")
+    q.add_argument("--ps", type=int, default=0, help="phrase-boost slop (Solr ps)")
     q.add_argument(
         "--fq",
         default=None,

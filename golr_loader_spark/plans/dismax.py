@@ -27,7 +27,17 @@ Semantics implemented (the classic dismax core of edismax):
   negative int, ``'N%'``, ``'-N%'``; percentages floor like Solr).
   ``mm=0`` ≡ q.op=OR, ``mm='100%'`` ≡ q.op=AND;
 * doc score = Σ score_w over matched words, accumulated in query
-  word order; ranking (score desc, doc_id asc) as everywhere.
+  word order; ranking (score desc, doc_id asc) as everywhere;
+* ``pf``/``pf2``/``pf3`` (+ ``ps``/``ps2``/``ps3``) — Solr phrase
+  boosting over a POSITIONAL index: the whole query / every
+  consecutive word pair / triple runs as a sloppy PhraseQuery per
+  boost field, each clause's score added to docs the main query
+  already matches (the main query is the MUST clause of the boosted
+  BooleanQuery, so phrase clauses never change the match set — see
+  ``pf_clause_list``). With boosts active the main query is scored
+  UNTRUNCATED before the combine, the same invariant as ``fq`` and
+  ``bf`` (a phrase-matching doc ranked below k pre-boost must be
+  able to rise into the page).
 
 **Plan shape** (the scale story): identical to ``bm25.search`` — one
 pruned scan of the query terms' posting blocks, one
@@ -267,6 +277,94 @@ def _dismax_weights(
     }
 
 
+def pf_clause_list(
+    words: list[str],
+    pf=None,
+    pf2=None,
+    pf3=None,
+    ps: int = 0,
+    ps2=None,
+    ps3=None,
+    cfg: IndexConfig | None = None,
+) -> list[tuple[str, str, float, int]]:
+    """The Solr edismax phrase-boost clause list: ``(phrase_text,
+    field, boost, slop)`` per SHOULD clause the boosted BooleanQuery
+    would carry (Solr ExtendedDismaxQParser.addShingledPhraseQueries):
+
+    * ``pf``  — the WHOLE word sequence as one phrase per pf field
+      (added only when ≥2 words — a 1-word phrase boosts nothing);
+    * ``pf2`` — every consecutive word PAIR per pf2 field (≥2 words);
+    * ``pf3`` — every consecutive word TRIPLE per pf3 field (≥3);
+    * slops: ``ps`` for pf; ``ps2``/``ps3`` default to ``ps`` when
+      unset, like Solr.
+
+    Boosts sum across clauses (each is an independent SHOULD clause);
+    the main query is MUST in that BooleanQuery, so phrase clauses are
+    purely score-additive — they can never admit a doc the main query
+    rejected. Both search paths enforce that with a left-outer
+    combine."""
+    ps2 = ps if ps2 is None else ps2
+    ps3 = ps if ps3 is None else ps3
+    out: list[tuple[str, str, float, int]] = []
+    for fmap, width, slop in (
+        (pf, 0, ps),
+        (pf2, 2, ps2),
+        (pf3, 3, ps3),
+    ):
+        if not fmap:
+            continue
+        m = parse_qf(fmap)
+        if cfg is not None:
+            for f in m:
+                if f not in cfg.fields:
+                    raise ValueError(
+                        f"pf field {f!r} not in config ({list(cfg.fields)})"
+                    )
+        if width == 0:  # whole-query phrase
+            if len(words) < 2:
+                continue
+            subs = [" ".join(words)]
+        else:
+            if len(words) < width:
+                continue
+            subs = [
+                " ".join(words[i : i + width])
+                for i in range(len(words) - width + 1)
+            ]
+        for f, b in m.items():
+            for s in subs:
+                out.append((s, f, float(b), int(slop)))
+    return out
+
+
+def _apply_pf_boosts(
+    base: DataFrame,
+    index: InvertedIndex,
+    clauses: list[tuple[str, str, float, int]],
+    cfg: IndexConfig,
+    exclude_ids,
+) -> DataFrame:
+    """LEFT-OUTER join each phrase-boost clause's scores onto the
+    (untruncated) main match set: ``score += Σ boost ×
+    phrase_score``. Docs matching only the phrase are dropped — the
+    main query is the MUST clause of Solr's boosted BooleanQuery."""
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+
+    out = base
+    for i, (text, f, b, slop) in enumerate(clauses):
+        pdf = phrase_search_positional(
+            index, text, k=index.n_docs, slop=slop, cfg=cfg,
+            exclude_ids=exclude_ids, field=f,
+        ).select(
+            "doc_id", (F.col("score") * F.lit(b)).alias(f"_pf{i}")
+        )
+        out = out.join(pdf, on="doc_id", how="left_outer").withColumn(
+            "score",
+            F.col("score") + F.coalesce(F.col(f"_pf{i}"), F.lit(0.0)),
+        ).drop(f"_pf{i}")
+    return out
+
+
 def search_dismax(
     index: InvertedIndex,
     query: str,
@@ -276,10 +374,20 @@ def search_dismax(
     mm=0,
     cfg: IndexConfig | None = None,
     exclude_ids=None,
+    pf=None,
+    pf2=None,
+    pf3=None,
+    ps: int = 0,
+    ps2=None,
+    ps3=None,
 ) -> DataFrame:
     """Execute an eDisMax query → top-k (doc_id, score). See the
     module docstring for semantics; ``qf`` is a Solr qf string
-    (``"title^2 body"``) or a {field: boost} dict."""
+    (``"title^2 body"``) or a {field: boost} dict. ``pf``/``pf2``/
+    ``pf3`` (same syntax as qf) add Solr phrase boosting over a
+    POSITIONAL index — whole-query / word-pair / word-triple phrase
+    scores, slop ``ps``/``ps2``/``ps3``, added to the main score for
+    docs the main query already matches (see ``pf_clause_list``)."""
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -287,14 +395,18 @@ def search_dismax(
     qwords = _analyze_qwords(query, qf_map, cfg)
     if not qwords:
         return empty
+    boost_clauses = pf_clause_list(
+        query.split(), pf, pf2, pf3, ps, ps2, ps3, cfg=cfg
+    )
     mm_count = parse_mm(mm, len(qwords))
-    all_terms = sorted({t for pf in qwords for ts in pf.values() for t in ts})
+    all_terms = sorted({t for pf_ in qwords for ts in pf_.values() for t in ts})
     weights = _dismax_weights(_idf_table(index, all_terms), qf_map, cfg)
     if not weights:
         return empty
     fn = _dismax_bucket_factory(
-        qwords, weights, _avgdl(index), cfg, k, float(tie), mm_count,
-        _norm_excl(exclude_ids),
+        qwords, weights, _avgdl(index), cfg,
+        k if not boost_clauses else index.n_docs,
+        float(tie), mm_count, _norm_excl(exclude_ids),
     )
     cand = index.postings.filter(
         F.col("term").isin(all_terms) & F.col("field").isin(list(qf_map))
@@ -302,6 +414,10 @@ def search_dismax(
     per_bucket = cand.groupBy("bucket").applyInPandas(
         fn, schema="doc_id long, score double"
     )
+    if boost_clauses:
+        per_bucket = _apply_pf_boosts(
+            per_bucket, index, boost_clauses, cfg, exclude_ids
+        )
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -314,6 +430,12 @@ def search_edismax(
     mm=0,
     cfg: IndexConfig | None = None,
     exclude_ids=None,
+    pf=None,
+    pf2=None,
+    pf3=None,
+    ps: int = 0,
+    ps2=None,
+    ps3=None,
 ) -> DataFrame:
     """Extended DisMax (Solr ``defType=edismax`` with query syntax):
     the user query is parsed with the Lucene grammar
@@ -368,6 +490,7 @@ def search_edismax(
     word_boosts: list[float] = []
     prohibited_terms: set[tuple[str, str]] = set()
     phrases: list[tuple[str, Phrase]] = []
+    pf_words: list[str] = []  # bare non-negative words, clause order
     for occur, node in clauses:
         if isinstance(node, Phrase):
             phrases.append((occur, node))
@@ -377,6 +500,11 @@ def search_edismax(
                 f"edismax supports term and phrase clauses only, got "
                 f"{type(node).__name__} — use search_lucene"
             )
+        if occur != MUST_NOT and not node.field:
+            # Solr's pf shingling runs over the user's query words
+            # minus operators, MUST_NOT clauses, and explicit-field
+            # clauses (ExtendedDismaxQParser getQueryStringFromParser)
+            pf_words.append(node.text)
         # explicit field: overrides qf (Solr); else dismax across qf
         fields = (
             {node.field: qf_map.get(node.field, 1.0)}
@@ -405,6 +533,9 @@ def search_edismax(
 
     if not qwords and not phrases:
         return empty
+    boost_clauses = pf_clause_list(
+        pf_words, pf, pf2, pf3, ps, ps2, ps3, cfg=cfg
+    )
     mm_count = parse_mm(mm, sum(1 for r in required if not r))
 
     bool_df = None
@@ -426,7 +557,9 @@ def search_edismax(
         if weights:
             fn = _dismax_bucket_factory(
                 qwords, weights, _avgdl(index), cfg,
-                k if not phrases and not prohibited_terms else index.n_docs,
+                k
+                if not phrases and not prohibited_terms and not boost_clauses
+                else index.n_docs,
                 float(tie), mm_count, _norm_excl(exclude_ids),
                 required=required, word_boosts=word_boosts,
             )
@@ -466,8 +599,8 @@ def search_edismax(
         total = cols[0]
         for c in cols[1:]:
             total = total + c
-        ps = (mx + F.lit(float(tie)) * (total - mx)) * F.lit(float(ph.boost))
-        pdf = merged.select("doc_id", ps.alias("_ps"))
+        pscore = (mx + F.lit(float(tie)) * (total - mx)) * F.lit(float(ph.boost))
+        pdf = merged.select("doc_id", pscore.alias("_ps"))
         if occur == MUST_NOT:
             if out is not None:
                 out = out.join(pdf.select("doc_id"), on="doc_id", how="left_anti")
@@ -525,4 +658,6 @@ def search_edismax(
             on="doc_id",
             how="left_anti",
         )
+    if boost_clauses:
+        out = _apply_pf_boosts(out, index, boost_clauses, cfg, exclude_ids)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -466,13 +466,16 @@ class LocalSearcher:
         ]
 
     def search_dismax(
-        self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0
+        self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0,
+        pf=None, pf2=None, pf3=None, ps: int = 0, ps2=None, ps3=None,
     ) -> list[tuple[int, float]]:
         """Serving-path eDisMax (Solr defType=edismax analog — see
         ``plans.dismax`` for semantics): per-word DisjunctionMax
         across the qf fields with tie breaker and mm gating, same
         bucket factory as the distributed ``dismax.search_dismax``,
-        results identical by construction."""
+        results identical by construction. ``pf``/``pf2``/``pf3``
+        (+ ``ps``/``ps2``/``ps3``) add Solr phrase boosting over a
+        positional index root (see ``dismax.pf_clause_list``)."""
         from golr_loader_spark.plans.bm25 import _norm_excl
         from golr_loader_spark.plans.dismax import (
             _analyze_qwords,
@@ -480,14 +483,18 @@ class LocalSearcher:
             _dismax_weights,
             parse_mm,
             parse_qf,
+            pf_clause_list,
         )
 
         qf_map = parse_qf(qf)
         qwords = _analyze_qwords(query, qf_map, self.cfg)
         if not qwords:
             return []
+        boost_clauses = pf_clause_list(
+            query.split(), pf, pf2, pf3, ps, ps2, ps3, cfg=self.cfg
+        )
         mm_count = parse_mm(mm, len(qwords))
-        all_terms = sorted({t for pf in qwords for ts in pf.values() for t in ts})
+        all_terms = sorted({t for pf_ in qwords for ts in pf_.values() for t in ts})
         idf = {
             (r["term"], r["field"]): bm25_idf(self.n_docs, int(r["df"]))
             for r in self._term_rows(all_terms)
@@ -496,8 +503,9 @@ class LocalSearcher:
         if not weights:
             return []
         score_group = _dismax_bucket_factory(
-            qwords, weights, self.avgdl, self.cfg, k, float(tie), mm_count,
-            _norm_excl(self.tombstones),
+            qwords, weights, self.avgdl, self.cfg,
+            k if not boost_clauses else self.n_docs,
+            float(tie), mm_count, _norm_excl(self.tombstones),
         )
         blocks = self._read_blocks(all_terms)
         if not len(blocks):
@@ -506,12 +514,29 @@ class LocalSearcher:
             score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
         ]
         allp = pd.concat(parts, ignore_index=True)
-        allp = allp.sort_values(
-            ["score", "doc_id"], ascending=[False, True], ignore_index=True
-        ).head(k)
-        return [
-            (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
-        ]
+        scores = {
+            int(r.doc_id): float(r.score) for r in allp.itertuples(index=False)
+        }
+        scores = self._apply_pf_boosts_local(scores, boost_clauses)
+        out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        return [(d, s) for d, s in out]
+
+    def _apply_pf_boosts_local(
+        self,
+        scores: dict[int, float],
+        boost_clauses: list[tuple[str, str, float, int]],
+    ) -> dict[int, float]:
+        """Serving twin of ``dismax._apply_pf_boosts``: add each
+        phrase clause's ``boost × phrase_score`` to docs ALREADY in
+        the main match set (left-outer semantics — phrase-only docs
+        are never admitted)."""
+        for text, f, b, slop in boost_clauses:
+            for d, s in self.search_phrase(
+                text, k=self.n_docs, slop=slop, field=f
+            ):
+                if d in scores:
+                    scores[d] += s * b
+        return scores
 
     def suggest(
         self,
@@ -646,18 +671,21 @@ class LocalSearcher:
         return [(int(d), v) for d, v in pairs[:rows]]
 
     def search_edismax(
-        self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0
+        self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0,
+        pf=None, pf2=None, pf3=None, ps: int = 0, ps2=None, ps3=None,
     ) -> list[tuple[int, float]]:
         """Serving-path extended DisMax (Solr defType=edismax with
         query syntax — see ``dismax.search_edismax``): term/phrase
         clauses with +/- occurs, explicit field: overrides, per-word
         clause boosts, dismax across qf with tie, mm over optional
-        words. Mirrors the distributed path clause for clause."""
+        words, pf/pf2/pf3 phrase boosting. Mirrors the distributed
+        path clause for clause."""
         from golr_loader_spark.plans.bm25 import _norm_excl
         from golr_loader_spark.plans.dismax import (
             _dismax_bucket_factory,
             parse_mm,
             parse_qf,
+            pf_clause_list,
         )
         from golr_loader_spark.plans.facets import _match_bucket_factory
         from golr_loader_spark.plans.lucene import Phrase, Term, parse_lucene
@@ -677,6 +705,7 @@ class LocalSearcher:
         word_boosts: list[float] = []
         prohibited: set[tuple[str, str]] = set()
         phrases: list[tuple[str, "Phrase"]] = []
+        pf_words: list[str] = []  # bare non-negative words, clause order
         for occur, node in clauses:
             if isinstance(node, Phrase):
                 phrases.append((occur, node))
@@ -686,6 +715,8 @@ class LocalSearcher:
                     f"edismax supports term and phrase clauses only, got "
                     f"{type(node).__name__} — use query()"
                 )
+            if occur != "MUST_NOT" and not node.field:
+                pf_words.append(node.text)
             fields = (
                 {node.field: qf_map.get(node.field, 1.0)}
                 if node.field
@@ -713,6 +744,9 @@ class LocalSearcher:
 
         if not qwords and not phrases:
             return []
+        boost_clauses = pf_clause_list(
+            pf_words, pf, pf2, pf3, ps, ps2, ps3, cfg=self.cfg
+        )
         mm_count = parse_mm(mm, sum(1 for r in required if not r))
 
         scores: dict[int, float] = {}
@@ -804,7 +838,7 @@ class LocalSearcher:
                     }
                 else:
                     scores = {
-                        d: scores.get(d, 0.0) + ps for d, ps in pres.items()
+                        d: scores.get(d, 0.0) + pv for d, pv in pres.items()
                     }
                 has_must = True
             else:
@@ -813,8 +847,8 @@ class LocalSearcher:
                         d: s + pres.get(d, 0.0) for d, s in scores.items()
                     }
                 else:
-                    for d, ps in pres.items():
-                        scores[d] = scores.get(d, 0.0) + ps
+                    for d, pv in pres.items():
+                        scores[d] = scores.get(d, 0.0) + pv
         if prohibited and scores:
             # always relational: the dismax factory never vets
             # MUST_NOT members (they carry no weights)
@@ -826,6 +860,7 @@ class LocalSearcher:
                 fn = _match_bucket_factory(tmap, None, self.tombstones)
                 neg = {int(d) for d in fn(blocks)["doc_id"].to_numpy()}
                 scores = {d: s for d, s in scores.items() if d not in neg}
+        scores = self._apply_pf_boosts_local(scores, boost_clauses)
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
 

@@ -214,11 +214,23 @@ class ShardedSearcher:
             "search_span_near", k, terms, window, k=k, field=field
         )
 
-    def search_dismax(self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0):
-        return self._scatter_topk("search_dismax", k, query, qf, k=k, tie=tie, mm=mm)
+    def search_dismax(
+        self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0,
+        pf=None, pf2=None, pf3=None, ps: int = 0, ps2=None, ps3=None,
+    ):
+        return self._scatter_topk(
+            "search_dismax", k, query, qf, k=k, tie=tie, mm=mm,
+            pf=pf, pf2=pf2, pf3=pf3, ps=ps, ps2=ps2, ps3=ps3,
+        )
 
-    def search_edismax(self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0):
-        return self._scatter_topk("search_edismax", k, query, qf, k=k, tie=tie, mm=mm)
+    def search_edismax(
+        self, query: str, qf, k: int = 10, tie: float = 0.0, mm=0,
+        pf=None, pf2=None, pf3=None, ps: int = 0, ps2=None, ps3=None,
+    ):
+        return self._scatter_topk(
+            "search_edismax", k, query, qf, k=k, tie=tie, mm=mm,
+            pf=pf, pf2=pf2, pf3=pf3, ps=ps, ps2=ps2, ps3=ps3,
+        )
 
     def search_boosted(
         self, query: str, boosts: dict, k: int = 10,

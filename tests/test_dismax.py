@@ -341,3 +341,187 @@ def test_fuzz_edismax_serving_parity(tmp_path, spark):
             assert got == want, (q, qf, tie, mm)
             checked += 1
     assert checked >= 18
+
+
+# ---------------------------------------------------------------- pf boosting
+
+
+@pytest.fixture(scope="module")
+def pcfg():
+    return IndexConfig(
+        fields={"text": ("simple", 1.0), "title": ("simple", 1.0)},
+        bucket_bits=2, id_space_bits=3, positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def pix(spark, pcfg):
+    return build_index(spark.createDataFrame(ROWS, SCHEMA).cache(), pcfg)
+
+
+def test_pf_clause_list():
+    from golr_loader_spark.plans.dismax import pf_clause_list
+
+    w = ["data", "query", "spark"]
+    assert pf_clause_list(w, pf="text^2") == [("data query spark", "text", 2.0, 0)]
+    assert pf_clause_list(["solo"], pf="text") == []  # 1 word: no pf
+    assert pf_clause_list(w, pf2="title") == [
+        ("data query", "title", 1.0, 0),
+        ("query spark", "title", 1.0, 0),
+    ]
+    assert pf_clause_list(w, pf3="text^3", ps=4) == [
+        ("data query spark", "text", 3.0, 4)
+    ]
+    assert pf_clause_list(["a", "b"], pf3="text") == []  # <3 words: no pf3
+    # ps2/ps3 default to ps; explicit values override
+    assert pf_clause_list(w, pf2="t", ps=2)[0][3] == 2
+    assert pf_clause_list(w, pf2="t", ps=2, ps2=5)[0][3] == 5
+    with pytest.raises(ValueError):
+        pf_clause_list(w, pf="nosuch", cfg=IndexConfig())
+
+
+def test_pf_boost_is_additive_composition(pix, pcfg):
+    """score(pf) − score(base) == pf_boost × phrase_score for every
+    doc in the base match set, and the match set is UNCHANGED (the
+    main query is the MUST clause of Solr's boosted BooleanQuery)."""
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+
+    q, qf, boost = "data query", "text title", 2.5
+    base = dict(rows(search_dismax(pix, q, qf, k=20, cfg=pcfg)))
+    boosted = dict(
+        rows(search_dismax(pix, q, qf, k=20, cfg=pcfg, pf={"text": boost}))
+    )
+    ph = dict(
+        rows(phrase_search_positional(pix, q, k=pix.n_docs, field="text", cfg=pcfg))
+    )
+    assert set(boosted) == set(base)  # no phrase-only admissions
+    for d in base:
+        assert boosted[d] == pytest.approx(
+            base[d] + boost * ph.get(d, 0.0), rel=1e-12
+        ), d
+
+
+def test_pf2_pf3_sum_over_subphrases(pix, pcfg):
+    """pf2/pf3 add one SHOULD clause per consecutive pair/triple —
+    deltas equal the Σ boost × subphrase score."""
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+
+    q, qf = "data query spark", "text"
+    base = dict(rows(search_dismax(pix, q, qf, k=20, cfg=pcfg)))
+    boosted = dict(
+        rows(
+            search_dismax(
+                pix, q, qf, k=20, cfg=pcfg, pf2="text^2", pf3="title", ps=1
+            )
+        )
+    )
+
+    def ph(text, field):
+        return dict(
+            rows(
+                phrase_search_positional(
+                    pix, text, k=pix.n_docs, field=field, slop=1, cfg=pcfg
+                )
+            )
+        )
+
+    p2a, p2b = ph("data query", "text"), ph("query spark", "text")
+    p3 = ph("data query spark", "title")
+    for d in base:
+        want = (
+            base[d]
+            + 2.0 * p2a.get(d, 0.0)
+            + 2.0 * p2b.get(d, 0.0)
+            + 1.0 * p3.get(d, 0.0)
+        )
+        assert boosted[d] == pytest.approx(want, rel=1e-12), d
+
+
+def test_pf_promotes_exact_phrase_doc(pix, pcfg):
+    """With a large pf boost the exact-phrase docs outrank every
+    scrambled-order doc; order within each group is by base rank."""
+    got = [
+        d
+        for d, _s in rows(
+            search_dismax(pix, "data query", "text", k=8, cfg=pcfg, pf="text^50")
+        )
+    ]
+    # docs 0,1,2,5 contain the exact phrase 'data query' in text
+    assert set(got[:4]) == {0, 1, 2, 5}
+
+
+def test_pf_ps_slop_admits_transposition(pix, pcfg):
+    """ps=2 admits the transposed phrase (Lucene sloppy semantics):
+    doc 1 ('query data spark') gains a boost for pf='data query' only
+    at ps>=2."""
+    tight = dict(
+        rows(search_dismax(pix, "data query", "text", k=20, cfg=pcfg, pf="text^10"))
+    )
+    sloppy = dict(
+        rows(
+            search_dismax(
+                pix, "data query", "text", k=20, cfg=pcfg, pf="text^10", ps=2
+            )
+        )
+    )
+    assert sloppy[1] > tight[1]
+    assert 4 not in sloppy  # a boost clause never admits new docs
+
+
+def test_edismax_pf_words_skip_negative_and_fielded(pix, pcfg):
+    """edismax pf shingles over bare non-negative words only: the
+    boost for 'data query -spark title:engine' equals the boost for
+    the plain 'data query' pf clause."""
+    from golr_loader_spark.plans.dismax import search_edismax
+    from golr_loader_spark.plans.phrase import phrase_search_positional
+
+    q = "data query -spark"
+    base = dict(rows(search_edismax(pix, q, "text", k=20, cfg=pcfg)))
+    boosted = dict(
+        rows(search_edismax(pix, q, "text", k=20, cfg=pcfg, pf="text^3"))
+    )
+    ph = dict(
+        rows(
+            phrase_search_positional(
+                pix, "data query", k=pix.n_docs, field="text", cfg=pcfg
+            )
+        )
+    )
+    assert set(boosted) == set(base)
+    for d in base:
+        assert boosted[d] == pytest.approx(
+            base[d] + 3.0 * ph.get(d, 0.0), rel=1e-12
+        ), d
+
+
+def test_pf_requires_positional_index(ix, cfg):
+    with pytest.raises(ValueError, match="positional"):
+        search_dismax(ix, "data query", "text", k=5, cfg=cfg, pf="text").collect()
+
+
+def test_pf_serving_and_sharded_parity(tmp_path, spark, pix, pcfg):
+    from golr_loader_spark.plans.build_index import write_index
+    from golr_loader_spark.plans.dismax import search_edismax
+    from golr_loader_spark.plans.serve import LocalSearcher
+    from golr_loader_spark.plans.shard import ShardedSearcher, shard_index
+
+    root = str(tmp_path / "pfx")
+    write_index(pix, root, term_partitions=2)
+    ls = LocalSearcher(root, pcfg)
+    sroots = shard_index(spark, root, str(tmp_path / "pfs"), 2, pcfg)
+    ss = ShardedSearcher(sroots, pcfg)
+    cases = [
+        dict(query="data query", qf="text title^2", pf="text^2"),
+        dict(query="data query spark", qf="text", pf="text", pf2="title^2", ps=1),
+        dict(query="data query spark", qf="text title", pf3="text^4", ps3=2),
+        dict(query="data query", qf="text", pf="text title^3", tie=0.3, mm=1),
+    ]
+    for c in cases:
+        want = rows(search_dismax(pix, k=20, cfg=pcfg, **c))
+        assert ls.search_dismax(k=20, **c) == want, ("local", c)
+        assert ss.search_dismax(k=20, **c) == want, ("sharded", c)
+    # edismax front door, both serving paths
+    e = dict(query='data query +spark', qf="text title", pf="text^2", ps=1)
+    want = rows(search_edismax(pix, k=20, cfg=pcfg, **e))
+    assert ls.search_edismax(k=20, **e) == want
+    assert ss.search_edismax(k=20, **e) == want
