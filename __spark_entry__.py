@@ -694,6 +694,43 @@ def _engine_fetchpage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis on the REAL engine index (Solr
+    MoreLikeThisComponent): docs most similar to document 3 — its
+    top-10 tf×idf interesting terms (min_tf=1, min_df=2) run as a
+    boost-weighted SHOULD query through the Lucene executor, seed
+    excluded, round-to-4-then-rank. SQL_Q55 is the DuckDB twin
+    (same selection, boosts, and ordered contribution sum)."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.mlt import more_like_this_doc
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    top = (
+        more_like_this_doc(
+            # k = full corpus: the oracle ranks the COMPLETE rounded
+            # match set, so no pre-round truncation may occur here.
+            ix, d, 3, text_col="text", field="text", k=int(d.count()),
+            max_query_terms=10, min_tf=1, min_df=2, cfg=cfg,
+        )
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -722,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_cursor"] = _engine_cursor
     out["engine_pivot"] = _engine_pivot
     out["engine_fetchpage"] = _engine_fetchpage
+    out["engine_mlt"] = _engine_mlt
     return out
 
 
@@ -749,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q52,
         SQL_Q53,
         SQL_Q54,
+        SQL_Q55,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -778,4 +817,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_cursor"] = SQL_Q52
     out["engine_pivot"] = SQL_Q53
     out["engine_fetchpage"] = SQL_Q54
+    out["engine_mlt"] = SQL_Q55
     return out

@@ -1599,6 +1599,62 @@ FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 50""",
 )
 
 
+# MoreLikeThis oracle (engine twin: plans/mlt.more_like_this_doc —
+# engine_mlt in __spark_entry__.py). Lucene MLT in two stages, both
+# replayed in SQL: (1) interesting-term selection over the seed doc
+# (doc_id=3): terms passing min_tf=1 / min_df=2 ranked by
+# tf_seed×idf (idf = the engine's BM25 idf), top-10 by
+# (score desc, term asc), each kept term boosted by score/best;
+# (2) execution: the boosted SHOULD query scored BM25 over the whole
+# corpus — contrib = boost × idf × (k1+1)tf / (tf + k1(1-b+b·dl/avgdl))
+# summed in sorted-term order — seed doc excluded, round 4, rank.
+SQL_Q55 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+idf AS (
+  SELECT term, df,
+         ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - df + 0.5)
+                  / (df + 0.5)) AS idf
+  FROM dfreq),
+seed AS (
+  SELECT t.term, i.idf, CAST(t.tf AS DOUBLE) * i.idf AS sel_score
+  FROM toks t JOIN idf i USING (term)
+  WHERE t.doc_id = 3 AND t.tf >= 1 AND i.df >= 2),
+picked AS (
+  SELECT term, idf, sel_score,
+         row_number() OVER (ORDER BY sel_score DESC, term ASC) AS sel_rank
+  FROM seed),
+boosted AS (
+  SELECT term, idf,
+         sel_score / (SELECT max(sel_score) FROM picked WHERE sel_rank <= 10)
+           AS boost
+  FROM picked WHERE sel_rank <= 10),
+contribs AS (
+  SELECT t.doc_id, t.term,
+         b.boost * b.idf * 2.2 * t.tf
+           / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+           AS contrib
+  FROM toks t JOIN boosted b USING (term) JOIN dl USING (doc_id)
+  WHERE t.doc_id <> 3),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 # Boost/function-query oracle (engine twin: bm25.search_boosted —
 # engine_boost in __spark_entry__.py). Solr edismax bf= additive
 # boost: BM25('data query spark') + ln(1 + n_chars) per doc, rounded

@@ -864,6 +864,64 @@ class LocalSearcher:
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
 
+    def more_like_this(
+        self,
+        doc_id: int | None = None,
+        text: str | None = None,
+        field: str | None = None,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_tf: int = 2,
+        min_df: int = 5,
+        max_df: int | None = None,
+        min_word_len: int = 0,
+        max_word_len: int = 0,
+        boost: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Serving-path MoreLikeThis (Solr MoreLikeThisComponent —
+        twin of ``plans.mlt.more_like_this``): seed text from
+        ``text`` or fetched from the stored table by ``doc_id``,
+        interesting-term selection per ``mlt.select_interesting_terms``,
+        execution through the vetted ``query()`` executor, the seed
+        doc dropped from the page."""
+        from golr_loader_spark.plans.mlt import (
+            mlt_query_string,
+            seed_term_freqs,
+            select_interesting_terms,
+        )
+
+        field = field or next(iter(self.cfg.fields))
+        if field not in self.cfg.fields:
+            raise ValueError(
+                f"field {field!r} not in config ({list(self.cfg.fields)})"
+            )
+        if text is None:
+            if doc_id is None:
+                raise ValueError("pass doc_id or text")
+            stored = self.fetch([int(doc_id)], [field])
+            if int(doc_id) not in stored:
+                raise ValueError(f"doc_id {doc_id} not found in stored")
+            text = stored[int(doc_id)].get(field) or ""
+        tf_map = seed_term_freqs(
+            text, self.cfg.fields[field][0], self.cfg.min_term_len
+        )
+        df_map: dict[str, int] = {}
+        for r in self._term_rows(sorted(tf_map)):
+            if r["field"] == field:
+                df_map[r["term"]] = df_map.get(r["term"], 0) + int(r["df"])
+        selected = select_interesting_terms(
+            tf_map, df_map, self.n_docs, max_query_terms, min_tf, min_df,
+            max_df, min_word_len, max_word_len, boost,
+        )
+        qs = mlt_query_string(selected, field)
+        if qs is None:
+            return []
+        fetch = k if doc_id is None else k + 1
+        hits = self.query(qs, k=fetch)
+        if doc_id is not None:
+            hits = [(d, s) for d, s in hits if d != int(doc_id)][:k]
+        return hits
+
     def search_sorted(
         self,
         query: str,

@@ -241,6 +241,54 @@ class ShardedSearcher:
             missing=missing,
         )
 
+    def more_like_this(
+        self,
+        doc_id: int | None = None,
+        text: str | None = None,
+        field: str | None = None,
+        k: int = 10,
+        **selection,
+    ):
+        """Sharded MoreLikeThis: the seed text is fetched from its
+        OWNER shard, interesting-term selection runs once against the
+        global term stats (every shard carries the whole-corpus
+        copy — see ``shard_index``), and the resulting weighted query
+        scatter-gathers like any other ranked query."""
+        from golr_loader_spark.plans.mlt import (
+            mlt_query_string,
+            seed_term_freqs,
+            select_interesting_terms,
+        )
+
+        s0 = self.shards[0]
+        cfg = s0.cfg
+        field = field or next(iter(cfg.fields))
+        if field not in cfg.fields:
+            raise ValueError(f"field {field!r} not in config ({list(cfg.fields)})")
+        if text is None:
+            if doc_id is None:
+                raise ValueError("pass doc_id or text")
+            stored = self.fetch([int(doc_id)], [field])
+            if int(doc_id) not in stored:
+                raise ValueError(f"doc_id {doc_id} not found in stored")
+            text = stored[int(doc_id)].get(field) or ""
+        tf_map = seed_term_freqs(text, cfg.fields[field][0], cfg.min_term_len)
+        df_map: dict[str, int] = {}
+        for r in s0._term_rows(sorted(tf_map)):
+            if r["field"] == field:
+                df_map[r["term"]] = df_map.get(r["term"], 0) + int(r["df"])
+        selected = select_interesting_terms(
+            tf_map, df_map, s0.n_docs, **selection
+        )
+        qs = mlt_query_string(selected, field)
+        if qs is None:
+            return []
+        fetch = k if doc_id is None else k + 1
+        hits = self.query(qs, k=fetch)
+        if doc_id is not None:
+            hits = [(d, s) for d, s in hits if d != int(doc_id)][:k]
+        return hits
+
     def query(
         self, querystring: str, k: int = 10, max_expansions: int = 1024,
         fq: str | None = None,
