@@ -694,13 +694,15 @@ def _engine_fetchpage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _engine_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MoreLikeThis on the REAL engine index (Solr
-    MoreLikeThisComponent): docs most similar to document 3 — its
-    top-10 tf×idf interesting terms (min_tf=1, min_df=2) run as a
-    boost-weighted SHOULD query through the Lucene executor, seed
-    excluded, round-to-4-then-rank. SQL_Q55 is the DuckDB twin
-    (same selection, boosts, and ordered contribution sum)."""
+def _engine_mlt_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted two-stage MoreLikeThis on the REAL engine index (Solr
+    MoreLikeThisComponent with mlt.boost=true — distinct from
+    ``engine_mlt``'s unboosted disjunctive variant): docs most
+    similar to document 3 — its top-10 tf×idf interesting terms
+    (min_tf=1, min_df=2) run as a boost-weighted SHOULD query through
+    the Lucene executor, seed excluded, round-to-4-then-rank.
+    SQL_Q55 is the DuckDB twin (same selection, boosts, and ordered
+    contribution sum)."""
     from golr_loader_spark.config import IndexConfig
     from golr_loader_spark.plans.build_index import build_index
     from golr_loader_spark.plans.mlt import more_like_this_doc
@@ -759,7 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_cursor"] = _engine_cursor
     out["engine_pivot"] = _engine_pivot
     out["engine_fetchpage"] = _engine_fetchpage
-    out["engine_mlt"] = _engine_mlt
+    out["engine_mlt_boosted"] = _engine_mlt_boosted
     return out
 
 
@@ -817,5 +819,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_cursor"] = SQL_Q52
     out["engine_pivot"] = SQL_Q53
     out["engine_fetchpage"] = SQL_Q54
-    out["engine_mlt"] = SQL_Q55
+    out["engine_mlt_boosted"] = SQL_Q55
     return out
