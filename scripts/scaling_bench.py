@@ -37,6 +37,13 @@ LEVELS = tuple(
 # per-core heap is the faithful emulation of the north rule's
 # N-vs-4N-executor comparison.
 GB_PER_CORE = int(os.environ.get("SPARK_GRAFT_GB_PER_CORE", "6"))
+# Per-task input cap (docs/partition): emulates a real scan's
+# files.maxPartitionBytes so growing the corpus raises the WAVE count,
+# not per-task memory. 60k docs/partition is the per-task size every
+# prior green run used (240k docs / 4 partitions at local[1]).
+DOCS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_DOCS_PER_PARTITION", "60000")
+)
 
 _WORKER = textwrap.dedent(
     """
@@ -61,18 +68,24 @@ _WORKER = textwrap.dedent(
     # 240k docs. Multi-wave is also the standard cluster sizing (2-4
     # tasks/core) and keeps per-task sorts in memory at the small
     # per-core heap (a single-partition local[1] shuffle spilled).
+    # partition count: at least 4 waves per core, AND capped per-task
+    # input (~{dpp} docs/partition — the size the 6 GB/core heap is
+    # proven against). A real Iceberg scan splits by
+    # files.maxPartitionBytes, so per-task input stays CONSTANT as the
+    # corpus grows and the wave count rises; pinning partitions to
+    # cores*4 alone would quadruple per-task sort memory at 4x docs
+    # and measure spill, not scaling. Same layout at both levels.
+    parts = max(cores * 4, -(-n_docs // {dpp}))
     spark = get_spark(
-        cores=cores, shuffle_partitions=cores * 4, app_name="scale",
+        cores=cores, shuffle_partitions=parts, app_name="scale",
         driver_mem=f"{{cores * {gb_per_core}}}g",
         extra_conf={{
             "spark.driver.extraJavaOptions":
                 f"-XX:ParallelGCThreads={{cores}} -XX:ConcGCThreads={{max(1, cores // 4)}}"
         }},
     )
-    # partition count scales with parallelism (on a real cluster the
-    # Iceberg scan would already split this way); same data either way
     docs = flatten_documents(
-        synth_corpus(spark, n_docs, seed=42, partitions=cores * 4)
+        synth_corpus(spark, n_docs, seed=42, partitions=parts)
     ).persist()
     n_materialized = docs.count()  # corpus materialized outside the timed window
     # warm-up: a tiny build compiles the whole-stage codegen, spins up
@@ -113,7 +126,10 @@ _WORKER = textwrap.dedent(
 
 
 def run_once(cores: int) -> dict:
-    code = _WORKER.format(cores=cores, n_docs=N_DOCS, gb_per_core=GB_PER_CORE)
+    code = _WORKER.format(
+        cores=cores, n_docs=N_DOCS, gb_per_core=GB_PER_CORE,
+        dpp=DOCS_PER_PARTITION,
+    )
     env = dict(os.environ, PYTHONPATH="/root/repo")
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env
