@@ -300,3 +300,159 @@ def decontaminate(
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Every k-token window of every doc WITH its position →
+    (id, pos, whash). The positional sibling of ``word_shingles``
+    (which distincts and drops positions): exact-substring dedup
+    needs every occurrence and where it starts. ``pos`` is the
+    0-based token offset of the window start; ``whash`` is
+    ``hash64`` of the space-joined window — the md5-prefix discipline
+    of this module, so a SQL oracle computes identical values.
+
+    Scale note: the window strings exist only transiently inside one
+    whole-stage-codegen projection (posexplode → hash64 pipelines
+    row-at-a-time); what shuffles is (id, pos, 8-byte hash) — k×
+    smaller than the text. Per-row transient memory is
+    O(doc_len × k) chars while the shingle array of ONE document is
+    built; for extreme doc lengths cap upstream or split docs into
+    overlapping chunks of ~10^5 tokens (windows never span real doc
+    boundaries if chunks overlap by k-1)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    ).select("id", "pos", hash64(F.col("gram")).alias("whash"))
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the EXACTSUBSTR dedup of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": any k-token substring that appears more than once in the
+    corpus is a duplicate; the canonical occurrence survives) →
+    (doc_id, span_start, span_end, span_tokens) — merged, maximal,
+    non-overlapping duplicated token ranges per doc ([start, end)).
+
+    Stages, all shuffle-on-key DataFrame ops (the reference paper
+    builds a monolithic suffix array — one global sort this engine
+    replaces with a hash groupBy, the shuffle-friendly equivalent for
+    fixed k):
+      1. ``positional_shingles``: every k-window occurrence, hashed;
+      2. duplicate detection: groupBy(whash) keeping n ≥ 2 groups and
+         the FIRST occurrence min(struct(id, pos)) — ``keep_first``
+         drops that canonical occurrence from the duplicate set (set
+         False to mark ALL occurrences, the "remove every copy"
+         policy some pipelines use);
+      3. span merge: per (doc), overlapping/adjacent [pos, pos+k)
+         windows coalesce into maximal spans — a per-doc window
+         cumulative-max chain (partitioned by doc, never global).
+
+    A hot k-gram (boilerplate license header) makes one big groupBy
+    group — bounded by its occurrence count, and the groupBy carries
+    only (hash, id, pos) triples; no unblocked self-join anywhere.
+    """
+    occ = positional_shingles(df, id_col, text_col, k)
+    # one row per DUPLICATED hash (count + canonical first occurrence
+    # — an agg, never a per-group array: a boilerplate k-gram with
+    # 10^8 occurrences stays one fixed-width row), then an equi-join
+    # back to the occurrence stream on the hash
+    dup_hashes = (
+        occ.groupBy("whash")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("id", "pos")).alias("first_occ"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select("whash", "first_occ")
+    )
+    dup = occ.join(dup_hashes, "whash")
+    if keep_first:
+        dup = dup.filter(
+            (F.col("id") != F.col("first_occ.id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+    # no distinct needed: each (id, pos) emits exactly one window
+    dup = dup.select("id", "pos")
+
+    # interval union per doc: a window start opens a NEW span when it
+    # begins after the running max end of all earlier windows
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        dup.withColumn("end", F.col("pos") + F.lit(k))
+        .withColumn(
+            "prev_max_end",
+            F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "new_span",
+            (F.col("prev_max_end").isNull()
+             | (F.col("pos") > F.col("prev_max_end"))).cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy("id", "span_id")
+        .agg(F.min("pos").alias("span_start"), F.max("end").alias("span_end"))
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+    return spans
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Apply ``exact_substring_spans``: cut every duplicated span out
+    of each doc (keep-first policy) → the input columns with
+    ``text_col`` rewritten plus (total_tokens, dup_tokens). Docs with
+    no duplicated span pass through untouched (left join). The cut
+    runs as one per-doc projection: filter the token array by
+    position against the doc's merged span list (array_contains-free
+    — a ``filter`` lambda over an ``exists`` check on the span
+    array), then re-join with single spaces."""
+    spans = exact_substring_spans(df, id_col, text_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    out = (
+        df.join(per_doc, id_col, "left")
+        .withColumn("total_tokens", F.size(toks))
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)))
+        .withColumn(
+            text_col,
+            F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+                F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+            ),
+        )
+        .drop("_spans")
+    )
+    return out

@@ -1814,6 +1814,50 @@ FROM cum
 
 
 
+def q37_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2021 EXACTSUBSTR
+    dedup): every 10-token window occurring >= 2x in the corpus marks
+    its non-canonical occurrences; per-doc overlapping windows merge
+    into maximal spans. Keep-first policy; hash groupBy replaces the
+    paper's global suffix array (SURVEY.md training-data ops)."""
+    from golr_loader_spark.operators.dedup import exact_substring_spans
+
+    d = load(spark, sf, "documents")
+    return exact_substring_spans(d, "doc_id", "text", k=10)
+
+
+SQL_Q37B = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(CONCAT('0x', SUBSTR(md5(array_to_string(ts[i:i+9], ' ')),1,15))
+           AS BIGINT) AS whash
+  FROM toks, unnest(generate_series(1, len(ts) - 9)) AS g(i)),
+duph AS (
+  SELECT whash, min(struct_pack(id := doc_id, pos := pos)) AS fo
+  FROM win GROUP BY whash HAVING count(*) >= 2),
+dup AS (
+  SELECT doc_id, pos FROM win JOIN duph USING (whash)
+  WHERE NOT (doc_id = fo.id AND pos = fo.pos)),
+marked AS (
+  SELECT doc_id, pos, pos + 10 AS e,
+         max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM dup),
+grp AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM marked)
+SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+       max(e) - min(pos) AS span_tokens
+FROM grp GROUP BY doc_id, span_id
+"""
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),
@@ -1850,4 +1894,5 @@ QUERIES: dict[str, tuple] = {
     "q34_repetition_score": (q34_repetition_score, SQL_Q34),
     "q35_json_props_stats": (q35_json_props_stats, SQL_Q35),
     "q36_pack_sequences": (q36_pack_sequences, SQL_Q36B),
+    "q37_exact_substring": (q37_exact_substring, SQL_Q37B),
 }

@@ -106,6 +106,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via MULTI-TABLE random-hyperplane LSH:
     ``n_tables`` independent signatures of ``n_planes`` bits each; a
@@ -121,8 +122,11 @@ def lsh_cosine_topk(
     neighbor tightness (clustered near-dups → more planes, diffuse
     corpora → fewer) and n_tables from the target recall — the
     recall@10 ≥ 0.9 pytest gate pins (3, 16) for the diffuse test
-    embeddings."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    embeddings.
+
+    ``dim``: pass the known embedding width to skip the one-row
+    bootstrap action (one tiny driver job otherwise)."""
+    dim = dim or len(embeddings.select(vec_col).first()[0])
     b = embeddings
     bucket_cols = []
     for t in range(n_tables):
@@ -421,10 +425,13 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-
-    blocked (bucket self-join) → (id_a, id_b, cos_sim)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    blocked (bucket self-join) → (id_a, id_b, cos_sim). ``dim``:
+    pass the known embedding width to skip the one-row bootstrap
+    action."""
+    dim = dim or len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     b = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     l, r = b.alias("l"), b.alias("r")
