@@ -733,6 +733,46 @@ def _engine_mlt_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analysis-chain engine gate (Solr schema.xml filter stack —
+    StopFilter + EnglishMinimalStem-style plural stemmer + index-time
+    SynonymFilter; functions/analysis.py): the ACTUAL engine path
+    (tokenize with the chain → compressed block-max index → BM25
+    top-k) over documents.text with stopwords ('the','a'), the
+    minimal-english stemmer, and synonym groups big≡large /
+    fast≡quick. The query 'queries large the fast' analyzes to
+    {query, large, fast} — exercising query-side stemming, stopword
+    dropping, and index-side synonym injection ('large' never occurs
+    in the corpus; it matches only via injection). SQL_Q56 replays
+    the entire chain plus the SQL_Q24 BM25 discipline in DuckDB."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import search
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+        stopwords=("the", "a"),
+        stem="minimal_english",
+        synonyms=(("big", "large"), ("fast", "quick")),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        search(ix, "queries large the fast", k=200, cfg=cfg, mode="or")
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -762,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_pivot"] = _engine_pivot
     out["engine_fetchpage"] = _engine_fetchpage
     out["engine_mlt_boosted"] = _engine_mlt_boosted
+    out["engine_chain"] = _engine_chain
     return out
 
 
@@ -790,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q53,
         SQL_Q54,
         SQL_Q55,
+        SQL_Q56,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -820,4 +862,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_pivot"] = SQL_Q53
     out["engine_fetchpage"] = SQL_Q54
     out["engine_mlt_boosted"] = SQL_Q55
+    out["engine_chain"] = SQL_Q56
     return out

@@ -16,6 +16,8 @@ from dataclasses import dataclass, field
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+_UNSET = object()  # chain-cache sentinel (None is a valid cached value)
+
 
 @dataclass(frozen=True)
 class IndexConfig:
@@ -60,10 +62,39 @@ class IndexConfig:
     # Costs ~1 varint per token occurrence of index size; off by
     # default, like choosing DOCS_AND_FREQS in Lucene.
     positions: bool = False
+    # Analysis chain (Solr schema.xml filter stack; see
+    # functions/analysis.py for exact semantics + the SQL twin):
+    #   stopwords — dropped with position gaps preserved
+    #     (StopFilterFactory, enablePositionIncrements=true);
+    #   stem — None or "minimal_english" (EnglishMinimalStemFilter-
+    #     style plural stemmer, restateable in ANSI SQL);
+    #   synonyms — single-token groups expanded at INDEX time at the
+    #     same position (SynonymFilter, posinc=0); injected tokens do
+    #     not count toward dl (Lucene discountOverlaps).
+    # One chain per index, applied to every configured field.
+    stopwords: tuple = ()
+    stem: str | None = None
+    synonyms: tuple = ()
 
     @property
     def n_buckets(self) -> int:
         return 1 << self.bucket_bits
+
+    @property
+    def chain(self):
+        """AnalysisChain for this config, or None when stopwords/
+        stem/synonyms are all unset (the default — zero overhead,
+        plans unchanged). Cached per instance (frozen dataclass, so
+        the inputs can't change under the cache)."""
+        got = self.__dict__.get("_chain_cache", _UNSET)
+        if got is _UNSET:
+            from golr_loader_spark.functions.analysis import build_chain
+
+            got = build_chain(
+                self.stopwords, self.stem, self.synonyms, self.min_term_len
+            )
+            object.__setattr__(self, "_chain_cache", got)
+        return got
 
     def to_dict(self) -> dict:
         return {
@@ -78,19 +109,26 @@ class IndexConfig:
             "min_term_len": self.min_term_len,
             "id_space_bits": self.id_space_bits,
             "positions": self.positions,
+            "stopwords": list(self.stopwords),
+            "stem": self.stem,
+            "synonyms": [list(g) for g in self.synonyms],
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "IndexConfig":
         kwargs = {k: d[k] for k in (
             "k1", "b", "block_size", "bucket_bits", "min_term_len",
-            "id_space_bits", "positions",
+            "id_space_bits", "positions", "stem",
         ) if k in d}
         if "fields" in d:
             kwargs["fields"] = {
                 name: (spec["analyzer"], float(spec.get("boost", 1.0)))
                 for name, spec in d["fields"].items()
             }
+        if "stopwords" in d:
+            kwargs["stopwords"] = tuple(d["stopwords"])
+        if "synonyms" in d:
+            kwargs["synonyms"] = tuple(tuple(g) for g in d["synonyms"])
         return cls(**kwargs)
 
 

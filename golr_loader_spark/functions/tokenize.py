@@ -59,7 +59,104 @@ def _empty_tokens(positional: bool) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
-def _code_tokens(texts: pd.Series, positional: bool = False) -> pd.DataFrame:
+def _chain_flat(chain, term_vocab, out_pos, tkey, tokpos):
+    """Apply an analysis chain (functions/analysis.py) to the flat
+    per-occurrence arrays both analyzers reduce to: ``term_vocab``
+    (distinct term strings), ``tkey`` (per-instance vocab code),
+    ``out_pos`` (per-instance doc index), ``tokpos`` (per-instance
+    token position, positional only). All chain work is vectorized at
+    the VOCAB level (thousands of entries), then mapped back to the
+    instance arrays (millions) with pure integer indexing.
+
+    Steps: length+stopword filter (pre-stem form) → stem + recode
+    (stem collisions merge into one term code, so position lists of
+    "test" and "tests" coalesce) → index-time synonym injection at
+    the same token position. Returns (term_vocab, out_pos, tkey,
+    tokpos, syn_active); syn_active tells the aggregator to dedupe
+    pathological (doc, term, pos) collisions (module docstring of
+    functions/analysis.py)."""
+    vkeep, vstr = chain.map_vocab(term_vocab)
+    keep = vkeep[tkey]
+    if not keep.all():
+        out_pos, tkey = out_pos[keep], tkey[keep]
+        if tokpos is not None:
+            tokpos = tokpos[keep]
+    codes2, uniq2 = pd.factorize(pd.Series(vstr, dtype=object), sort=False)
+    term_vocab = np.asarray(uniq2, dtype=object)
+    tkey = codes2[tkey]
+    syn_active = False
+    exp = chain.expansion(term_vocab) if chain.synonyms else None
+    if exp is not None:
+        term_vocab, exp_counts, exp_flat = exp
+        inst_counts = exp_counts[tkey]
+        total_extra = int(inst_counts.sum())
+        if total_extra:
+            syn_active = True
+            exp_offs = np.cumsum(exp_counts) - exp_counts
+            starts_e = np.repeat(exp_offs[tkey], inst_counts)
+            within_e = np.arange(total_extra) - np.repeat(
+                np.cumsum(inst_counts) - inst_counts, inst_counts
+            )
+            extra_tkey = exp_flat[starts_e + within_e]
+            extra_pos = np.repeat(out_pos, inst_counts)
+            if tokpos is not None:
+                tokpos = np.concatenate(
+                    [tokpos, np.repeat(tokpos, inst_counts)]
+                )
+            out_pos = np.concatenate([out_pos, extra_pos])
+            tkey = np.concatenate([tkey, extra_tkey])
+    return term_vocab, out_pos, tkey, tokpos, syn_active
+
+
+def _agg_flat(
+    term_vocab, out_pos, tkey, tokpos, dl_minlen, positional, dedupe=False
+):
+    """(instance arrays) → the analyzer output DataFrame: tf/dl
+    aggregation on integer keys (doc × vocab code), no string
+    groupby. dl = per-doc instance count (Σ tf over the doc's rows —
+    the invariant downstream corpus stats rely on; synonym-injected
+    instances count, see functions/analysis.py)."""
+    L = max(len(term_vocab), 1)
+    combined = out_pos * L + tkey
+    if not positional:
+        uniq_keys, tf = np.unique(combined, return_counts=True)
+        gstart = cpos = None
+    else:
+        order = np.lexsort((tokpos, combined))
+        combined, cpos = combined[order], tokpos[order]
+        if dedupe and len(combined):
+            dup = np.zeros(len(combined), dtype=bool)
+            dup[1:] = (combined[1:] == combined[:-1]) & (
+                cpos[1:] == cpos[:-1]
+            )
+            if dup.any():
+                combined, cpos = combined[~dup], cpos[~dup]
+        uniq_keys, gstart, tf = np.unique(
+            combined, return_index=True, return_counts=True
+        )
+    agg_pos = uniq_keys // L
+    agg_term = (
+        term_vocab[uniq_keys % L]
+        if len(term_vocab)
+        else np.array([], dtype=object)
+    )
+    dl = np.bincount(out_pos, minlength=dl_minlen)
+    out = pd.DataFrame(
+        {
+            "pos": agg_pos,
+            "term": agg_term,
+            "tf": tf.astype(np.int32),
+            "dl": dl[agg_pos].astype(np.int32),
+        }
+    )
+    if positional:
+        out["positions"] = _encode_pos_lists(cpos, gstart)
+    return out
+
+
+def _code_tokens(
+    texts: pd.Series, positional: bool = False, chain=None
+) -> pd.DataFrame:
     """Vectorized: Series[str] indexed by doc position → DataFrame
     (doc index, term) with one row per token occurrence.
 
@@ -121,13 +218,8 @@ def _code_tokens(texts: pd.Series, positional: bool = False) -> pd.DataFrame:
     term_codes_flat, term_vocab = pd.factorize(flat_uniq_terms, sort=False)
     tkey = term_codes_flat[starts + within]
 
-    # tf/dl aggregation on integer keys (pos, tkey) — no string groupby
-    L = len(term_vocab)
-    combined = out_pos * L + tkey
-    if not positional:
-        uniq_keys, tf = np.unique(combined, return_counts=True)
-        gstart = cpos = None
-    else:
+    tokpos = None
+    if positional:
         # token position per emitted instance: subwords advance the
         # counter by 1, the compound overlays its first subword's slot
         occ_nsubs = nsubs[codes]
@@ -138,33 +230,25 @@ def _code_tokens(texts: pd.Series, positional: bool = False) -> pd.DataFrame:
         flat_nsubs = np.repeat(occ_nsubs, counts)
         flat_start = np.repeat(occ_start, counts)
         tokpos = flat_start + np.where(within < flat_nsubs, within, 0)
-        order = np.lexsort((tokpos, combined))
-        combined, cpos = combined[order], tokpos[order]
-        uniq_keys, gstart, tf = np.unique(
-            combined, return_index=True, return_counts=True
+    dl_minlen = int(positions.max()) + 1 if len(positions) else 0
+    dedupe = False
+    if chain is not None:
+        term_vocab, out_pos, tkey, tokpos, dedupe = _chain_flat(
+            chain, term_vocab, out_pos, tkey, tokpos
         )
-    agg_pos = uniq_keys // L
-    agg_term = term_vocab[uniq_keys % L]
-    dl = np.bincount(out_pos, minlength=int(positions.max()) + 1 if len(positions) else 0)
-    out = pd.DataFrame(
-        {
-            "pos": agg_pos,
-            "term": agg_term,
-            "tf": tf.astype(np.int32),
-            "dl": dl[agg_pos].astype(np.int32),
-        }
+    return _agg_flat(
+        term_vocab, out_pos, tkey, tokpos, dl_minlen, positional, dedupe
     )
-    if positional:
-        out["positions"] = _encode_pos_lists(cpos, gstart)
-    return out
 
 
-def _simple_tokens(texts: pd.Series, positional: bool = False) -> pd.DataFrame:
+def _simple_tokens(
+    texts: pd.Series, positional: bool = False, chain=None
+) -> pd.DataFrame:
     # literal single-space split (keeps empty tokens), exactly
     # string_split(lower(text), ' ') — the analyzer must be
     # bit-identical to its ANSI-SQL twin, not merely close
     t = texts.str.lower().str.split(" ").explode().dropna()
-    if not positional:
+    if not positional and chain is None:
         tok = pd.DataFrame({"pos": t.index, "term": t.values})
         tf = tok.groupby(["pos", "term"], sort=False).size().reset_index(name="tf")
         tf["dl"] = tf.groupby("pos", sort=False)["tf"].transform("sum").to_numpy(np.int32)
@@ -173,36 +257,43 @@ def _simple_tokens(texts: pd.Series, positional: bool = False) -> pd.DataFrame:
     # positional: token position = index in the split array, so
     # "consecutive positions" ⇔ "consecutive tokens of the split" ⇔
     # the ' t1 t2 ' substring test — the positional phrase path on
-    # this analyzer shares the non-positional path's ANSI-SQL twin
+    # this analyzer shares the non-positional path's ANSI-SQL twin.
+    # (A chain also routes the non-positional flow here: the flat
+    # integer-key aggregation is where _chain_flat plugs in; stopword
+    # drops keep position gaps because tokpos is assigned BEFORE the
+    # filter runs.)
     doc = t.index.to_numpy(np.int64)
     if len(doc) == 0:
         return _empty_tokens(positional)
     toks = t.to_numpy()
-    change = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1) != 0)
-    run_len = np.diff(np.append(change, len(doc)))
-    tokpos = np.arange(len(doc), dtype=np.int64) - np.repeat(change, run_len)
+    tokpos = None
+    if positional:
+        change = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1) != 0)
+        run_len = np.diff(np.append(change, len(doc)))
+        tokpos = np.arange(len(doc), dtype=np.int64) - np.repeat(change, run_len)
     codes, vocab = pd.factorize(toks, sort=False)
-    L = len(vocab)
-    combined = doc * L + codes
-    order = np.lexsort((tokpos, combined))
-    ckey, cpos = combined[order], tokpos[order]
-    uniq, gstart, tf = np.unique(ckey, return_index=True, return_counts=True)
-    agg_pos = uniq // L
-    out = pd.DataFrame(
-        {"pos": agg_pos, "term": vocab[uniq % L], "tf": tf.astype(np.int32)}
-    )
-    out["dl"] = out.groupby("pos", sort=False)["tf"].transform("sum").to_numpy(np.int32)
-    out["positions"] = _encode_pos_lists(cpos, gstart)
-    return out
+    term_vocab = np.asarray(vocab, dtype=object)
+    dl_minlen = int(doc.max()) + 1
+    dedupe = False
+    if chain is not None:
+        term_vocab, doc, codes, tokpos, dedupe = _chain_flat(
+            chain, term_vocab, doc, codes, tokpos
+        )
+    return _agg_flat(term_vocab, doc, codes, tokpos, dl_minlen, positional, dedupe)
 
 
 _ANALYZERS = {"code": _code_tokens, "path": _code_tokens, "simple": _simple_tokens}
 
 
-def analyze_query(text: str, analyzer: str = "code") -> list[str]:
+def analyze_query(text: str, analyzer: str = "code", chain=None) -> list[str]:
     """Driver-side query analysis — same token rules as the distributed
     tokenizer (plain ``re`` on one string). Returns sorted distinct
-    terms (query term multiplicity is ignored, the Lucene default)."""
+    terms (query term multiplicity is ignored, the Lucene default).
+
+    ``chain``: the index's analysis chain (IndexConfig.chain) — query
+    terms get the same length/stop/stem treatment as indexed tokens.
+    Synonyms need NO query-side expansion: they were injected at index
+    time, so the index already contains every group member."""
     import re
 
     terms: set[str] = set()
@@ -214,11 +305,13 @@ def analyze_query(text: str, analyzer: str = "code") -> list[str]:
             terms.update(s.lower() for s in subs)
             if len(subs) > 1:
                 terms.add(tok.lower())
+    if chain is not None:
+        terms = {chain.transform(t) for t in terms} - {None}
     return sorted(terms)
 
 
 def analyze_phrase(
-    text: str, analyzer: str = "code", min_len: int = 1
+    text: str, analyzer: str = "code", min_len: int = 1, chain=None
 ) -> list[tuple[str, int]]:
     """Ordered (term, position) sequence of a QUERY phrase, using the
     same position convention as the positional index (see
@@ -231,31 +324,43 @@ def analyze_phrase(
     positions of the text ``user_data parse``. ``min_len`` filtering
     drops short terms but KEEPS the original position offsets (Lucene
     stopword position-gap behavior), so the positional matcher
-    enforces the exact gap across the dropped token."""
+    enforces the exact gap across the dropped token. ``chain``: the
+    index's analysis chain — stopwords drop with the SAME gap
+    preservation as min_len, and terms are stemmed to match the
+    stemmed index."""
     import re
+
+    def _emit(t: str) -> str | None:
+        if chain is not None:
+            return chain.transform(t)
+        return t if len(t) >= min_len else None
 
     out: list[tuple[str, int]] = []
     if analyzer == "simple":
         for i, t in enumerate(text.lower().split(" ")):
-            if len(t) >= min_len:
+            t = _emit(t)
+            if t is not None:
                 out.append((t, i))
         return out
     p = 0
     for tok in re.findall(_RAW_TOKEN, text):
         subs = re.findall(_SUBWORD, tok)
         for j, s in enumerate(subs):
-            s = s.lower()
-            if len(s) >= min_len:
+            s = _emit(s.lower())
+            if s is not None:
                 out.append((s, p + j))
         p += len(subs)
     return out
 
 
-def analyze_with_tf(text: str, analyzer: str = "code") -> dict[str, int]:
+def analyze_with_tf(
+    text: str, analyzer: str = "code", chain=None
+) -> dict[str, int]:
     """Driver-side analysis of ONE string keeping term frequencies —
     the term-vector read that More-Like-This needs (Lucene re-analyzes
     stored text when term vectors are absent; same here). Token rules
-    are identical to the distributed tokenizer's."""
+    are identical to the distributed tokenizer's; ``chain`` applies
+    length/stop/stem (synonyms are index-side only)."""
     import re
     from collections import Counter
 
@@ -268,6 +373,13 @@ def analyze_with_tf(text: str, analyzer: str = "code") -> dict[str, int]:
             tf.update(s.lower() for s in subs)
             if len(subs) > 1:
                 tf[tok.lower()] += 1
+    if chain is not None:
+        out: Counter[str] = Counter()
+        for t, n in tf.items():
+            t2 = chain.transform(t)
+            if t2 is not None:
+                out[t2] += n
+        return dict(out)
     return dict(tf)
 
 
@@ -283,7 +395,10 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     """
     cfg = cfg or IndexConfig()
     field_spec = [(f, a) for f, (a, _b) in cfg.fields.items()]
-    min_len = cfg.min_term_len
+    chain = cfg.chain
+    # an active chain folds min_term_len into its own filter stage
+    # (pre-stem, with dl recomputed post-filter) — skip the outer pass
+    min_len = cfg.min_term_len if chain is None else 1
     positional = cfg.positions
     cols = ["doc_id"] + [f for f, _ in field_spec]
 
@@ -294,7 +409,9 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
             pdf = pdf.reset_index(drop=True)
             out = []
             for fname, analyzer in field_spec:
-                agg = _ANALYZERS[analyzer](pdf[fname], positional=positional)
+                agg = _ANALYZERS[analyzer](
+                    pdf[fname], positional=positional, chain=chain
+                )
                 if not len(agg):
                     continue
                 if min_len > 1:

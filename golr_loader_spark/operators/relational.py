@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from golr_loader_spark.functions.analysis import STEM_SQL as _STEM_SQL
 from golr_loader_spark.operators import dedup as dd
 from golr_loader_spark.operators import similarity as sim
 from golr_loader_spark.operators import textstats as ts
@@ -1857,6 +1858,57 @@ SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
        max(e) - min(pos) AS span_tokens
 FROM grp GROUP BY doc_id, span_id
 """
+
+# Analysis-chain oracle (engine twin: engine_chain in
+# __spark_entry__.py). Replays the whole Solr-style chain in SQL, in
+# the engine's exact filter order (functions/analysis.py): tokenize →
+# stopwords('the','a') on the RAW token → minimal-english stem
+# (STEM_SQL, the rule-for-rule twin of stem_minimal_english) →
+# index-time synonym injection (big≡large, fast≡quick — each kept
+# occurrence also emits its group-mates, and the injected rows COUNT
+# toward dl, the documented divergence from Lucene discountOverlaps)
+# → the SQL_Q24 BM25 discipline for the analyzed query
+# {query, large, fast} ('queries large the fast' after the chain).
+_STEM_T = _STEM_SQL.format(t="t.term")
+
+SQL_Q56 = f"""
+WITH filt AS (
+  SELECT doc_id, {_STEM_T} AS term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term NOT IN ('the', 'a')),
+syn AS (
+  SELECT doc_id, term FROM filt
+  UNION ALL
+  SELECT f.doc_id, s.mate
+  FROM filt f JOIN (VALUES ('big','large'), ('large','big'),
+                           ('fast','quick'), ('quick','fast'))
+       AS s(term, mate) ON f.term = s.term),
+toks AS (SELECT doc_id, term, count(*) AS tf FROM syn GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('query', 'large', 'fast')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE)
+                         - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl
+           / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)),
+scored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 50
+"""
+
 
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),

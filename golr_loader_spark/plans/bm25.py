@@ -613,7 +613,7 @@ def search(
     block-max pruning is disabled under fq (a pruned doc could rise
     into the top-k after the filter removes higher-scored docs)."""
     cfg = cfg or index.cfg
-    terms = analyze_query(query, query_analyzer(cfg))
+    terms = analyze_query(query, query_analyzer(cfg), cfg.chain)
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -672,9 +672,10 @@ def search_boolean(
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
     qan = query_analyzer(cfg)
-    m_terms = sorted({t for s in (must or []) for t in analyze_query(s, qan)})
-    s_terms = sorted({t for s in (should or []) for t in analyze_query(s, qan)})
-    n_terms = sorted({t for s in (must_not or []) for t in analyze_query(s, qan)})
+    ch = cfg.chain
+    m_terms = sorted({t for s in (must or []) for t in analyze_query(s, qan, ch)})
+    s_terms = sorted({t for s in (should or []) for t in analyze_query(s, qan, ch)})
+    n_terms = sorted({t for s in (must_not or []) for t in analyze_query(s, qan, ch)})
     scoring = sorted(set(m_terms) | set(s_terms))
     if not scoring:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -967,7 +968,7 @@ def more_like_this(
         return spark.createDataFrame([], "doc_id long, score double")
     from golr_loader_spark.functions.tokenize import analyze_with_tf
 
-    tf = analyze_with_tf(row[0]["_t"], query_analyzer(cfg))
+    tf = analyze_with_tf(row[0]["_t"], query_analyzer(cfg), cfg.chain)
     if not tf:
         return spark.createDataFrame([], "doc_id long, score double")
     n = index.n_docs
@@ -1033,7 +1034,7 @@ def search_batch(
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
     qan = query_analyzer(cfg)
-    qterms = [(qid, t) for qid, q in queries.items() for t in analyze_query(q, qan)]
+    qterms = [(qid, t) for qid, q in queries.items() for t in analyze_query(q, qan, cfg.chain)]
     if not qterms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
     all_terms = sorted({t for _, t in qterms})
@@ -1048,7 +1049,7 @@ def search_batch(
     if mode == "and":
         required = {}
         for qid, q in queries.items():
-            qt = set(analyze_query(q, qan))
+            qt = set(analyze_query(q, qan, cfg.chain))
             present = {t for (qqid, t, _f) in weights if qqid == qid}
             # strict MUST: unmatched term → impossible requirement
             required[qid] = qt if qt <= present else {"\x00_absent_term"}
@@ -1056,7 +1057,7 @@ def search_batch(
     cand = index.postings.filter(
         F.col("term").isin(all_terms) & F.col("field").isin(list(cfg.fields))
     )
-    query_term_sets = {qid: set(analyze_query(q, qan)) for qid, q in queries.items()}
+    query_term_sets = {qid: set(analyze_query(q, qan, cfg.chain)) for qid, q in queries.items()}
     fn = _score_bucket_multi_factory(
         weights, avgdl, cfg, k, query_term_sets, required_terms=required,
         exclude_ids=exclude_ids,
@@ -1099,7 +1100,7 @@ def explain(
     from golr_loader_spark.plans.phrase import decode_postings
 
     cfg = cfg or index.cfg
-    terms = analyze_query(query, query_analyzer(cfg))
+    terms = analyze_query(query, query_analyzer(cfg), cfg.chain)
     out: dict = {"doc_id": int(doc_id), "score": 0.0, "terms": []}
     if not terms:
         return out

@@ -485,6 +485,21 @@ def build_index(
     )
 
 
+def _write_config(cfg: IndexConfig, root: str) -> None:
+    """Persist the index's OWN IndexConfig at ``{root}/config.json``
+    (Solr stores schema.xml inside the core for the same reason):
+    serving MUST analyze queries with the exact index-time analyzer
+    chain — a stopword/stemmer/synonym mismatch between builder and
+    searcher silently changes results. LocalSearcher restores this
+    when the caller passes no cfg."""
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/config.json", "w") as fh:
+        json.dump(cfg.to_dict(), fh, indent=1, sort_keys=True)
+
+
 def write_index(
     index: InvertedIndex,
     root: str,
@@ -520,6 +535,7 @@ def write_index(
         .parquet(f"{root}/term_stats")
     )
     index.stats.coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
+    _write_config(index.cfg, root)
     if documents is not None:
         sha = (
             F.col("content_sha256")

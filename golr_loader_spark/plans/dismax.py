@@ -257,7 +257,7 @@ def _analyze_qwords(
     for w in query.split():
         per_field: dict[str, list[str]] = {}
         for f in qf_map:
-            terms = analyze_query(w, cfg.fields[f][0])
+            terms = analyze_query(w, cfg.fields[f][0], cfg.chain)
             if terms:
                 per_field[f] = terms
         if per_field:
@@ -515,7 +515,7 @@ def search_edismax(
             raise ValueError(f"unknown field {node.field!r}")
         per_field: dict[str, list[str]] = {}
         for f in fields:
-            terms = analyze_query(node.text, cfg.fields[f][0])
+            terms = analyze_query(node.text, cfg.fields[f][0], cfg.chain)
             if terms:
                 per_field[f] = terms
         if occur == MUST_NOT:

@@ -150,7 +150,7 @@ def matching_doc_ids(
     has no postings at all, same strictness as ``bm25.search``)."""
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
-    terms = analyze_query(query, query_analyzer(cfg))
+    terms = analyze_query(query, query_analyzer(cfg), cfg.chain)
     if not terms:
         return spark.createDataFrame([], "bucket int, doc_id long")
     required = set(terms) if mode == "and" else None
@@ -481,7 +481,7 @@ def search_fetch(
         how="left",
     )
     if highlight_field:
-        terms = analyze_query(query, query_analyzer(cfg))
+        terms = analyze_query(query, query_analyzer(cfg), cfg.chain)
         fsz = int(frag_size)
 
         @pandas_udf("string")
@@ -667,7 +667,7 @@ def grouped_topk(
 
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
-    terms = analyze_query(query, query_analyzer(cfg))
+    terms = analyze_query(query, query_analyzer(cfg), cfg.chain)
     out_schema = "group_rank int, value string, rank int, doc_id long, score double"
     if not terms:
         return spark.createDataFrame([], out_schema)

@@ -485,7 +485,7 @@ def _exec(
         fields = [nf] if nf else list(cfg.fields)
         if isinstance(node, Term):
             an = cfg.fields[nf][0] if nf else qan
-            terms = set(analyze_query(node.text, an))
+            terms = set(analyze_query(node.text, an, cfg.chain))
         elif isinstance(node, TermRange):
             rows = _expand_range(index, cfg, node, max_expansions, fields)
             terms = {r["term"] for r in rows}
@@ -694,7 +694,7 @@ def _phrase_doc_score(
     from golr_loader_spark.plans.phrase import _phrase_bucket_factory
 
     field = ph.field or next(iter(cfg.fields))
-    seq = analyze_phrase(ph.text, cfg.fields[field][0], cfg.min_term_len)
+    seq = analyze_phrase(ph.text, cfg.fields[field][0], cfg.min_term_len, cfg.chain)
     if not seq:
         return None
     uterms = sorted({t for t, _p in seq})
@@ -783,7 +783,7 @@ def _explain_clauses(
         fields = [nf] if nf else list(cfg.fields)
         if isinstance(node, Term):
             an = cfg.fields[nf][0] if nf else qan
-            terms = set(analyze_query(node.text, an))
+            terms = set(analyze_query(node.text, an, cfg.chain))
         elif isinstance(node, TermRange):
             terms = {
                 r["term"]

@@ -210,6 +210,9 @@ def build_index_checkpointed(
 
     # ---- Finalize: merge per-group term stats ----------------------------
     if not prog.done("finalize", 0):
+        from golr_loader_spark.plans.build_index import _write_config
+
+        _write_config(cfg, root)  # serving restores the exact analyzer
         t0 = time.perf_counter()
         partials = spark.read.option(
             "basePath", f"{root}/term_stats_partial"

@@ -48,12 +48,12 @@ from golr_loader_spark.plans.build_index import InvertedIndex
 
 
 def seed_term_freqs(
-    text: str, analyzer: str, min_term_len: int = 1
+    text: str, analyzer: str, min_term_len: int = 1, chain=None
 ) -> dict[str, int]:
     """term → tf of the seed text under the FIELD's analyzer (the
-    same tokenization the index saw)."""
+    same tokenization — and analysis chain — the index saw)."""
     tf: dict[str, int] = {}
-    for t, _p in analyze_phrase(text, analyzer, min_term_len):
+    for t, _p in analyze_phrase(text, analyzer, min_term_len, chain):
         tf[t] = tf.get(t, 0) + 1
     return tf
 
@@ -144,7 +144,7 @@ def more_like_this(
     if field not in cfg.fields:
         raise ValueError(f"field {field!r} not in config ({list(cfg.fields)})")
     spark = index.postings.sparkSession
-    tf_map = seed_term_freqs(text, cfg.fields[field][0], cfg.min_term_len)
+    tf_map = seed_term_freqs(text, cfg.fields[field][0], cfg.min_term_len, cfg.chain)
     df_map = _df_map_distributed(index, sorted(tf_map), field)
     selected = select_interesting_terms(
         tf_map, df_map, index.n_docs, max_query_terms, min_tf, min_df,

@@ -312,7 +312,7 @@ def phrase_search_positional(
         )
     field = field or next(iter(cfg.fields))
     analyzer = cfg.fields[field][0]
-    seq = analyze_phrase(phrase, analyzer, cfg.min_term_len)
+    seq = analyze_phrase(phrase, analyzer, cfg.min_term_len, cfg.chain)
     spark = index.postings.sparkSession
     if not seq:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -813,7 +813,7 @@ def span_near_search(
     field = field or next(iter(cfg.fields))
     analyzer = cfg.fields[field][0]
     uterms = sorted(
-        {t for raw in terms for t, _p in analyze_phrase(raw, analyzer, cfg.min_term_len)}
+        {t for raw in terms for t, _p in analyze_phrase(raw, analyzer, cfg.min_term_len, cfg.chain)}
     )
     spark = index.postings.sparkSession
     if not uterms:

@@ -109,6 +109,20 @@ class _RowGroupIndex:
         return pa.concat_tables(parts)
 
 
+def _load_config(root: str) -> IndexConfig | None:
+    """Restore the IndexConfig persisted by write_index /
+    build_index_checkpointed at ``{root}/config.json``; None when the
+    root predates config persistence."""
+    import json
+    import os
+
+    p = f"{root}/config.json"
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return IndexConfig.from_dict(json.load(fh))
+
+
 class LocalSearcher:
     """Driver-/service-side BM25 top-k over a persisted index root
     (written by write_index or build_index_checkpointed)."""
@@ -116,6 +130,14 @@ class LocalSearcher:
     def __init__(
         self, root: str, cfg: IndexConfig | None = None, preload_term_stats: bool = True
     ):
+        if cfg is None:
+            # the index root persists its own IndexConfig (Solr ships
+            # schema.xml inside the core for the same reason): queries
+            # MUST be analyzed with the index-time analyzer chain —
+            # a builder/searcher stopword-stemmer-synonym mismatch
+            # silently changes results. Explicit cfg still wins (old
+            # roots without config.json keep working).
+            cfg = _load_config(root)
         self.cfg = cfg or IndexConfig()
         self._root = root
         self._facet_arrays = None
@@ -250,7 +272,7 @@ class LocalSearcher:
         ``mode="and"``: conjunctive (Lucene MUST) — mirrors the
         distributed ``plans.bm25.search`` semantics exactly, including
         the strict empty result when a query term has no postings."""
-        terms = analyze_query(query, query_analyzer(self.cfg))
+        terms = analyze_query(query, query_analyzer(self.cfg), self.cfg.chain)
         if not terms:
             return []
         ts = self._term_rows(terms)
@@ -278,9 +300,10 @@ class LocalSearcher:
         distributed ``bm25.search_boolean`` (MUST gates+scores,
         SHOULD scores, MUST_NOT disqualifies)."""
         qan = query_analyzer(self.cfg)
-        m = sorted({t for s in (must or []) for t in analyze_query(s, qan)})
-        sh = sorted({t for s in (should or []) for t in analyze_query(s, qan)})
-        n = sorted({t for s in (must_not or []) for t in analyze_query(s, qan)})
+        ch = self.cfg.chain
+        m = sorted({t for s in (must or []) for t in analyze_query(s, qan, ch)})
+        sh = sorted({t for s in (should or []) for t in analyze_query(s, qan, ch)})
+        n = sorted({t for s in (must_not or []) for t in analyze_query(s, qan, ch)})
         scoring = sorted(set(m) | set(sh))
         if not scoring:
             return []
@@ -370,7 +393,8 @@ class LocalSearcher:
 
         field = field or next(iter(self.cfg.fields))
         seq = analyze_phrase(
-            phrase, self.cfg.fields[field][0], self.cfg.min_term_len
+            phrase, self.cfg.fields[field][0], self.cfg.min_term_len,
+            self.cfg.chain,
         )
         if not seq:
             return []
@@ -428,7 +452,7 @@ class LocalSearcher:
             {
                 t
                 for raw in terms
-                for t, _p in analyze_phrase(raw, analyzer, self.cfg.min_term_len)
+                for t, _p in analyze_phrase(raw, analyzer, self.cfg.min_term_len, self.cfg.chain)
             }
         )
         if not uterms:
@@ -726,7 +750,7 @@ class LocalSearcher:
                 raise ValueError(f"unknown field {node.field!r}")
             per_field: dict[str, list[str]] = {}
             for f in fields:
-                terms = analyze_query(node.text, self.cfg.fields[f][0])
+                terms = analyze_query(node.text, self.cfg.fields[f][0], self.cfg.chain)
                 if terms:
                     per_field[f] = terms
             if occur == "MUST_NOT":
@@ -903,7 +927,8 @@ class LocalSearcher:
                 raise ValueError(f"doc_id {doc_id} not found in stored")
             text = stored[int(doc_id)].get(field) or ""
         tf_map = seed_term_freqs(
-            text, self.cfg.fields[field][0], self.cfg.min_term_len
+            text, self.cfg.fields[field][0], self.cfg.min_term_len,
+            self.cfg.chain,
         )
         df_map: dict[str, int] = {}
         for r in self._term_rows(sorted(tf_map)):
@@ -1084,7 +1109,7 @@ class LocalSearcher:
             fields = [nf] if nf else list(self.cfg.fields)
             if isinstance(node, Term):
                 an = self.cfg.fields[nf][0] if nf else qan
-                terms = set(analyze_query(node.text, an))
+                terms = set(analyze_query(node.text, an, self.cfg.chain))
             else:
                 if vocab is None:
                     vocab = self._vocab_terms()
@@ -1313,7 +1338,7 @@ class LocalSearcher:
         fields and fold order as the distributed ``bm25.explain``,
         values identical by construction (same decoded postings, same
         formula). The read prunes to the doc's own bucket."""
-        terms = analyze_query(query, query_analyzer(self.cfg))
+        terms = analyze_query(query, query_analyzer(self.cfg), self.cfg.chain)
         out: dict = {"doc_id": int(doc_id), "score": 0.0, "terms": []}
         if not terms:
             return out
@@ -1392,7 +1417,7 @@ class LocalSearcher:
             fields = [nf] if nf else list(self.cfg.fields)
             if isinstance(node, Term):
                 an = self.cfg.fields[nf][0] if nf else qan
-                terms = set(analyze_query(node.text, an))
+                terms = set(analyze_query(node.text, an, self.cfg.chain))
             else:
                 if vocab is None:
                     vocab = self._vocab_terms()
@@ -1594,7 +1619,7 @@ class LocalSearcher:
 
         from golr_loader_spark.plans.facets import _match_bucket_factory
 
-        terms = analyze_query(query, query_analyzer(self.cfg))
+        terms = analyze_query(query, query_analyzer(self.cfg), self.cfg.chain)
         if not terms:
             return _np.empty(0, dtype=_np.int64)
         required = set(terms) if mode == "and" else None
@@ -1829,7 +1854,7 @@ class LocalSearcher:
             [d for d, _s in hits],
             list({*(fields or []), *( [highlight_field] if highlight_field else [] )}) or None,
         )
-        terms = analyze_query(query, query_analyzer(self.cfg))
+        terms = analyze_query(query, query_analyzer(self.cfg), self.cfg.chain)
         out = []
         for doc_id, score in hits:
             row = {"doc_id": doc_id, "score": score}

@@ -272,7 +272,7 @@ class ShardedSearcher:
             if int(doc_id) not in stored:
                 raise ValueError(f"doc_id {doc_id} not found in stored")
             text = stored[int(doc_id)].get(field) or ""
-        tf_map = seed_term_freqs(text, cfg.fields[field][0], cfg.min_term_len)
+        tf_map = seed_term_freqs(text, cfg.fields[field][0], cfg.min_term_len, cfg.chain)
         df_map: dict[str, int] = {}
         for r in s0._term_rows(sorted(tf_map)):
             if r["field"] == field:
@@ -520,7 +520,7 @@ class ShardedSearcher:
                  *([highlight_field] if highlight_field else [])}
             ) or None,
         )
-        terms = analyze_query(query, query_analyzer(self.cfg))
+        terms = analyze_query(query, query_analyzer(self.cfg), self.cfg.chain)
         out = []
         for doc_id, score in hits:
             row = {"doc_id": doc_id, "score": score}
