@@ -773,6 +773,71 @@ def _engine_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent engine gate (Solr terms.prefix=s&terms.limit=10,
+    count sort): enumerate the REAL index's term dictionary — the
+    metadata-only path (postings and corpus never read). SQL_Q57
+    recomputes the same df ranking from the raw text in DuckDB."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import terms_enum
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    return terms_enum(ix, prefix="s", limit=10, cfg=cfg)
+
+
+def _engine_tvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermVectorComponent engine gate (Solr tv=true&tv.tf&tv.df for
+    doc 3): one pushed-down point read re-analyzed with the field
+    analyzer, df joined from the term dictionary. SQL_Q58 is the
+    DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import term_vector
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    return term_vector(ix, d, 3, cfg=cfg)
+
+
+def _engine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JoinQParserPlugin engine gate ({!join from=n_chars
+    to=n_chars}<8-term conjunctive subquery>): the match set's
+    n_chars values select every doc sharing one — two co-located
+    semi-joins over the facet table, value set never collected.
+    SQL_Q59 replays the same set algebra in DuckDB."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import build_facets, join_query
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    fx = build_facets(d, ["n_chars"], cfg)
+    return join_query(
+        ix, fx, "spark scan agg value merge vector window stream",
+        "n_chars", "n_chars", cfg=cfg, mode="and",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from golr_loader_spark.operators.relational import QUERIES
 
@@ -803,6 +868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_fetchpage"] = _engine_fetchpage
     out["engine_mlt_boosted"] = _engine_mlt_boosted
     out["engine_chain"] = _engine_chain
+    out["engine_terms"] = _engine_terms
+    out["engine_tvec"] = _engine_tvec
+    out["engine_join"] = _engine_join
     return out
 
 
@@ -832,6 +900,9 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q54,
         SQL_Q55,
         SQL_Q56,
+        SQL_Q57,
+        SQL_Q58,
+        SQL_Q59,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -863,4 +934,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_fetchpage"] = SQL_Q54
     out["engine_mlt_boosted"] = SQL_Q55
     out["engine_chain"] = SQL_Q56
+    out["engine_terms"] = SQL_Q57
+    out["engine_tvec"] = SQL_Q58
+    out["engine_join"] = SQL_Q59
     return out

@@ -1910,6 +1910,55 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 50
 """
 
 
+# TermsComponent oracle (engine twin: bm25.terms_enum — engine_terms
+# in __spark_entry__.py). df = number of docs containing the term
+# (the term dictionary's df), prefix 's', Solr count sort.
+SQL_Q57 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df
+FROM dfreq WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
+# TermVectorComponent oracle (engine twin: bm25.term_vector —
+# engine_tvec in __spark_entry__.py): (term, tf, df) of doc 3,
+# term-sorted; df over the whole corpus.
+SQL_Q58 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term),
+dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term)
+SELECT t.term, CAST(t.tf AS INT) AS tf, CAST(d.df AS BIGINT) AS df
+FROM toks t JOIN dfreq d USING (term)
+WHERE t.doc_id = 3
+ORDER BY t.term ASC
+"""
+
+
+# Solr {!join} oracle (engine twin: facets.join_query — engine_join
+# in __spark_entry__.py): docs matching ALL 8 subquery terms
+# contribute their n_chars value; result = every doc sharing one of
+# those values (from=n_chars to=n_chars, ScoreMode.None).
+SQL_Q59 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+m AS (
+  SELECT doc_id FROM toks
+  WHERE term IN ('agg','merge','scan','spark','stream','value',
+                 'vector','window')
+  GROUP BY doc_id HAVING count(*) = 8),
+v AS (SELECT DISTINCT n_chars FROM documents JOIN m USING (doc_id))
+SELECT d.doc_id FROM documents d JOIN v USING (n_chars)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

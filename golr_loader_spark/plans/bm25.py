@@ -924,6 +924,82 @@ def suggest_terms(
     )
 
 
+def terms_enum(
+    index: InvertedIndex,
+    prefix: str | None = None,
+    field: str | None = None,
+    limit: int = 10,
+    min_df: int = 1,
+    sort: str = "count",
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Solr TermsComponent (terms.fl / terms.prefix / terms.limit /
+    terms.mincount / terms.sort): enumerate the term dictionary →
+    (term, df). ``sort="count"`` is Solr's default (df desc, term asc);
+    ``"index"`` is dictionary order. ``df`` sums over the requested
+    field(s). Runs ENTIRELY on the term-dictionary table — a pushed-
+    down prefix filter + tiny top-k over vocabulary-sized metadata;
+    the corpus and the postings are never touched (Lucene's
+    TermsEnum.seekCeil walk over the terms index)."""
+    cfg = cfg or index.cfg
+    fields = [field] if field else list(cfg.fields)
+    ts = index.term_stats.filter(F.col("field").isin(fields))
+    if prefix:
+        ts = ts.filter(F.col("term").startswith(prefix))
+    agg = (
+        ts.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    if sort == "index":
+        return agg.orderBy(F.asc("term")).limit(limit)
+    return agg.orderBy(F.desc("df"), F.asc("term")).limit(limit)
+
+
+def term_vector(
+    index: InvertedIndex,
+    documents: DataFrame,
+    doc_id: int,
+    text_col: str = "text",
+    field: str | None = None,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """Solr TermVectorComponent (tv=true & tv.tf & tv.df): the
+    (term, tf, df) vector of ONE document, term-sorted. Lucene
+    re-analyzes stored text when term vectors were not indexed — same
+    here: one pushed-down point read of the doc's text, analyzed with
+    the field's analyzer (+ chain), then df joined from the term
+    dictionary. Terms absent from the dictionary (possible only under
+    an index/config mismatch) carry df=0 rather than erroring."""
+    from golr_loader_spark.functions.tokenize import analyze_with_tf
+
+    cfg = cfg or index.cfg
+    field = field or next(iter(cfg.fields))
+    spark = index.postings.sparkSession
+    row = (
+        documents.filter(F.col("doc_id") == doc_id)
+        .select(F.col(text_col).alias("_t"))
+        .collect()
+    )
+    schema = "term string, tf int, df long"
+    if not row or row[0]["_t"] is None:
+        return spark.createDataFrame([], schema)
+    tf = analyze_with_tf(row[0]["_t"], cfg.fields[field][0], cfg.chain)
+    if not tf:
+        return spark.createDataFrame([], schema)
+    tdf = spark.createDataFrame(
+        [(t, int(n)) for t, n in sorted(tf.items())], "term string, tf int"
+    )
+    ts = index.term_stats.filter(
+        (F.col("field") == field) & F.col("term").isin(sorted(tf))
+    ).groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    return (
+        tdf.join(F.broadcast(ts), "term", "left")
+        .na.fill({"df": 0})
+        .orderBy(F.asc("term"))
+    )
+
+
 def more_like_this(
     index: InvertedIndex,
     documents: DataFrame,

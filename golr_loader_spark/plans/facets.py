@@ -258,6 +258,58 @@ def facet_counts(
     )
 
 
+def join_query(
+    index: InvertedIndex,
+    facets: DataFrame,
+    query: str,
+    from_field: str,
+    to_field: str,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    fq=None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Solr JoinQParserPlugin (``{!join from=F to=T}subquery``) — the
+    cross-document join Solr serves when cores relate entities by a
+    shared key (the golr cores join bioentities to associations this
+    way): docs matching ``subquery`` contribute their ``from_field``
+    values; the result is every doc whose ``to_field`` carries one of
+    those values → (doc_id), doc_id asc. Scores are NOT propagated
+    (Lucene JoinUtil ScoreMode.None — Solr's default): the join is a
+    match-set transform, composable as a q or an fq.
+
+    Plan shape at scale: decode-only match (no scoring) → semi-join
+    the facet table on the co-located (bucket, doc_id) key → distinct
+    from-values (bounded by the value DOMAIN, not the match set) →
+    equi-join back to the to-field facet rows, which AQE broadcasts
+    when the value set is small (the common case: join fields are
+    low-cardinality keys). No driver collect anywhere — the value set
+    stays a DataFrame however large the match set is."""
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    vals = (
+        facets.filter(F.col("facet") == from_field)
+        .join(m.select("bucket", "doc_id"), on=["bucket", "doc_id"], how="left_semi")
+        .select("value")
+        .distinct()
+    )
+    return (
+        facets.filter(F.col("facet") == to_field)
+        .join(vals, on="value", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy(F.asc("doc_id"))
+    )
+
+
 def range_facet_counts(
     index: InvertedIndex,
     values: DataFrame,

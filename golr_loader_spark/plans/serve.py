@@ -594,6 +594,55 @@ class LocalSearcher:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def terms(
+        self,
+        prefix: str | None = None,
+        field: str | None = None,
+        limit: int = 10,
+        min_df: int = 1,
+        sort: str = "count",
+    ) -> list[tuple[str, int]]:
+        """Serving-path TermsComponent (twin of ``bm25.terms_enum``):
+        enumerate the term dictionary → (term, df), df summed over the
+        requested field(s); sort="count" (df desc, term asc — the Solr
+        default) or "index"."""
+        fields = [field] if field else list(self.cfg.fields)
+        cand = self._vocab_terms()
+        if prefix:
+            cand = [t for t in cand if t.startswith(prefix)]
+        dfs: dict[str, int] = {}
+        for r in self._term_rows(cand):
+            if r["field"] in fields:
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+        out = [(t, d) for t, d in dfs.items() if d >= min_df]
+        if sort == "index":
+            out.sort(key=lambda x: x[0])
+        else:
+            out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:limit]
+
+    def term_vector(
+        self, doc_id: int, field: str | None = None
+    ) -> list[tuple[str, int, int]]:
+        """Serving-path TermVectorComponent (twin of
+        ``bm25.term_vector``): (term, tf, df) of one STORED document,
+        term-sorted — re-analyzes the stored text with the index-time
+        analyzer chain, df from the term dictionary (0 for terms the
+        dictionary lacks, mirroring the distributed twin)."""
+        from golr_loader_spark.functions.tokenize import analyze_with_tf
+
+        field = field or next(iter(self.cfg.fields))
+        stored = self.fetch([int(doc_id)], [field])
+        text = (stored.get(int(doc_id)) or {}).get(field)
+        if not text:
+            return []
+        tf = analyze_with_tf(text, self.cfg.fields[field][0], self.cfg.chain)
+        dfs: dict[str, int] = {}
+        for r in self._term_rows(sorted(tf)):
+            if r["field"] == field:
+                dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+        return [(t, int(tf[t]), int(dfs.get(t, 0))) for t in sorted(tf)]
+
     def stats_field(
         self, query: str, field: str, mode: str = "or", fq: str | None = None
     ) -> dict:
@@ -1649,6 +1698,64 @@ class LocalSearcher:
             {t: list(self.cfg.fields) for t in terms}, required, self.tombstones
         )
         return fn(blocks)["doc_id"].to_numpy(_np.int64)
+
+    # ------------------------------------------------ {!join} parser
+
+    def _join_from_values(
+        self, query: str, from_field: str, mode: str = "or",
+        fq: str | None = None,
+    ) -> set:
+        """Round 1 of the {!join}: the distinct ``from_field`` values
+        of the subquery's match set (this searcher's docs only — the
+        sharded coordinator unions these across shards)."""
+        import numpy as _np
+
+        fx = self._load_facets()
+        if fx is False:
+            return set()
+        ids, fcts, vals = fx
+        m = self.matching_ids(query, mode)
+        if fq is not None:
+            m = _np.array(
+                sorted({int(x) for x in m} & self._fq_ids_local(fq)),
+                dtype=_np.int64,
+            )
+        if not len(m):
+            return set()
+        mask = (fcts == from_field) & _np.isin(ids, m)
+        return set(vals[mask].tolist())
+
+    def _join_to_docs(self, value_set: set, to_field: str) -> set:
+        """Round 2 of the {!join}: this searcher's docs whose
+        ``to_field`` carries one of ``value_set``."""
+        import numpy as _np
+
+        if not value_set:
+            return set()
+        fx = self._load_facets()
+        if fx is False:
+            return set()
+        ids, fcts, vals = fx
+        mask = (fcts == to_field) & _np.isin(
+            vals, _np.array(sorted(value_set), dtype=object)
+        )
+        return {int(x) for x in ids[mask].tolist()}
+
+    def join_query(
+        self, query: str, from_field: str, to_field: str,
+        mode: str = "or", fq: str | None = None,
+    ) -> list[int]:
+        """Serving-path Solr JoinQParserPlugin (twin of
+        ``facets.join_query``): {!join from=F to=T}subquery → sorted
+        doc_ids whose ``to_field`` matches a from-value of the
+        subquery's match set. ScoreMode.None (the Solr default) — a
+        membership transform, no scores."""
+        return sorted(
+            self._join_to_docs(
+                self._join_from_values(query, from_field, mode=mode, fq=fq),
+                to_field,
+            )
+        )
 
     def facet_counts(
         self, query: str, mode: str = "or", top: int = 10, min_count: int = 1

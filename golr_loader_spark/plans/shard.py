@@ -157,6 +157,24 @@ class ShardedSearcher:
         self.cfg = self.shards[0].cfg
         self.n_docs = self.shards[0].n_docs
         self.avgdl = self.shards[0].avgdl
+        # SolrCloud scatters to shards CONCURRENTLY — so does this
+        # coordinator: the per-shard work is parquet reads (GIL
+        # released) + numpy scoring, so a thread per shard overlaps
+        # both. One pool per searcher, reused across queries.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = (
+            ThreadPoolExecutor(max_workers=len(self.shards))
+            if len(self.shards) > 1
+            else None
+        )
+
+    def _fanout(self, fns: list) -> list:
+        """Run per-shard thunks concurrently, results in shard order
+        (order preserved — merges rely on deterministic part order)."""
+        if self._pool is None:
+            return [fn() for fn in fns]
+        return list(self._pool.map(lambda fn: fn(), fns))
 
     @classmethod
     def open(cls, out_root: str, cfg: IndexConfig | None = None):
@@ -169,7 +187,12 @@ class ShardedSearcher:
     # ------------------------------------------------ ranked queries
 
     def _scatter_topk(self, _fn_name: str, _merge_k: int, *args, **kwargs):
-        parts = [getattr(s, _fn_name)(*args, **kwargs) for s in self.shards]
+        parts = self._fanout(
+            [
+                (lambda s=s: getattr(s, _fn_name)(*args, **kwargs))
+                for s in self.shards
+            ]
+        )
         return _merge_ranked(parts, _merge_k)
 
     def search(self, query: str, k: int = 10, mode: str = "or"):
@@ -302,7 +325,9 @@ class ShardedSearcher:
     def matching_ids(self, query: str, mode: str = "or"):
         import numpy as np
 
-        parts = [s.matching_ids(query, mode=mode) for s in self.shards]
+        parts = self._fanout(
+            [(lambda s=s: s.matching_ids(query, mode=mode)) for s in self.shards]
+        )
         parts = [p for p in parts if len(p)]
         if not parts:
             return np.empty(0, dtype=np.int64)
@@ -314,10 +339,14 @@ class ShardedSearcher:
         self, query: str, mode: str = "or", top: int = 10, min_count: int = 1
     ):
         sums: dict[str, dict[str, int]] = {}
-        for s in self.shards:
-            for facet, vals in s.facet_counts(
-                query, mode=mode, top=_BIG, min_count=1
-            ).items():
+        shard_parts = self._fanout(
+            [
+                (lambda s=s: s.facet_counts(query, mode=mode, top=_BIG, min_count=1))
+                for s in self.shards
+            ]
+        )
+        for part in shard_parts:
+            for facet, vals in part.items():
                 agg = sums.setdefault(facet, {})
                 for v, n in vals:
                     agg[v] = agg.get(v, 0) + n
@@ -335,10 +364,15 @@ class ShardedSearcher:
         min_count: int = 1,
     ):
         bins: dict[float, int] = {}
-        for s in self.shards:
-            for lo, n in s.range_facet_counts(
-                query, field, width, mode=mode, min_count=1
-            ):
+        shard_parts = self._fanout(
+            [
+                (lambda s=s: s.range_facet_counts(
+                    query, field, width, mode=mode, min_count=1))
+                for s in self.shards
+            ]
+        )
+        for part in shard_parts:
+            for lo, n in part:
                 bins[lo] = bins.get(lo, 0) + n
         return sorted((lo, n) for lo, n in bins.items() if n >= min_count)
 
@@ -347,11 +381,16 @@ class ShardedSearcher:
         top_outer: int = 10, top_inner: int = 5, min_count: int = 1,
     ):
         pairs: dict[tuple[str, str], int] = {}
-        for s in self.shards:
-            for ov, _on, _orank, iv, inn, _irank in s.pivot_facet_counts(
-                query, outer, inner, mode=mode,
-                top_outer=_BIG, top_inner=_BIG, min_count=1,
-            ):
+        shard_parts = self._fanout(
+            [
+                (lambda s=s: s.pivot_facet_counts(
+                    query, outer, inner, mode=mode,
+                    top_outer=_BIG, top_inner=_BIG, min_count=1))
+                for s in self.shards
+            ]
+        )
+        for part in shard_parts:
+            for ov, _on, _orank, iv, inn, _irank in part:
                 pairs[(ov, iv)] = pairs.get((ov, iv), 0) + inn
         pairs = {k: n for k, n in pairs.items() if n >= min_count}
         if not pairs:
@@ -381,17 +420,20 @@ class ShardedSearcher:
         moments would not merge exactly."""
         import statistics
 
-        xs: list = []
-        for s in self.shards:
+        def _one(s):
             ids = {int(d) for d in s.matching_ids(query, mode)}
             if fq is not None:
                 ids &= s._fq_ids_local(fq)
             if not ids:
-                continue
+                return []
             stored = s.fetch(sorted(ids), [field])
-            xs.extend(
+            return [
                 v[field] for v in stored.values() if v.get(field) is not None
-            )
+            ]
+
+        xs: list = []
+        for part in self._fanout([(lambda s=s: _one(s)) for s in self.shards]):
+            xs.extend(part)
         if not xs:
             return {
                 "n": 0, "min": None, "max": None,
@@ -410,6 +452,37 @@ class ShardedSearcher:
         # the term dictionary is global metadata copied to every shard
         return self.shards[0].suggest(text, k=k, **kwargs)
 
+    def terms(self, *args, **kwargs):
+        # same: terms enumeration reads only the global dictionary
+        return self.shards[0].terms(*args, **kwargs)
+
+    def join_query(
+        self, query: str, from_field: str, to_field: str,
+        mode: str = "or", fq: str | None = None,
+    ) -> list[int]:
+        """Distributed {!join}: TWO scatter rounds, exactly SolrCloud's
+        join topology — round 1 gathers each shard's from-values for
+        the subquery match set (facet rows are doc-routed, so every
+        shard only knows its own docs' values), the coordinator unions
+        them; round 2 scatters the merged value set and unions the
+        per-shard to-field membership. Identical to the unsharded
+        ``LocalSearcher.join_query`` by construction."""
+        vals: set = set()
+        for part in self._fanout(
+            [
+                (lambda s=s: s._join_from_values(
+                    query, from_field, mode=mode, fq=fq))
+                for s in self.shards
+            ]
+        ):
+            vals |= part
+        docs: set = set()
+        for part in self._fanout(
+            [(lambda s=s: s._join_to_docs(vals, to_field)) for s in self.shards]
+        ):
+            docs |= part
+        return sorted(docs)
+
     # -------------------------------------------------- sort / paging
 
     def search_sorted(
@@ -424,11 +497,16 @@ class ShardedSearcher:
         need = start + rows
         present: list[tuple[object, int]] = []
         missing: list[int] = []
-        for s in self.shards:
-            for _pos, d, v in s.search_sorted(
-                query, sort_field, ascending=ascending, start=0, rows=need,
-                mode=mode, fq=fq, max_expansions=max_expansions,
-            ):
+        shard_parts = self._fanout(
+            [
+                (lambda s=s: s.search_sorted(
+                    query, sort_field, ascending=ascending, start=0, rows=need,
+                    mode=mode, fq=fq, max_expansions=max_expansions))
+                for s in self.shards
+            ]
+        )
+        for part in shard_parts:
+            for _pos, d, v in part:
                 if v is None:
                     missing.append(d)
                 else:
@@ -447,12 +525,17 @@ class ShardedSearcher:
         rows: int = 10, mode: str = "or", fq: str | None = None,
     ):
         pairs: list[tuple[object, int]] = []
-        for s in self.shards:
-            for d, v in s.search_after(
-                query, sort_field, after_value=after_value,
-                after_doc_id=after_doc_id, ascending=ascending, rows=rows,
-                mode=mode, fq=fq,
-            ):
+        shard_parts = self._fanout(
+            [
+                (lambda s=s: s.search_after(
+                    query, sort_field, after_value=after_value,
+                    after_doc_id=after_doc_id, ascending=ascending, rows=rows,
+                    mode=mode, fq=fq))
+                for s in self.shards
+            ]
+        )
+        for part in shard_parts:
+            for d, v in part:
                 pairs.append((v, d))
         pairs.sort(key=lambda x: x[1])
         pairs.sort(key=lambda x: x[0], reverse=not ascending)
@@ -464,11 +547,16 @@ class ShardedSearcher:
         round_scores: int | None = None,
     ):
         per_value: dict[str, list[tuple[float, int]]] = {}
-        for s in self.shards:
-            for _grank, v, _r, d, sc in s.grouped_topk(
-                facet, query, docs_per_group=docs_per_group,
-                k_groups=k_groups, mode=mode, round_scores=round_scores,
-            ):
+        shard_parts = self._fanout(
+            [
+                (lambda s=s: s.grouped_topk(
+                    facet, query, docs_per_group=docs_per_group,
+                    k_groups=k_groups, mode=mode, round_scores=round_scores))
+                for s in self.shards
+            ]
+        )
+        for part in shard_parts:
+            for _grank, v, _r, d, sc in part:
                 per_value.setdefault(v, []).append((sc, d))
         if not per_value:
             return []
