@@ -566,3 +566,46 @@ def upsert_docs_fast(
         "added": n_added,
         "segment": new_seg,
     }
+
+
+def snapshot_index(root: str, dest: str) -> dict:
+    """Point-in-time index snapshot — the Solr ReplicationHandler /
+    Lucene SnapshotDeletionPolicy analog: replicas and backups copy a
+    CONSISTENT commit point, not a directory mid-mutation.
+
+    Parquet index files are immutable once written (mutations either
+    append new segment files or atomic-rename whole tables via
+    ``_swap_tables``), so a snapshot is a hardlink tree: O(#files)
+    metadata operations, zero data copied, and the snapshot keeps
+    serving even after the source compacts (the links pin the old
+    inodes — exactly Lucene's commit-point pinning). Falls back to a
+    real copy across filesystems. The snapshot is itself a complete
+    ``LocalSearcher``-able root.
+
+    Returns {"files": n, "bytes": total} for the manifest/log line.
+    """
+    import shutil as _shutil
+
+    if os.path.exists(dest) and os.listdir(dest):
+        raise ValueError(f"snapshot dest {dest!r} exists and is not empty")
+    n_files = 0
+    n_bytes = 0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        # dot-directories (.upsert_tmp/.compact_tmp/.stats_tmp/.gc)
+        # are in-flight _swap_tables staging — not part of any commit
+        # point
+        if any(part.startswith(".") for part in rel.split(os.sep) if part != "."):
+            continue
+        out_dir = os.path.join(dest, rel) if rel != "." else dest
+        os.makedirs(out_dir, exist_ok=True)
+        for fn in filenames:
+            src = os.path.join(dirpath, fn)
+            dst = os.path.join(out_dir, fn)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: copy
+                _shutil.copy2(src, dst)
+            n_files += 1
+            n_bytes += os.path.getsize(src)
+    return {"files": n_files, "bytes": n_bytes}

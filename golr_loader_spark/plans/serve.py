@@ -130,6 +130,9 @@ class LocalSearcher:
     def __init__(
         self, root: str, cfg: IndexConfig | None = None, preload_term_stats: bool = True
     ):
+        # originals, for refresh(): cfg BEFORE default resolution so a
+        # reopen re-reads config.json exactly like a fresh open would
+        self._init_args = (root, cfg, preload_term_stats)
         if cfg is None:
             # the index root persists its own IndexConfig (Solr ships
             # schema.xml inside the core for the same reason): queries
@@ -192,6 +195,18 @@ class LocalSearcher:
             ):
                 by_field = self._ts.setdefault(t, {})
                 by_field[f] = by_field.get(f, 0) + int(d)
+
+    def refresh(self) -> "LocalSearcher":
+        """Re-open against the CURRENT on-disk state — Lucene's
+        DirectoryReader.openIfChanged / a Solr searcher reopen: picks
+        up appended segments (``upsert_docs_fast``), new tombstones
+        (``delete_docs``), post-compaction rewrites, and refreshed
+        stats, in place (datasets, row-group index, term dictionary,
+        liveDocs, and facet arrays are all rebuilt). Call between
+        queries on a long-lived serving process after the index root
+        changes; a no-op reopen is cheap (metadata-sized reads)."""
+        self.__init__(*self._init_args)
+        return self
 
     def _term_rows(self, terms: list[str]) -> list[dict]:
         if self._ts is not None:

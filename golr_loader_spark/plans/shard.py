@@ -456,6 +456,14 @@ class ShardedSearcher:
         # same: terms enumeration reads only the global dictionary
         return self.shards[0].terms(*args, **kwargs)
 
+    def refresh(self) -> "ShardedSearcher":
+        """Reopen every shard against its current on-disk state (the
+        SolrCloud searcher-reopen fanout)."""
+        self._fanout([(lambda s=s: s.refresh()) for s in self.shards])
+        self.n_docs = self.shards[0].n_docs
+        self.avgdl = self.shards[0].avgdl
+        return self
+
     def join_query(
         self, query: str, from_field: str, to_field: str,
         mode: str = "or", fq: str | None = None,
