@@ -189,3 +189,21 @@ def test_matching_ids_parity(pair):
         a = np.sort(ls.matching_ids("def return", mode=mode))
         b = ss.matching_ids("def return", mode=mode)
         assert np.array_equal(a, b), mode
+
+
+def test_parallel_scatter_optin_identical(roots, cfg):
+    """parallel=True (thread-per-shard scatter) is an opt-in transport
+    choice, never a semantic one: identical results to the sequential
+    default on ranked, facet, and grouped operations. Sequential IS
+    the default because in-process shards contend on the GIL (measured
+    2.7x worse p95 at 4 shards — see ShardedSearcher.__init__)."""
+    _root, shard_roots, _docs = roots
+    seq = ShardedSearcher(shard_roots, cfg)
+    par = ShardedSearcher(shard_roots, cfg, parallel=True)
+    assert seq._pool is None and par._pool is not None
+    for q in QUERIES:
+        assert par.search(q, k=10) == seq.search(q, k=10), q
+    assert par.facet_counts("def", "lang") == seq.facet_counts("def", "lang")
+    assert par.grouped_topk("lang", "def return", k_groups=3) == (
+        seq.grouped_topk("lang", "def return", k_groups=3)
+    )
