@@ -298,6 +298,38 @@ def _engine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query on the REAL engine index (Lucene WildcardQuery,
+    SCORING_BOOLEAN rewrite): 's?a*' expands against the term
+    dictionary — literal prefix 's' pushed down as a range seek, then
+    an anchored JVM-side regex — and every expanded term joins the
+    disjunction. SQL_Q60 is the DuckDB twin (LIKE 's_a%');
+    round-to-4-then-rank, rank attached driver-side to <=20 rows."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import search_wildcard
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        search_wildcard(ix, "s?a*", k=200, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
     SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
@@ -852,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_span"] = _engine_span
     out["engine_lucene"] = _engine_lucene
     out["engine_prefix"] = _engine_prefix
+    out["engine_wildcard"] = _engine_wildcard
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
@@ -903,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q57,
         SQL_Q58,
         SQL_Q59,
+        SQL_Q60,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -918,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_span"] = SQL_Q44
     out["engine_lucene"] = SQL_Q45
     out["engine_prefix"] = SQL_Q38
+    out["engine_wildcard"] = SQL_Q60
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41

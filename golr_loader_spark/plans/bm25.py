@@ -767,6 +767,94 @@ def search_prefix(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def wildcard_regex(pattern: str) -> str:
+    """Lucene WildcardQuery pattern → anchored regex: ``*`` matches
+    any (possibly empty) sequence, ``?`` exactly one char, everything
+    else literal. The same string is valid for Java (Spark ``rlike``)
+    and Python ``re`` — metachars are escaped char-by-char with a
+    backslash, never with ``re.escape``'s Python-only forms."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch.isalnum() or ch == "_":
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    """The literal run before the first wildcard — Lucene's
+    WildcardQuery prefix optimization (CompiledAutomaton's
+    commonPrefix): seek the term dictionary to it so the regex only
+    runs inside the matching range. Pushed down as ``startswith``."""
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            return pattern[:i]
+    return pattern
+
+
+def search_wildcard(
+    index: InvertedIndex,
+    pattern: str,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    max_expansions: int = 1024,
+    exclude_ids=None,
+) -> DataFrame:
+    """Wildcard query (Lucene WildcardQuery under the SCORING_BOOLEAN
+    rewrite): ``*`` = any sequence, ``?`` = one char, anywhere in the
+    pattern (``te*t``, ``t?st``, ``*ark``). Expansion runs against the
+    term dictionary with the literal prefix pushed down as a
+    ``startswith`` range seek (Lucene's commonPrefix optimization) and
+    the rest as a JVM-side anchored ``rlike`` — the corpus is never
+    touched during expansion. Leading-wildcard patterns scan the whole
+    vocabulary, exactly Lucene's documented cost (Solr guards with
+    ReversedWildcardFilter; here the vocabulary is parquet metadata and
+    the scan is one vectorized filter). ``max_expansions`` caps the
+    clause count (TooManyClauses analog), checked distributed-side
+    before any collect. Scoring: every expanded term joins the
+    disjunction with its own idf weight; tie-break (score desc, doc_id
+    asc) as everywhere. Ref: the Solr cores the reference loads into
+    accept wildcard q strings through the same classic parser surface
+    (GolrLoader.java:498-515 feeds them)."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    p = pattern.strip().lower()
+    if not p:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if "*" not in p and "?" not in p:
+        return search(index, p, k=k, cfg=cfg, exclude_ids=exclude_ids)
+    n = index.n_docs
+    rx = wildcard_regex(p)
+    pref = wildcard_literal_prefix(p)
+    cond = F.col("term").rlike(rx) & F.col("field").isin(list(cfg.fields))
+    if pref:
+        cond &= F.col("term").startswith(pref)
+    base = index.term_stats.filter(cond)
+    _guard_expansion(base, max_expansions, f"wildcard '{p}'")
+    rows = base.select("term", "field", "df").collect()
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    terms = sorted({r["term"] for r in rows})
+    weights = {
+        (t, f): (cfg.fields[f][1] * bm25_idf(n, d)) * (cfg.k1 + 1.0)
+        for (t, f), d in _df_sums(rows).items()
+    }
+    avgdl = _avgdl(index)
+    cand = index.postings.filter(
+        F.col("term").isin(terms) & F.col("field").isin(list(cfg.fields))
+    )
+    fn = _score_bucket_factory(weights, avgdl, cfg, k, exclude_ids=exclude_ids)
+    per_bucket = cand.groupBy("bucket").applyInPandas(
+        fn, schema="doc_id long, score double"
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_fuzzy(
     index: InvertedIndex,
     query_term: str,

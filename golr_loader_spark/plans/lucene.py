@@ -32,12 +32,16 @@ the same front door. Supported syntax:
   rewrite like prefix/fuzzy (Lucene defaults ranges to
   constant-score; this engine scores expansions uniformly —
   documented divergence);
+* wildcard clauses ``te*t`` / ``t?st`` / ``*ark`` (Lucene
+  WildcardQuery) — anchored-regex dictionary expansion with the
+  literal prefix pushed down; trailing-``*``-only patterns parse to
+  the cheaper ``Prefix``;
 * ``fq=`` (on ``search_lucene`` / ``facet_counts``) — Solr filter
   query: a non-scoring match-set restriction (semi-join); bare-term
   fqs match by decoding doc_id streams only.
 
-Unsupported (clear ``ValueError``): wildcards other than a trailing
-``*``, ``field:(...)`` grouped field queries, conditional mm specs.
+Unsupported (clear ``ValueError``): ``field:(...)`` grouped field
+queries, conditional mm specs.
 
 Execution maps onto the engine's existing machinery, so every clause
 type keeps its already-oracled semantics:
@@ -107,6 +111,20 @@ class Prefix:
 class Fuzzy:
     text: str
     max_edits: int = 2
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    """Lucene WildcardQuery: ``te*t`` / ``t?st`` / ``*ark`` — ``*``
+    any sequence, ``?`` one char, anywhere in the pattern. Trailing-*
+    only patterns parse to the cheaper ``Prefix`` instead; everything
+    else lands here and expands via the dictionary regex scan with the
+    literal prefix pushed down (bm25.wildcard_regex /
+    wildcard_literal_prefix)."""
+
+    text: str
     field: str | None = None
     boost: float = 1.0
 
@@ -274,12 +292,15 @@ def _parse_level(
                     fm.group(1), int(fm.group(2) or 2), field=field,
                     boost=boost,
                 )
-            elif w.endswith("*") and len(w) > 1 and "*" not in w[:-1]:
+            elif (
+                w.endswith("*")
+                and len(w) > 1
+                and "*" not in w[:-1]
+                and "?" not in w
+            ):
                 node = Prefix(w[:-1], field=field, boost=boost)
-            elif "*" in w:
-                raise ValueError(
-                    "only trailing-* wildcards are supported"
-                )
+            elif "*" in w or "?" in w:
+                node = Wildcard(w, field=field, boost=boost)
             else:
                 node = Term(w, field=field, boost=boost)
         flush(node)
@@ -317,6 +338,32 @@ def _expand_fuzzy(
         & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
     )
     _guard_expansion(base, max_expansions, f"fuzzy '{t}'~{max_edits}")
+    return base.select("term", "field", "df").collect()
+
+
+def _expand_wildcard(
+    index: InvertedIndex, cfg: IndexConfig, pattern: str,
+    max_expansions: int, fields: list[str] | None = None,
+) -> list:
+    """Lucene WildcardQuery expansion: anchored regex over the term
+    dictionary with the literal prefix pushed down as a range seek
+    (CompiledAutomaton.commonPrefix analog), cap-guarded
+    distributed-side like prefix/fuzzy/range."""
+    from golr_loader_spark.plans.bm25 import (
+        _guard_expansion,
+        wildcard_literal_prefix,
+        wildcard_regex,
+    )
+
+    p = pattern.lower()
+    cond = F.col("term").rlike(wildcard_regex(p)) & F.col("field").isin(
+        list(fields or cfg.fields)
+    )
+    pref = wildcard_literal_prefix(p)
+    if pref:
+        cond &= F.col("term").startswith(pref)
+    base = index.term_stats.filter(cond)
+    _guard_expansion(base, max_expansions, f"wildcard '{p}'")
     return base.select("term", "field", "df").collect()
 
 
@@ -488,6 +535,11 @@ def _exec(
             terms = set(analyze_query(node.text, an, cfg.chain))
         elif isinstance(node, TermRange):
             rows = _expand_range(index, cfg, node, max_expansions, fields)
+            terms = {r["term"] for r in rows}
+        elif isinstance(node, Wildcard):
+            rows = _expand_wildcard(
+                index, cfg, node.text, max_expansions, fields
+            )
             terms = {r["term"] for r in rows}
         else:
             rows = (
@@ -793,6 +845,13 @@ def _explain_clauses(
             terms = {
                 r["term"]
                 for r in _expand_prefix(index, cfg, node.text, max_expansions, fields)
+            }
+        elif isinstance(node, Wildcard):
+            terms = {
+                r["term"]
+                for r in _expand_wildcard(
+                    index, cfg, node.text, max_expansions, fields
+                )
             }
         else:
             terms = {

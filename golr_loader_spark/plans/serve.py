@@ -52,6 +52,22 @@ def _lev_le(a: str, b: str, m: int) -> bool:
     return prev[-1] <= m
 
 
+def _wildcard_terms(vocab, pattern: str) -> list[str]:
+    """Vocabulary terms matching a Lucene wildcard pattern: the
+    anchored regex from ``bm25.wildcard_regex`` with the literal
+    prefix short-circuiting most non-matches before the regex runs."""
+    import re as _re
+
+    from golr_loader_spark.plans.bm25 import (
+        wildcard_literal_prefix,
+        wildcard_regex,
+    )
+
+    rx = _re.compile(wildcard_regex(pattern))
+    pref = wildcard_literal_prefix(pattern)
+    return [t for t in vocab if t.startswith(pref) and rx.match(t)]
+
+
 class _RowGroupIndex:
     """One-time footer scan over a term-sorted parquet directory: keeps
     memory-mapped ``ParquetFile`` handles open and a [(term_min,
@@ -353,6 +369,29 @@ class LocalSearcher:
         if len(terms) > max_expansions:
             raise ValueError(
                 f"prefix '{p}' expands to >{max_expansions} terms"
+            )
+        weights = self._weights_of(self._term_rows(terms))
+        return self._score(weights, terms, k)
+
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int = 1024
+    ) -> list[tuple[int, float]]:
+        """Serving-path WildcardQuery (``te*t`` / ``t?st`` / ``*ark``):
+        anchored-regex walk over the in-memory term dictionary with the
+        literal prefix short-circuiting the scan (Lucene's
+        CompiledAutomaton.commonPrefix), then the scored disjunction —
+        same SCORING_BOOLEAN semantics as ``bm25.search_wildcard``."""
+        p = pattern.strip().lower()
+        if not p:
+            return []
+        if "*" not in p and "?" not in p:
+            return self.search(p, k=k)
+        terms = sorted(_wildcard_terms(self._vocab_terms(), p))
+        if not terms:
+            return []
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"wildcard '{p}' expands to >{max_expansions} terms"
             )
         weights = self._weights_of(self._term_rows(terms))
         return self._score(weights, terms, k)
@@ -1152,6 +1191,7 @@ class LocalSearcher:
             Prefix,
             Term,
             TermRange,
+            Wildcard,
         )
 
         qan = query_analyzer(self.cfg)
@@ -1180,6 +1220,8 @@ class LocalSearcher:
                 if isinstance(node, Prefix):
                     p = node.text.lower()
                     cand_t = [t for t in vocab if t.startswith(p)]
+                elif isinstance(node, Wildcard):
+                    cand_t = _wildcard_terms(vocab, node.text.lower())
                 elif isinstance(node, TermRange):
                     cand_t = [
                         t
@@ -1457,6 +1499,7 @@ class LocalSearcher:
             Prefix,
             Term,
             TermRange,
+            Wildcard,
         )
 
         out: dict = {
@@ -1488,6 +1531,8 @@ class LocalSearcher:
                 if isinstance(node, Prefix):
                     p = node.text.lower()
                     cand_t = [t for t in vocab if t.startswith(p)]
+                elif isinstance(node, Wildcard):
+                    cand_t = _wildcard_terms(vocab, node.text.lower())
                 elif isinstance(node, TermRange):
                     cand_t = [
                         t

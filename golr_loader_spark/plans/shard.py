@@ -222,6 +222,13 @@ class ShardedSearcher:
             "search_prefix", k, prefix, k, max_expansions=max_expansions
         )
 
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int = 1024
+    ):
+        return self._scatter_topk(
+            "search_wildcard", k, pattern, k, max_expansions=max_expansions
+        )
+
     def search_fuzzy(
         self, query_term: str, max_edits: int = 1, prefix_length: int = 0,
         k: int = 10, max_expansions: int = 64,

@@ -67,9 +67,22 @@ def test_parser_shapes():
     assert parse_lucene('NOT a "x y"~3') == [
         ("MUST_NOT", Term("a")), ("SHOULD", Phrase("x y", 3)),
     ]
-    for bad in ['(a b', 'a)', 'mid*dle', '"open', '1bad:x', 'f:(a b)']:
+    for bad in ['(a b', 'a)', '"open', '1bad:x', 'f:(a b)']:
         with pytest.raises(ValueError):
             parse_lucene(bad)
+    # mid-pattern wildcards parse to Wildcard nodes (WildcardQuery)
+    from golr_loader_spark.plans.lucene import Wildcard
+
+    assert parse_lucene("mid*dle t?st f:a*b^2") == [
+        ("SHOULD", Wildcard("mid*dle")),
+        ("SHOULD", Wildcard("t?st")),
+        ("SHOULD", Wildcard("a*b", field="f", boost=2.0)),
+    ]
+    # trailing-* with no other wildcard stays the cheaper Prefix
+    assert parse_lucene("b* b?*") == [
+        ("SHOULD", Prefix("b")),
+        ("SHOULD", Wildcard("b?*")),
+    ]
 
 
 def test_parser_groups_and_ranges():
