@@ -330,6 +330,36 @@ def _engine_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ReRank (rq={!rerank reRankQuery='sort scan' reRankDocs=15
+    reRankWeight=2}) on the REAL engine index: first pass 'data query
+    spark', the top-15 block re-sorts by s1 + 2*s2, the tail keeps
+    first-pass order after the block (Lucene ReRankCollector
+    contract). SQL_Q61 replays both scored passes and the block
+    ordering in DuckDB; rank attaches by POSITION (the engine's own
+    ordering), score rounds to 4 for display."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.rerank import rerank_search
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = rerank_search(
+        ix, "data query spark", "sort scan",
+        k=25, rerank_docs=15, rerank_weight=2.0, cfg=cfg,
+    ).collect()
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], round(r["score"], 4)) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
     SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
@@ -885,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_lucene"] = _engine_lucene
     out["engine_prefix"] = _engine_prefix
     out["engine_wildcard"] = _engine_wildcard
+    out["engine_rerank"] = _engine_rerank
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
@@ -937,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q58,
         SQL_Q59,
         SQL_Q60,
+        SQL_Q61,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -953,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_lucene"] = SQL_Q45
     out["engine_prefix"] = SQL_Q38
     out["engine_wildcard"] = SQL_Q60
+    out["engine_rerank"] = SQL_Q61
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41

@@ -1994,6 +1994,63 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# Oracle for the engine's ReRank query (rerank.rerank_search —
+# engine_rerank in __spark_entry__.py): Solr ReRankQParserPlugin /
+# Lucene ReRankCollector — first pass scores 'data query spark'
+# disjunctively, the top-15 block re-sorts by s1 + 2*s2 (second pass:
+# 'sort scan'), the tail keeps first-pass order after the block.
+# Scores on both sides are the bit-identical term-ordered BM25 sums,
+# so the combine (one multiply + add) is bit-identical too;
+# round-to-4 is display-only, rank comes from the block ordering.
+SQL_Q61 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt1 AS (SELECT * FROM toks WHERE term IN ('data','query','spark')),
+idf1 AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt1 GROUP BY term),
+s1 AS (
+  SELECT qt1.doc_id,
+         sum(idf1.idf * 2.2 * qt1.tf / (qt1.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) ORDER BY qt1.term) AS s1
+  FROM qt1 JOIN idf1 USING (term) JOIN dl USING (doc_id)
+  GROUP BY qt1.doc_id),
+qt2 AS (SELECT * FROM toks WHERE term IN ('sort','scan')),
+idf2 AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt2 GROUP BY term),
+s2 AS (
+  SELECT qt2.doc_id,
+         sum(idf2.idf * 2.2 * qt2.tf / (qt2.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) ORDER BY qt2.term) AS s2
+  FROM qt2 JOIN idf2 USING (term) JOIN dl USING (doc_id)
+  GROUP BY qt2.doc_id),
+ranked1 AS (
+  SELECT doc_id, s1, row_number() OVER (ORDER BY s1 DESC, doc_id ASC) AS r1
+  FROM s1),
+blk AS (
+  SELECT r.doc_id, r.s1 + 2.0 * coalesce(s2.s2, 0.0) AS comb
+  FROM ranked1 r LEFT JOIN s2 USING (doc_id) WHERE r.r1 <= 15),
+ordered AS (
+  SELECT doc_id, comb, 0 AS blk,
+         row_number() OVER (ORDER BY comb DESC, doc_id ASC) AS pos
+  FROM blk
+  UNION ALL
+  SELECT doc_id, s1 AS comb, 1 AS blk, r1 AS pos
+  FROM ranked1 WHERE r1 > 15),
+final AS (
+  SELECT doc_id, round(comb, 4) AS score,
+         row_number() OVER (ORDER BY blk, pos) AS rank
+  FROM ordered)
+SELECT rank, doc_id, score FROM final WHERE rank <= 25
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

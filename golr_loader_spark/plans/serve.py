@@ -1124,6 +1124,36 @@ class LocalSearcher:
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
 
+    def rerank(
+        self,
+        querystring: str,
+        rerank_query: str,
+        k: int = 10,
+        rerank_docs: int = 200,
+        rerank_weight: float = 2.0,
+        max_expansions: int = 1024,
+    ) -> list[tuple[int, float]]:
+        """Serving-path Solr ReRank (rq={!rerank ...}): complete match
+        sets for both passes, then the shared ReRankCollector block
+        kernel (``rerank.rerank_lists``) — the exact twin of
+        ``rerank.rerank_search``."""
+        from golr_loader_spark.plans.lucene import parse_lucene
+        from golr_loader_spark.plans.rerank import rerank_lists
+
+        clauses = parse_lucene(querystring)
+        if not clauses:
+            return []
+        first = self._exec_clauses_local(clauses, max_expansions, None)
+        if first is None:
+            return []
+        second = self._exec_clauses_local(
+            parse_lucene(rerank_query), max_expansions, None
+        )
+        out = rerank_lists(
+            first, second or {}, k, rerank_docs, rerank_weight
+        )
+        return [(int(d), float(s)) for d, s in out]
+
     def _all_doc_ids_local(self) -> set[int]:
         """Live doc universe (serving twin of ``facets.all_doc_ids``):
         union of every posting list's decoded doc-id stream,

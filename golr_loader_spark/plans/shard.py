@@ -511,6 +511,50 @@ class ShardedSearcher:
 
     # -------------------------------------------------- sort / paging
 
+    def rerank(
+        self,
+        querystring: str,
+        rerank_query: str,
+        k: int = 10,
+        rerank_docs: int = 200,
+        rerank_weight: float = 2.0,
+        max_expansions: int = 1024,
+    ):
+        """Sharded Solr ReRank: the first-pass top-N block is GLOBAL,
+        so per-shard truncated reranks cannot merge — instead each
+        shard returns its complete match sets for both passes (doc
+        spaces disjoint, scores globally comparable) and the shared
+        ReRankCollector kernel runs coordinator-side. Exactly how
+        SolrCloud executes rq= (the coordinator reranks the merged
+        first-pass page)."""
+        from golr_loader_spark.plans.lucene import parse_lucene
+        from golr_loader_spark.plans.rerank import rerank_lists
+
+        c1 = parse_lucene(querystring)
+        c2 = parse_lucene(rerank_query)
+        if not c1:
+            return []
+        parts = self._fanout(
+            [
+                (lambda s=s: (
+                    s._exec_clauses_local(c1, max_expansions, None),
+                    s._exec_clauses_local(c2, max_expansions, None),
+                ))
+                for s in self.shards
+            ]
+        )
+        first: dict[int, float] = {}
+        second: dict[int, float] = {}
+        for f, sec in parts:
+            if f:
+                first.update(f)
+            if sec:
+                second.update(sec)
+        if not first:
+            return []
+        out = rerank_lists(first, second, k, rerank_docs, rerank_weight)
+        return [(int(d), float(s)) for d, s in out]
+
     def search_sorted(
         self, query: str, sort_field: str, ascending: bool = True,
         start: int = 0, rows: int = 10, mode: str = "or",
