@@ -360,6 +360,50 @@ def _engine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_jsonfacet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JSON Facet API on the REAL engine index: terms facet over
+    lang (top-5) carrying sum(n_chars) + unique(source) aggregations
+    and a nested top-3 source terms sub-facet, over the decode-only
+    match set of 'data query spark'. The nested result tree flattens
+    to one row per (lang, nested source); SQL_Q62 replays both facet
+    levels and the aggregations in DuckDB."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import build_facets
+    from golr_loader_spark.plans.jsonfacet import json_facet
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    fx = build_facets(d, ["lang", "source"], cfg)
+    res = json_facet(
+        ix, "data query spark",
+        {"langs": {"type": "terms", "field": "lang", "limit": 5,
+                   "facet": {"sum_chars": "sum(n_chars)",
+                             "sources": "unique(source)",
+                             "by_source": {"type": "terms",
+                                           "field": "source", "limit": 3}}}},
+        fx, cfg=cfg, numbers=d.select("doc_id", "n_chars"),
+    )
+    rows = []
+    for b in res["langs"]["buckets"]:
+        for sb in b["by_source"]["buckets"]:
+            rows.append((
+                b["val"], b["count"], float(b["sum_chars"]), b["sources"],
+                sb["val"], sb["count"],
+            ))
+    return spark.createDataFrame(
+        rows,
+        "lang string, lang_count long, sum_chars double, sources long, "
+        "source string, source_count long",
+    )
+
+
 def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
     SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
@@ -916,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_prefix"] = _engine_prefix
     out["engine_wildcard"] = _engine_wildcard
     out["engine_rerank"] = _engine_rerank
+    out["engine_jsonfacet"] = _engine_jsonfacet
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
@@ -969,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q59,
         SQL_Q60,
         SQL_Q61,
+        SQL_Q62,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -986,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_prefix"] = SQL_Q38
     out["engine_wildcard"] = SQL_Q60
     out["engine_rerank"] = SQL_Q61
+    out["engine_jsonfacet"] = SQL_Q62
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41

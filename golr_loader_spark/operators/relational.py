@@ -2051,6 +2051,45 @@ SELECT rank, doc_id, score FROM final WHERE rank <= 25
 """
 
 
+# Oracle for the engine's JSON Facet API request (jsonfacet.json_facet
+# — engine_jsonfacet in __spark_entry__.py): terms facet over lang
+# (top-5 by count desc, value asc) carrying sum(n_chars) and
+# unique(source) aggregations plus a nested top-3 source terms
+# sub-facet, over the decode-only match set of 'data query spark'.
+# Flattened to one row per (lang, nested source).
+SQL_Q62 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ('data','query','spark')),
+d AS (
+  SELECT doc_id, lang, source, n_chars
+  FROM documents JOIN m USING (doc_id)),
+lb AS (
+  SELECT lang, count(*) AS lang_count,
+         CAST(sum(n_chars) AS DOUBLE) AS sum_chars,
+         count(DISTINCT source) AS sources
+  FROM d GROUP BY lang),
+lt AS (
+  SELECT *, row_number() OVER (ORDER BY lang_count DESC, lang ASC) AS lr
+  FROM lb),
+sb AS (
+  SELECT lang, source, count(*) AS source_count
+  FROM d GROUP BY lang, source),
+st AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY source_count DESC, source ASC) AS sr
+  FROM sb)
+SELECT t.lang, t.lang_count, t.sum_chars, t.sources,
+       s.source, s.source_count
+FROM lt t JOIN st s USING (lang)
+WHERE t.lr <= 5 AND s.sr <= 3
+ORDER BY t.lr, s.sr
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

@@ -1124,6 +1124,17 @@ class LocalSearcher:
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
 
+    def json_facet(
+        self, query: str, spec: dict, mode: str = "or", fq: str | None = None
+    ) -> dict:
+        """Serving-path Solr JSON Facet API (nested facets with
+        per-bucket aggregations) — delegates to
+        ``jsonfacet.json_facet_local``; see that module for the
+        supported subset and the parity contract."""
+        from golr_loader_spark.plans.jsonfacet import json_facet_local
+
+        return json_facet_local(self, query, spec, mode=mode, fq=fq)
+
     def rerank(
         self,
         querystring: str,

@@ -511,6 +511,15 @@ class ShardedSearcher:
 
     # -------------------------------------------------- sort / paging
 
+    def json_facet(
+        self, query: str, spec: dict, mode: str = "or", fq: str | None = None
+    ) -> dict:
+        """Sharded Solr JSON Facet API: exact merge of untruncated
+        per-shard partials (``jsonfacet.json_facet_sharded``)."""
+        from golr_loader_spark.plans.jsonfacet import json_facet_sharded
+
+        return json_facet_sharded(self.shards, query, spec, mode=mode, fq=fq)
+
     def rerank(
         self,
         querystring: str,

@@ -1,0 +1,174 @@
+"""JSON Facet API (plans/jsonfacet.py): nested facets with per-bucket
+aggregations — distributed result vs a brute-force python model built
+from the raw document table, and serving + sharded twins pinned to the
+distributed result (the sharded merge is exact, incl. unique())."""
+
+from __future__ import annotations
+
+import pytest
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.corpus import synth_corpus
+from golr_loader_spark.plans.build_index import build_index, write_index
+from golr_loader_spark.plans.documents import flatten_documents
+from golr_loader_spark.plans.facets import build_facets, matching_doc_ids
+from golr_loader_spark.plans.jsonfacet import json_facet
+from golr_loader_spark.plans.serve import LocalSearcher
+from golr_loader_spark.plans.shard import ShardedSearcher, shard_index
+
+N_DOCS = 300
+Q = "def return"
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return IndexConfig()
+
+
+@pytest.fixture(scope="module")
+def setup(spark, cfg, tmp_path_factory):
+    docs = flatten_documents(synth_corpus(spark, N_DOCS, seed=13)).cache()
+    ix = build_index(docs, cfg)
+    fx = build_facets(docs, ["lang", "repo"], cfg)
+    base = tmp_path_factory.mktemp("jfix")
+    root = str(base / "flat")
+    write_index(
+        ix, root, term_partitions=4, documents=docs,
+        facets=fx, store_fields=["lang", "repo", "content_len"],
+    )
+    sh_roots = shard_index(spark, root, str(base / "sh"), 3, cfg=cfg)
+    nums = docs.select("doc_id", "content_len")
+    # brute model inputs: raw (doc_id, lang, repo, content_len) rows
+    raw = {
+        r["doc_id"]: (r["lang"], r["repo"], r["content_len"])
+        for r in docs.select("doc_id", "lang", "repo", "content_len").collect()
+    }
+    mids = {
+        r["doc_id"] for r in matching_doc_ids(ix, Q, cfg=cfg).collect()
+    }
+    return ix, fx, nums, raw, mids, root, sh_roots
+
+
+SPEC = {
+    "langs": {
+        "type": "terms", "field": "lang", "limit": 4, "mincount": 1,
+        "facet": {
+            "sum_len": "sum(content_len)",
+            "avg_len": "avg(content_len)",
+            "min_len": "min(content_len)",
+            "max_len": "max(content_len)",
+            "repos": "unique(repo)",
+            "by_repo": {"type": "terms", "field": "repo", "limit": 2},
+            "with_scan": {"type": "query", "q": "scan"},
+        },
+    },
+    "scanners": {
+        "type": "query", "q": "scan",
+        "facet": {"avg_len": "avg(content_len)", "repos": "unique(repo)"},
+    },
+}
+
+
+def brute(raw, mids, ix, cfg, scan_ids):
+    langs: dict = {}
+    for d in mids:
+        lang, repo, ln = raw[d]
+        langs.setdefault(lang, []).append((d, repo, ln))
+    buckets = []
+    for v, rows in langs.items():
+        lens = [ln for _d, _r, ln in rows]
+        by_repo: dict = {}
+        for _d, r, _ln in rows:
+            by_repo[r] = by_repo.get(r, 0) + 1
+        top_repos = sorted(by_repo.items(), key=lambda x: (-x[1], x[0]))[:2]
+        buckets.append({
+            "val": v,
+            "count": len(rows),
+            "sum_len": round(float(sum(lens)), 4),
+            "avg_len": round(sum(lens) / len(lens), 4),
+            "min_len": min(lens),
+            "max_len": max(lens),
+            "repos": len(by_repo),
+            "by_repo": {
+                "buckets": [
+                    {"val": r, "count": c} for r, c in top_repos
+                ]
+            },
+            "with_scan": {
+                "count": sum(1 for d, _r, _l in rows if d in scan_ids)
+            },
+        })
+    buckets.sort(key=lambda b: (-b["count"], b["val"]))
+    both = mids & scan_ids
+    lens2 = [raw[d][2] for d in both]
+    return {
+        "count": len(mids),
+        "langs": {"buckets": buckets[:4]},
+        "scanners": {
+            "count": len(both),
+            "avg_len": round(sum(lens2) / len(lens2), 4) if lens2 else None,
+            "repos": len({raw[d][1] for d in both}),
+        },
+    }
+
+
+def test_distributed_matches_brute_model(spark, cfg, setup):
+    ix, fx, nums, raw, mids, _root, _sh = setup
+    scan_ids = {
+        r["doc_id"] for r in matching_doc_ids(ix, "scan", cfg=cfg).collect()
+    }
+    got = json_facet(ix, Q, SPEC, fx, cfg=cfg, numbers=nums)
+    assert got == brute(raw, mids, ix, cfg, scan_ids)
+
+
+def test_serving_parity(spark, cfg, setup):
+    ix, fx, nums, _raw, _mids, root, _sh = setup
+    want = json_facet(ix, Q, SPEC, fx, cfg=cfg, numbers=nums)
+    ls = LocalSearcher(root, cfg)
+    assert ls.json_facet(Q, SPEC) == want
+
+
+def test_sharded_parity(spark, cfg, setup):
+    ix, fx, nums, _raw, _mids, _root, sh_roots = setup
+    want = json_facet(ix, Q, SPEC, fx, cfg=cfg, numbers=nums)
+    ss = ShardedSearcher(sh_roots, cfg)
+    assert ss.json_facet(Q, SPEC) == want
+
+
+def test_fq_and_sort_index(spark, cfg, setup):
+    ix, fx, nums, raw, _m, root, _sh = setup
+    spec = {"langs": {"type": "terms", "field": "lang", "sort": "index",
+                      "limit": 100}}
+    got = json_facet(ix, Q, spec, fx, cfg=cfg, fq="scan")
+    both = {
+        r["doc_id"] for r in matching_doc_ids(ix, Q, cfg=cfg).collect()
+    } & {
+        r["doc_id"] for r in matching_doc_ids(ix, "scan", cfg=cfg).collect()
+    }
+    counts: dict = {}
+    for d in both:
+        counts[raw[d][0]] = counts.get(raw[d][0], 0) + 1
+    assert got["count"] == len(both)
+    assert got["langs"]["buckets"] == [
+        {"val": v, "count": c} for v, c in sorted(counts.items())
+    ]
+    ls = LocalSearcher(root, cfg)
+    assert ls.json_facet(Q, spec, fq="scan") == got
+
+
+def test_contract_errors(spark, cfg, setup):
+    ix, fx, nums, _raw, _m, root, _sh = setup
+    deep = {"a": {"type": "terms", "field": "lang", "facet": {
+        "b": {"type": "terms", "field": "repo", "facet": {
+            "c": {"type": "terms", "field": "lang"}}}}}}
+    with pytest.raises(ValueError, match="one level"):
+        json_facet(ix, Q, deep, fx, cfg=cfg)
+    with pytest.raises(ValueError, match="one level"):
+        LocalSearcher(root, cfg).json_facet(Q, deep)
+    with pytest.raises(ValueError, match="unsupported aggregation"):
+        json_facet(
+            ix, Q,
+            {"a": {"type": "terms", "field": "lang",
+                   "facet": {"p": "percentile(content_len,50)"}}},
+            fx, cfg=cfg,
+        )
