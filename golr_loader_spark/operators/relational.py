@@ -1815,6 +1815,65 @@ FROM cum
 
 
 
+def q38_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (the pre-training privacy pass): per-doc counts
+    of email / IPv4 / phone spans + typed-token redaction. The corpus
+    is synthetic and PII-free, so the query deterministically injects
+    doc_id-derived PII into every third doc first — the oracle builds
+    the identical text, so the regex semantics (Java vs RE2 common
+    subset) are what's actually under test. Zero-shuffle scan→project
+    plan (operators/textstats.pii_scrub)."""
+    from golr_loader_spark.operators.textstats import pii_scrub
+
+    d = load(spark, sf, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call 555-123-4567 end"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = pii_scrub(injected, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "redacted",
+    )
+
+
+SQL_Q38B = """
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com at 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 call 555-123-4567 end'
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted
+FROM inj
+"""
+
+
 def q37_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2021 EXACTSUBSTR
     dedup): every 10-token window occurring >= 2x in the corpus marks
@@ -2127,4 +2186,5 @@ QUERIES: dict[str, tuple] = {
     "q35_json_props_stats": (q35_json_props_stats, SQL_Q35),
     "q36_pack_sequences": (q36_pack_sequences, SQL_Q36B),
     "q37_exact_substring": (q37_exact_substring, SQL_Q37B),
+    "q38_pii_scrub": (q38_pii_scrub, SQL_Q38B),
 }

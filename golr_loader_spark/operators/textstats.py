@@ -194,3 +194,45 @@ def pack_sequences(
         )
         .drop("_cum")
     )
+
+
+# PII patterns shared by the operator and its tests. Written to the
+# regex COMMON SUBSET of Java (Spark) and RE2 (DuckDB): no lookaround,
+# no backreferences — so the DuckDB oracle replays them verbatim.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+PII_TOKENS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for web-scale training corpora: per-doc counts of
+    email / IPv4 / phone-shaped spans plus the redacted text with each
+    span replaced by a typed token (<EMAIL>/<IP>/<PHONE>) — the
+    standard pre-training privacy pass (e.g. what C4/RefinedWeb-style
+    pipelines run before tokenization).
+
+    Pure Catalyst: ``regexp_count`` per class + one ``regexp_replace``
+    chain — whole-stage-codegen'd, no Python in the hot path, embar-
+    rassingly parallel (zero shuffles), so the plan is a bare scan →
+    project at any corpus size. Replacement order is email → ipv4 →
+    phone; counts are measured on the ORIGINAL text so classes can't
+    mask each other (an email's host never counts as an IP unless it
+    already matched the IP pattern in the raw text)."""
+    text = F.col(text_col)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.regexp_count(text, F.lit(p)).alias(f"n_{name}")
+            for name, p in PII_PATTERNS.items()
+        ],
+        text.alias("_t"),
+    )
+    red = F.col("_t")
+    for name, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, PII_TOKENS[name])
+    return out.select(
+        "id", "n_email", "n_ipv4", "n_phone", red.alias("redacted")
+    )

@@ -84,3 +84,29 @@ def test_pack_sequences_budget_boundaries(spark):
         0: (3, "s1/0"), 1: (4, "s1/0"), 2: (2, "s1/1"),
         3: (5, "s1/1"), 4: (1, "s1/2"), 5: (6, "s2/0"), 6: (1, "s2/1"),
     }
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from golr_loader_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (0, "mail a.b+c@sub.example.org and x@y.io end"),
+        (1, "server at 192.168.0.1 and 10.0.0.255, version 1.2 no"),
+        (2, "call 555-123-4567 or 555.987.6543 but not 55-123-4567"),
+        (3, "clean text with no pii at all"),
+        (4, "combo bob@corp.net from 8.8.8.8 dial 800-555-0100"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r.asDict()
+        for r in pii_scrub(df, "doc_id", "text").collect()
+    }
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (2, 0, 0)
+    assert out[0]["redacted"] == "mail <EMAIL> and <EMAIL> end"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (0, 2, 0)
+    assert out[1]["redacted"] == "server at <IP> and <IP>, version 1.2 no"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 2)
+    assert "55-123-4567" in out[2]["redacted"]  # 2-digit prefix: not a phone
+    assert out[3]["redacted"] == rows[3][1]
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 1, 1)
+    assert out[4]["redacted"] == "combo <EMAIL> from <IP> dial <PHONE>"
