@@ -404,6 +404,49 @@ def _engine_jsonfacet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_blockjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!parent} block join on the REAL engine index: one
+    synthesized parent doc per source (marker token 'parentdoc',
+    block = source) unioned into the corpus; children scored by
+    'data query spark', ScoreMode.total per block, joined to the
+    parents. SQL_Q63 replays the union, both match sets, the
+    doc_id-ordered score fold, and the parent join in DuckDB; rank
+    attaches by position."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.blockjoin import block_join_parent
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import build_facets
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    sources = sorted(r["source"] for r in d.select("source").distinct().collect())
+    parents = spark.createDataFrame(
+        [(max_id + i + 1, "parentdoc", s) for i, s in enumerate(sources)],
+        "doc_id long, text string, source string",
+    )
+    uni = d.unionByName(parents)
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max((max_id + len(sources)).bit_length(), 1),
+    )
+    ix = build_index(uni.select("doc_id", "text"), cfg)
+    fx = build_facets(uni, ["source"], cfg)
+    top = (
+        block_join_parent(
+            ix, fx, "data query spark", "parentdoc", "source",
+            score_mode="total", k=10, cfg=cfg,
+        )
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], round(r["score"], 4)) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
     SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
@@ -961,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_wildcard"] = _engine_wildcard
     out["engine_rerank"] = _engine_rerank
     out["engine_jsonfacet"] = _engine_jsonfacet
+    out["engine_blockjoin"] = _engine_blockjoin
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
@@ -1015,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q60,
         SQL_Q61,
         SQL_Q62,
+        SQL_Q63,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -1033,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_wildcard"] = SQL_Q60
     out["engine_rerank"] = SQL_Q61
     out["engine_jsonfacet"] = SQL_Q62
+    out["engine_blockjoin"] = SQL_Q63
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41

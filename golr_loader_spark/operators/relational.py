@@ -2149,6 +2149,58 @@ ORDER BY t.lr, s.sr
 """
 
 
+# Oracle for the engine's block join (blockjoin.block_join_parent —
+# engine_blockjoin in __spark_entry__.py): Solr {!parent
+# which=parentdoc score=total}'data query spark' over a corpus where
+# one synthesized parent doc per source carries the marker token
+# 'parentdoc' and block = source. Child BM25 scores fold per block in
+# doc_id order (bit-identical to the engine's array_sort fold);
+# parents are excluded from child scoring by Lucene's rule.
+SQL_Q63 = """
+WITH base AS (SELECT doc_id, lower(text) AS text, source FROM documents),
+parents AS (
+  SELECT (SELECT max(doc_id) FROM documents)
+         + row_number() OVER (ORDER BY source) AS doc_id,
+         'parentdoc' AS text, source
+  FROM (SELECT DISTINCT source FROM documents)),
+uni AS (SELECT * FROM base UNION ALL SELECT * FROM parents),
+toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM uni, unnest(string_split(text, ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM uni) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM uni) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('data','query','spark')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+scored AS (
+  SELECT qt.doc_id,
+         sum(idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) ORDER BY qt.term) AS score
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)
+  GROUP BY qt.doc_id),
+pdocs AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'parentdoc'),
+kids AS (
+  SELECT s.doc_id, s.score, u.source
+  FROM scored s JOIN uni u USING (doc_id)
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM pdocs)),
+per_block AS (
+  SELECT source, sum(score ORDER BY doc_id) AS total
+  FROM kids GROUP BY source),
+out AS (
+  SELECT p.doc_id, round(pb.total, 4) AS score
+  FROM parents p JOIN per_block pb USING (source)),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM out)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

@@ -1135,6 +1135,31 @@ class LocalSearcher:
 
         return json_facet_local(self, query, spec, mode=mode, fq=fq)
 
+    def block_join_parent(
+        self, child_query: str, which: str, block_field: str,
+        score_mode: str = "none", k: int = 10, max_expansions: int = 1024,
+    ):
+        """Serving-path Solr {!parent} block join (see
+        ``plans.blockjoin`` for semantics and the doc-values block
+        key that replaces Lucene's physical contiguity)."""
+        from golr_loader_spark.plans.blockjoin import block_join_parent_local
+
+        return block_join_parent_local(
+            self, child_query, which, block_field, score_mode, k,
+            max_expansions,
+        )
+
+    def block_join_child(
+        self, parent_query: str, of: str, block_field: str,
+        max_expansions: int = 1024,
+    ):
+        """Serving-path Solr {!child} block join."""
+        from golr_loader_spark.plans.blockjoin import block_join_child_local
+
+        return block_join_child_local(
+            self, parent_query, of, block_field, max_expansions
+        )
+
     def rerank(
         self,
         querystring: str,

@@ -520,6 +520,35 @@ class ShardedSearcher:
 
         return json_facet_sharded(self.shards, query, spec, mode=mode, fq=fq)
 
+    def block_join_parent(
+        self, child_query: str, which: str, block_field: str,
+        score_mode: str = "none", k: int = 10, max_expansions: int = 1024,
+    ):
+        """Sharded {!parent}: exact cross-shard per-block partial
+        merge — blocks need NOT be co-located (unlike Lucene)."""
+        from golr_loader_spark.plans.blockjoin import (
+            block_join_parent_sharded,
+        )
+
+        return block_join_parent_sharded(
+            self.shards, child_query, which, block_field, score_mode, k,
+            max_expansions,
+        )
+
+    def block_join_child(
+        self, parent_query: str, of: str, block_field: str,
+        max_expansions: int = 1024,
+    ):
+        """Sharded {!child}: matched block keys gathered from every
+        shard, members collected everywhere."""
+        from golr_loader_spark.plans.blockjoin import (
+            block_join_child_sharded,
+        )
+
+        return block_join_child_sharded(
+            self.shards, parent_query, of, block_field, max_expansions
+        )
+
     def rerank(
         self,
         querystring: str,
