@@ -69,8 +69,6 @@ from golr_loader_spark.plans.bm25 import (
     _idf_table,
     _live_of,
     _norm_excl,
-    _row_segments,
-    _sort_blocks,
 )
 from golr_loader_spark.plans.build_index import InvertedIndex
 
@@ -128,22 +126,27 @@ def _decode_contrib_lists(
     {(term, field): (doc_ids, bm25_contribs)}. Concatenated-buffer
     varint decode (three calls per list), deterministic
     (segment, block_id) block order, tombstone masking."""
+    from golr_loader_spark.plans.bm25 import _grouped_arrays
+
     k1, b = cfg.k1, cfg.b
     out: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
-    for (term, field), rows in pdf.groupby(["term", "field"], sort=False):
+    # numpy-native grouping (one lexsort, contiguous slices in
+    # deterministic block order) — same kernel discipline as bm25
+    ga, bucket_groups = _grouped_arrays(pdf)
+    for term, field, s, e in bucket_groups:
         wt = weights.get((term, field))
         if wt is None:
             continue
-        rows = _sort_blocks(rows)
-        n_pb = rows["n"].to_numpy(np.int64)
-        firsts = rows["doc_id_first"].to_numpy(np.int64)
-        g = np.cumsum(varint_decode(b"".join(rows["doc_ids"])).astype(np.int64))
+        sl = slice(s, e)
+        n_pb = ga["n"][sl]
+        firsts = ga["first"][sl]
+        g = np.cumsum(varint_decode(b"".join(ga["doc_ids"][sl])).astype(np.int64))
         starts = np.concatenate([[0], np.cumsum(n_pb)])[:-1]
         ids = g + np.repeat(firsts - g[starts], n_pb)
-        tfs = varint_decode(b"".join(rows["tfs"])).astype(np.float64)
-        dls = varint_decode(b"".join(rows["dls"])).astype(np.float64)
+        tfs = varint_decode(b"".join(ga["tfs"][sl])).astype(np.float64)
+        dls = varint_decode(b"".join(ga["dls"][sl])).astype(np.float64)
         if excl is not None:
-            keep = _live_of(ids, np.repeat(_row_segments(rows), n_pb), excl)
+            keep = _live_of(ids, np.repeat(ga["seg"][sl], n_pb), excl)
             if not keep.all():
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         if not len(ids):
