@@ -447,6 +447,28 @@ def _engine_blockjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck.collate on the REAL engine index: corrections
+    for the misspelled words of 'datx quary spark' from the term
+    dictionary, collations tried in Solr's (rank-sum, string) order
+    (max 10 tries), each verified with a conjunctive decode-only hit
+    count, first 3 hit-producing rewrites returned. SQL_Q64 replays
+    corrections, try order, and verification in DuckDB."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.bm25 import collate
+    from golr_loader_spark.plans.build_index import build_index
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    return collate(ix, "datx quary spark", cfg=cfg)
+
+
 def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
     SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
@@ -1005,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_rerank"] = _engine_rerank
     out["engine_jsonfacet"] = _engine_jsonfacet
     out["engine_blockjoin"] = _engine_blockjoin
+    out["engine_collate"] = _engine_collate
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
@@ -1060,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q61,
         SQL_Q62,
         SQL_Q63,
+        SQL_Q64,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -1079,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_rerank"] = SQL_Q61
     out["engine_jsonfacet"] = SQL_Q62
     out["engine_blockjoin"] = SQL_Q63
+    out["engine_collate"] = SQL_Q64
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41

@@ -2201,6 +2201,70 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
 
+# Oracle for the engine's spellcheck collation (bm25.collate —
+# engine_collate in __spark_entry__.py): Solr SpellCheckCollator for
+# q='datx quary spark' — per-word corrections (kept at rank 0 when
+# the word is in the dictionary; else top-3 by df desc, term asc,
+# levenshtein<=2, first char shared), collations tried in
+# (rank-sum, string) order capped at 10, each verified with a
+# conjunctive hit count, first 3 hit-producing returned.
+SQL_Q64 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+dict AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+c1 AS (
+  SELECT 'datx' AS term, 0 AS rnk
+  WHERE EXISTS (SELECT 1 FROM dict WHERE term = 'datx')
+  UNION ALL
+  SELECT term, rnk FROM (
+    SELECT d.term, row_number() OVER (ORDER BY d.df DESC, d.term ASC) AS rnk
+    FROM dict d
+    WHERE NOT EXISTS (SELECT 1 FROM dict WHERE term = 'datx')
+      AND d.term <> 'datx' AND substr(d.term, 1, 1) = 'd'
+      AND levenshtein(d.term, 'datx') <= 2) WHERE rnk <= 3),
+c2 AS (
+  SELECT 'quary' AS term, 0 AS rnk
+  WHERE EXISTS (SELECT 1 FROM dict WHERE term = 'quary')
+  UNION ALL
+  SELECT term, rnk FROM (
+    SELECT d.term, row_number() OVER (ORDER BY d.df DESC, d.term ASC) AS rnk
+    FROM dict d
+    WHERE NOT EXISTS (SELECT 1 FROM dict WHERE term = 'quary')
+      AND d.term <> 'quary' AND substr(d.term, 1, 1) = 'q'
+      AND levenshtein(d.term, 'quary') <= 2) WHERE rnk <= 3),
+c3 AS (
+  SELECT 'spark' AS term, 0 AS rnk
+  WHERE EXISTS (SELECT 1 FROM dict WHERE term = 'spark')
+  UNION ALL
+  SELECT term, rnk FROM (
+    SELECT d.term, row_number() OVER (ORDER BY d.df DESC, d.term ASC) AS rnk
+    FROM dict d
+    WHERE NOT EXISTS (SELECT 1 FROM dict WHERE term = 'spark')
+      AND d.term <> 'spark' AND substr(d.term, 1, 1) = 's'
+      AND levenshtein(d.term, 'spark') <= 2) WHERE rnk <= 3),
+combos AS (
+  SELECT c1.term AS t1, c2.term AS t2, c3.term AS t3,
+         c1.rnk + c2.rnk + c3.rnk AS trank,
+         c1.term || ' ' || c2.term || ' ' || c3.term AS coll
+  FROM c1, c2, c3),
+tries AS (
+  SELECT *, row_number() OVER (ORDER BY trank, coll) AS tord
+  FROM combos),
+verified AS (
+  SELECT l.coll, l.tord, count(*) AS hits
+  FROM (SELECT * FROM tries WHERE tord <= 10) l
+  JOIN toks a ON a.term = l.t1
+  JOIN toks b ON b.term = l.t2 AND b.doc_id = a.doc_id
+  JOIN toks c ON c.term = l.t3 AND c.doc_id = a.doc_id
+  GROUP BY l.coll, l.tord),
+fin AS (
+  SELECT coll, hits, row_number() OVER (ORDER BY tord) AS k
+  FROM verified WHERE hits > 0)
+SELECT coll AS collation, CAST(hits AS BIGINT) AS hits FROM fin WHERE k <= 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

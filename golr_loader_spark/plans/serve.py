@@ -1124,6 +1124,56 @@ class LocalSearcher:
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
 
+    def collate(
+        self,
+        query: str,
+        max_collations: int = 3,
+        max_tries: int = 10,
+        k_suggestions: int = 3,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+    ) -> list[tuple[str, int]]:
+        """Serving-path spellcheck.collate (twin of ``bm25.collate``):
+        dictionary words kept, misspelled words corrected from the
+        in-memory term dictionary, each rewrite verified with a
+        conjunctive decode-only hit count; first ``max_collations``
+        hit-producing rewrites in Solr's try order."""
+        from golr_loader_spark.plans.bm25 import (
+            _collation_candidates,
+            _collation_combos,
+        )
+
+        words = analyze_query(query, query_analyzer(self.cfg), self.cfg.chain)
+        if not words:
+            return []
+        present = {
+            w
+            for w in words
+            if any(r["field"] in self.cfg.fields for r in self._term_rows([w]))
+        }
+        cands = _collation_candidates(
+            words,
+            present,
+            lambda w: [
+                t
+                for t, _df in self.suggest(
+                    w, k=k_suggestions, max_edits=max_edits,
+                    prefix_length=prefix_length,
+                )
+            ],
+            k_suggestions,
+        )
+        if cands is None:
+            return []
+        out: list[tuple[str, int]] = []
+        for phrase, _rank in _collation_combos(cands, max_tries):
+            hits = len(self.matching_ids(phrase, mode="and"))
+            if hits:
+                out.append((phrase, int(hits)))
+            if len(out) == max_collations:
+                break
+        return out
+
     def json_facet(
         self, query: str, spec: dict, mode: str = "or", fq: str | None = None
     ) -> dict:

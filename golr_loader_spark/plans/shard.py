@@ -511,6 +511,64 @@ class ShardedSearcher:
 
     # -------------------------------------------------- sort / paging
 
+    def collate(
+        self,
+        query: str,
+        max_collations: int = 3,
+        max_tries: int = 10,
+        k_suggestions: int = 3,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+    ) -> list[tuple[str, int]]:
+        """Sharded spellcheck.collate: the term dictionary is GLOBAL
+        metadata copied to every shard, so corrections come from shard
+        0; verification hit counts sum per-shard conjunctive matches
+        (disjoint doc spaces)."""
+        from golr_loader_spark.plans.bm25 import (
+            _collation_candidates,
+            _collation_combos,
+        )
+        from golr_loader_spark.functions.tokenize import analyze_query
+        from golr_loader_spark.plans.bm25 import query_analyzer
+
+        s0 = self.shards[0]
+        words = analyze_query(query, query_analyzer(self.cfg), self.cfg.chain)
+        if not words:
+            return []
+        present = {
+            w
+            for w in words
+            if any(r["field"] in self.cfg.fields for r in s0._term_rows([w]))
+        }
+        cands = _collation_candidates(
+            words,
+            present,
+            lambda w: [
+                t
+                for t, _df in s0.suggest(
+                    w, k=k_suggestions, max_edits=max_edits,
+                    prefix_length=prefix_length,
+                )
+            ],
+            k_suggestions,
+        )
+        if cands is None:
+            return []
+        out: list[tuple[str, int]] = []
+        for phrase, _rank in _collation_combos(cands, max_tries):
+            counts = self._fanout(
+                [
+                    (lambda s=s, p=phrase: len(s.matching_ids(p, mode="and")))
+                    for s in self.shards
+                ]
+            )
+            hits = sum(counts)
+            if hits:
+                out.append((phrase, int(hits)))
+            if len(out) == max_collations:
+                break
+        return out
+
     def json_facet(
         self, query: str, spec: dict, mode: str = "or", fq: str | None = None
     ) -> dict:
