@@ -469,6 +469,34 @@ def _engine_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collate(ix, "datx quary spark", cfg=cfg)
 
 
+def _engine_elevate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr QueryElevationComponent on the REAL engine index:
+    q='data query spark' with elevate=[7, 3] (pinned first, organic
+    score when they match, 0.0 otherwise — forceElevation) and
+    exclude=[1]; organic tail after the pinned block. SQL_Q65 replays
+    scoring, the pinned block, and the tail ordering in DuckDB; rank
+    attaches by position, scores round to 4 for display."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.lucene import search_elevated
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    top = search_elevated(
+        ix, "data query spark", elevate=[7, 3], exclude=[1], k=20, cfg=cfg
+    ).collect()
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], round(r["score"], 4)) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
     SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
@@ -1028,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_jsonfacet"] = _engine_jsonfacet
     out["engine_blockjoin"] = _engine_blockjoin
     out["engine_collate"] = _engine_collate
+    out["engine_elevate"] = _engine_elevate
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
@@ -1084,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q62,
         SQL_Q63,
         SQL_Q64,
+        SQL_Q65,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -1104,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_jsonfacet"] = SQL_Q62
     out["engine_blockjoin"] = SQL_Q63
     out["engine_collate"] = SQL_Q64
+    out["engine_elevate"] = SQL_Q65
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41

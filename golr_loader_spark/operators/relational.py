@@ -2265,6 +2265,51 @@ SELECT coll AS collation, CAST(hits AS BIGINT) AS hits FROM fin WHERE k <= 3
 """
 
 
+# Oracle for the engine's query elevation (lucene.search_elevated —
+# engine_elevate in __spark_entry__.py): Solr QueryElevationComponent
+# for q='data query spark' with elevate=[7, 3], exclude=[1] — pinned
+# docs first in elevation order (organic score when they match, 0.0
+# otherwise), excluded gone, organic (score desc, doc_id) tail.
+SQL_Q65 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('data','query','spark')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+scored AS (
+  SELECT qt.doc_id,
+         sum(idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) ORDER BY qt.term) AS score
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)
+  GROUP BY qt.doc_id),
+pinned AS (
+  SELECT 1 AS ord, CAST(7 AS BIGINT) AS doc_id
+  UNION ALL SELECT 2, CAST(3 AS BIGINT)),
+pinned_scored AS (
+  SELECT p.ord, p.doc_id, round(coalesce(s.score, 0.0), 4) AS score
+  FROM pinned p LEFT JOIN scored s USING (doc_id)),
+tail AS (
+  SELECT doc_id, round(score, 4) AS score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS tord
+  FROM scored WHERE doc_id NOT IN (7, 3, 1)),
+final AS (
+  SELECT doc_id, score, ord AS pos, 0 AS blk FROM pinned_scored
+  UNION ALL
+  SELECT doc_id, score, tord AS pos, 1 AS blk FROM tail),
+ranked AS (
+  SELECT doc_id, score, row_number() OVER (ORDER BY blk, pos) AS rank
+  FROM final)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

@@ -1005,3 +1005,79 @@ def _explain_clauses(
         return out
     out["score"] = total
     return out
+
+
+def search_elevated(
+    index: InvertedIndex,
+    query: str,
+    elevate: list[int] | None = None,
+    exclude: list[int] | None = None,
+    k: int = 10,
+    cfg: IndexConfig | None = None,
+    exclude_ids=None,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """Solr QueryElevationComponent (elevate.xml): editorial pinning —
+    ``elevate`` doc_ids appear FIRST in the given order regardless of
+    their organic rank (forceElevation: even a non-matching doc is
+    pinned, with score 0.0 like Solr's elevated-but-unscored docs),
+    ``exclude`` doc_ids vanish, everything else follows by organic
+    (score desc, doc_id asc). Scores of elevated docs are their
+    organic scores when they match — Solr keeps the real score and
+    marks ``[elevated]``; the marker here is position.
+
+    Plan: one complete-set pass of the organic query (the fq
+    invariant), the pinned page assembled driver-side from ≤|elevate|
+    point lookups (a broadcast semi-join when the list is long), the
+    tail a TakeOrdered over the remainder."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    elevate = [int(d) for d in (elevate or [])]
+    excl_set = {int(d) for d in (exclude or [])}
+    base = _exec(
+        index, parse_lucene(query), cfg, exclude_ids, max_expansions, None
+    )
+    if base is None:
+        base = spark.createDataFrame([], "doc_id long, score double")
+    pinned_ids = [d for d in elevate if d not in excl_set][:k]
+    drop = excl_set | set(elevate)
+    if drop:
+        tail = base.filter(~F.col("doc_id").isin([int(d) for d in drop]))
+    else:
+        tail = base
+    n_tail = max(0, k - len(pinned_ids))
+    tail_rows = (
+        tail.orderBy(F.desc("score"), F.asc("doc_id")).limit(n_tail).collect()
+        if n_tail
+        else []
+    )
+    pinned_scores = {}
+    if pinned_ids:
+        for r in base.filter(F.col("doc_id").isin(pinned_ids)).collect():
+            pinned_scores[int(r["doc_id"])] = float(r["score"])
+    out = [(d, pinned_scores.get(d, 0.0)) for d in pinned_ids]
+    out += [(int(r["doc_id"]), float(r["score"])) for r in tail_rows]
+    return spark.createDataFrame(out[:k], "doc_id long, score double")
+
+
+def elevate_lists(
+    base: dict[int, float],
+    elevate: list[int] | None,
+    exclude: list[int] | None,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Serving/shard kernel for QueryElevation over a complete
+    {doc_id: score} match set — identical page-assembly rule as
+    ``search_elevated`` (pinned in elevation order, score 0.0 when
+    unmatched, excluded gone, organic tail)."""
+    excl = {int(d) for d in (exclude or [])}
+    elev = [int(d) for d in (elevate or [])]
+    pinned = [d for d in elev if d not in excl][:k]
+    out = [(d, float(base.get(d, 0.0))) for d in pinned]
+    drop = excl | set(elev)
+    rest = sorted(
+        ((int(d), float(s)) for d, s in base.items() if int(d) not in drop),
+        key=lambda x: (-x[1], x[0]),
+    )
+    out += rest[: max(0, k - len(out))]
+    return out

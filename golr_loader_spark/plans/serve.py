@@ -1174,6 +1174,27 @@ class LocalSearcher:
                 break
         return out
 
+    def search_elevated(
+        self,
+        query: str,
+        elevate: list[int] | None = None,
+        exclude: list[int] | None = None,
+        k: int = 10,
+        max_expansions: int = 1024,
+    ) -> list[tuple[int, float]]:
+        """Serving-path QueryElevationComponent (twin of
+        ``lucene.search_elevated``): pinned page assembled from the
+        complete organic match set via the shared kernel."""
+        from golr_loader_spark.plans.lucene import (
+            elevate_lists,
+            parse_lucene,
+        )
+
+        base = self._exec_clauses_local(
+            parse_lucene(query), max_expansions, None
+        ) or {}
+        return elevate_lists(base, elevate, exclude, k)
+
     def json_facet(
         self, query: str, spec: dict, mode: str = "or", fq: str | None = None
     ) -> dict:

@@ -569,6 +569,37 @@ class ShardedSearcher:
                 break
         return out
 
+    def search_elevated(
+        self,
+        query: str,
+        elevate: list[int] | None = None,
+        exclude: list[int] | None = None,
+        k: int = 10,
+        max_expansions: int = 1024,
+    ):
+        """Sharded QueryElevation: pinned ids may live on any shard —
+        merge the complete per-shard match sets (disjoint doc spaces),
+        then the shared page-assembly kernel."""
+        from golr_loader_spark.plans.lucene import (
+            elevate_lists,
+            parse_lucene,
+        )
+
+        clauses = parse_lucene(query)
+        parts = self._fanout(
+            [
+                (lambda s=s: s._exec_clauses_local(
+                    clauses, max_expansions, None
+                ))
+                for s in self.shards
+            ]
+        )
+        base: dict[int, float] = {}
+        for p_ in parts:
+            if p_:
+                base.update(p_)
+        return elevate_lists(base, elevate, exclude, k)
+
     def json_facet(
         self, query: str, spec: dict, mode: str = "or", fq: str | None = None
     ) -> dict:
