@@ -497,6 +497,36 @@ def _engine_elevate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /export handler on the REAL engine index: the COMPLETE
+    conjunctive 'data query' match set sorted by (n_chars desc,
+    doc_id asc) — the bulk-consumer stream deep paging cannot serve at
+    scale. SQL_Q66 replays match + full ordering; rank attaches by
+    position to prove the stream order (the production path returns
+    the sorted DataFrame for .write / toLocalIterator, never
+    collecting)."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import export_matches
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    stream = export_matches(
+        ix, d.select("doc_id", F.col("n_chars").alias("value")),
+        "data query", cfg=cfg, mode="and",
+    ).collect()
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], int(r["value"])) for i, r in enumerate(stream)],
+        "rank int, doc_id long, n_chars int",
+    )
+
+
 def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
     SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
@@ -1057,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_blockjoin"] = _engine_blockjoin
     out["engine_collate"] = _engine_collate
     out["engine_elevate"] = _engine_elevate
+    out["engine_export"] = _engine_export
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
@@ -1114,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q63,
         SQL_Q64,
         SQL_Q65,
+        SQL_Q66,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -1135,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_blockjoin"] = SQL_Q63
     out["engine_collate"] = SQL_Q64
     out["engine_elevate"] = SQL_Q65
+    out["engine_export"] = SQL_Q66
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41

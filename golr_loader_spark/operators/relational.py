@@ -2310,6 +2310,26 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# Oracle for the engine's /export handler (facets.export_matches —
+# engine_export in __spark_entry__.py): the COMPLETE 'data query'
+# conjunctive match set sorted by (n_chars desc, doc_id asc) — no
+# top-k; rank proves the full-stream ordering.
+SQL_Q66 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+m AS (
+  SELECT doc_id FROM toks WHERE term IN ('data','query')
+  GROUP BY doc_id HAVING count(*) = 2),
+j AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d JOIN m USING (doc_id))
+SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank,
+       doc_id, n_chars
+FROM j
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

@@ -770,3 +770,54 @@ def grouped_topk(
         .select("group_rank", "value", "rank", "doc_id", "score")
         .orderBy("group_rank", "rank")
     )
+
+
+def export_matches(
+    index: InvertedIndex,
+    values: DataFrame,
+    query: str,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    fq=None,
+    exclude_ids=None,
+    ascending: bool = False,
+) -> DataFrame:
+    """Solr /export handler: the COMPLETE match set in (value, doc_id)
+    order — no top-k, no pagination. Solr built /export because deep
+    paging collapses at scale (every page N re-ranks N·rows docs) and
+    bulk consumers (joins, analytics, reindexers) want the whole
+    sorted stream off docValues; this is the same operation as a
+    distributed sort — Spark's home turf. ``values``: (doc_id, value)
+    doc values to sort by (Solr /export requires docValues for exactly
+    this reason — the corpus text is never read).
+
+    Plan: decode-only match (no scoring), one co-located
+    (bucket, doc_id) join against the doc-values table, one
+    range-partitioned sort — the shuffle Spark is built around.
+    Callers stream it out with ``.write.parquet(...)`` / ``toLocalIterator``;
+    ordering is (value, doc_id asc) with Solr's sortMissingLast
+    (missing doc values sort after present ones in either
+    direction)."""
+    cfg = cfg or index.cfg
+    m = matching_doc_ids(
+        index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids
+    )
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    v = values.select("doc_id", "value").withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    out = m.join(v, on=["bucket", "doc_id"], how="left").select(
+        "doc_id", "value"
+    )
+    vcol = F.col("value").asc_nulls_last() if ascending else (
+        F.col("value").desc_nulls_last()
+    )
+    return out.orderBy(vcol, F.asc("doc_id"))

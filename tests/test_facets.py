@@ -493,3 +493,41 @@ def test_range_and_collapse_serving_parity(spark, tmp_path):
     got_g = ls.grouped_topk("lang", "data query", docs_per_group=2,
                             k_groups=3, round_scores=4)
     assert got_g == want_g and len(got_g) >= 3
+
+
+def test_export_matches_full_sorted_stream(spark):
+    """Solr /export: complete match set in (value desc, doc_id) order,
+    missing doc values last, fq restriction honored."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import export_matches
+
+    rows = [
+        (0, "data query spark", 40),
+        (1, "query data", 10),
+        (2, "data runs", 40),
+        (3, "spark only", 7),
+        (4, "unrelated", 99),
+        (5, "data dusty", None),
+    ]
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=2, id_space_bits=3
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, v int")
+    ix = build_index(docs.select("doc_id", "text"), cfg)
+    vals = docs.select("doc_id", F.col("v").alias("value"))
+    got = [
+        (r["doc_id"], r["value"])
+        for r in export_matches(ix, vals, "data", cfg=cfg).collect()
+    ]
+    assert got == [(0, 40), (2, 40), (1, 10), (5, None)]
+    got_asc = [
+        r["doc_id"]
+        for r in export_matches(ix, vals, "data", cfg=cfg, ascending=True).collect()
+    ]
+    assert got_asc == [1, 0, 2, 5]  # missing still LAST ascending
+    got_fq = [
+        r["doc_id"]
+        for r in export_matches(ix, vals, "data", cfg=cfg, fq="spark").collect()
+    ]
+    assert got_fq == [0]
