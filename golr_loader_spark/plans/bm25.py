@@ -275,6 +275,41 @@ def _grouped_arrays(pdf: pd.DataFrame):
     return ga, groups
 
 
+class DecodedListCache:
+    """Bounded LRU of DECODED posting lists keyed (bucket, term,
+    field) — the Solr filterCache/queryResultCache analog at the
+    decode layer. The round-3 raw-block cache measured nothing (reads
+    were already cheap; the p95 query is decode-bound — see BENCH.md
+    negative result); this caches the DECODE OUTPUT (ids/tfs/dls,
+    tombstone-masked), which profiling puts at ~30% of query wall.
+    Valid for one searcher lifetime: the mmap'd block table and the
+    tombstone mask are both fixed between ``refresh()`` calls, and
+    refresh builds a new cache. Entries are read-only by kernel
+    contract (every consumer derives new arrays)."""
+
+    def __init__(self, max_entries: int = 4096):
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self._d: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        v = self._d.get(key)
+        if v is None:
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return v
+
+    def put(self, key, value) -> None:
+        self._d[key] = value
+        if len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+
+
 def query_analyzer(cfg: IndexConfig) -> str:
     """The analyzer to parse QUERIES with: when every configured field
     shares one analyzer, use it (a simple-analyzer index must not have
@@ -296,6 +331,7 @@ def _score_bucket_factory(
     exclude_ids=None,
     prohibited_terms: set[str] | None = None,
     required_groups: list[set[str]] | None = None,
+    list_cache: DecodedListCache | None = None,
 ):
     """Per-bucket single-query scorer (the batch path uses
     _score_bucket_multi_factory). pdf columns: term, field,
@@ -356,6 +392,19 @@ def _score_bucket_factory(
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         return ids, tfs, dls
 
+    def decode_full(ga, bucket_id, term, field, s, e):
+        """Full-slice decode with the optional decoded-list cache
+        (serving path; see DecodedListCache). Pruned subset decodes
+        never cache — they are query-dependent."""
+        if list_cache is None:
+            return decode_idx(ga, slice(s, e))
+        key = (bucket_id, term, field)
+        hit = list_cache.get(key)
+        if hit is None:
+            hit = decode_idx(ga, slice(s, e))
+            list_cache.put(key, hit)
+        return hit
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         def empty() -> pd.DataFrame:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
@@ -372,6 +421,9 @@ def _score_bucket_factory(
         ]
         required = bool(groups)
         ga, bucket_groups = _grouped_arrays(pdf)
+        bucket_id = int(pdf["bucket"].iat[0]) if (
+            list_cache is not None and "bucket" in pdf.columns and len(pdf)
+        ) else -1
         neg_sets: list[np.ndarray] = []
         lists = []  # [(field, term, (s, e), wt, avgdl, ubs)]
         for term, field, s, e in bucket_groups:
@@ -381,7 +433,7 @@ def _score_bucket_factory(
                 term in prohibited_terms or (term, field) in prohibited_terms
             ):
                 if field in cfg.fields:
-                    ids, _tf, _dl = decode_idx(ga, slice(s, e))
+                    ids, _tf, _dl = decode_full(ga, bucket_id, term, field, s, e)
                     if len(ids):
                         neg_sets.append(ids)
                 continue
@@ -413,7 +465,7 @@ def _score_bucket_factory(
         theta = -np.inf
         si = int(np.argmax(max_ub))
         s_field, s_term, (s_s, s_e), s_wt, s_avg, _ = lists[si]
-        s_ids, s_tf, s_dl = decode_idx(ga, slice(s_s, s_e))
+        s_ids, s_tf, s_dl = decode_full(ga, bucket_id, s_term, s_field, s_s, s_e)
         if len(s_ids) >= k and not required and not neg_sets and not prohibited_terms:
             partial = s_wt * s_tf / (s_tf + k1 * ((1.0 - b) + b * s_dl / s_avg))
             theta = np.partition(partial, len(partial) - k)[len(partial) - k]
@@ -433,6 +485,8 @@ def _score_bucket_factory(
                     continue
             if li == si and keep.all():
                 ids, tf, dl = s_ids, s_tf, s_dl
+            elif keep.all():
+                ids, tf, dl = decode_full(ga, bucket_id, term, field, gs, ge)
             else:
                 ids, tf, dl = decode_idx(ga, idx)
             contrib = wt * tf / (tf + k1 * ((1.0 - b) + b * dl / avg))

@@ -160,6 +160,12 @@ class LocalSearcher:
         self.cfg = cfg or IndexConfig()
         self._root = root
         self._facet_arrays = None
+        # decoded-postings LRU (bm25.DecodedListCache): valid for this
+        # searcher lifetime — refresh() re-runs __init__ and replaces
+        # it along with the datasets and the tombstone mask
+        from golr_loader_spark.plans.bm25 import DecodedListCache
+
+        self._list_cache = DecodedListCache()
         self.postings = pads.dataset(f"{root}/postings", format="parquet")
         self._rgix = _RowGroupIndex(f"{root}/postings")
         self.term_stats = pads.dataset(f"{root}/term_stats", format="parquet")
@@ -284,6 +290,7 @@ class LocalSearcher:
             weights, self.avgdl, self.cfg, k,
             required_terms=required, exclude_ids=self.tombstones,
             prohibited_terms=prohibited, required_groups=required_groups,
+            list_cache=self._list_cache,
         )
         parts = [
             score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)

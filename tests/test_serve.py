@@ -76,3 +76,41 @@ def test_local_and_mode_matches_distributed(spark, roots):
     both = ls.search("def return", k=400, mode="and")
     any_ = dict(ls.search("def return", k=400, mode="or"))
     assert both and all(s == any_[d] for d, s in both)
+
+
+def test_decoded_list_cache_semantics(spark, tmp_path):
+    """DecodedListCache: identical results cached/uncached (incl. under
+    tombstones), LRU eviction bound, refresh() replaces the cache."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.corpus import synth_corpus
+    from golr_loader_spark.plans.bm25 import DecodedListCache
+    from golr_loader_spark.plans.build_index import build_index, write_index
+    from golr_loader_spark.plans.documents import flatten_documents
+    from golr_loader_spark.plans.maintenance import delete_docs
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    cfg = IndexConfig()
+    docs = flatten_documents(synth_corpus(spark, 400, seed=3)).cache()
+    ix = build_index(docs, cfg)
+    root = str(tmp_path / "ix")
+    write_index(ix, root, term_partitions=2)
+    ls = LocalSearcher(root, cfg)
+    qs = ["def return", "main util scan", "def return", "parse"]
+    warm = [ls.search(q, k=10) for q in qs]
+    again = [ls.search(q, k=10) for q in qs]
+    assert warm == again
+    assert ls._list_cache.hits > 0
+    # uncached twin agrees exactly
+    ls._list_cache = None
+    assert [ls.search(q, k=10) for q in qs] == warm
+    ls._list_cache = DecodedListCache(max_entries=2)
+    for q in qs:
+        ls.search(q, k=10)
+    assert len(ls._list_cache._d) <= 2  # LRU bound holds
+    # deletes: the cache dies with the searcher generation on refresh
+    victim = warm[0][0][0]
+    delete_docs(spark, root, [victim])
+    old_cache = ls._list_cache
+    ls.refresh()
+    assert ls._list_cache is not old_cache
+    assert victim not in {d for d, _s in ls.search("def return", k=10)}
