@@ -369,6 +369,9 @@ def upsert_docs(
     )
     new_meta.write.mode("overwrite").parquet(f"{tmp}/docs")
     write_index(new_ix, tmp)
+    doc_tables = _rewrite_doc_tables(
+        spark, root, tmp, documents, incoming_ids, cfg
+    )
     # surviving tombstones = HARD deletes not re-upserted (segment
     # tombstones were resolved physically in the compaction above).
     # Read BEFORE the swap, rewrite AFTER it: a crash between swap and
@@ -380,11 +383,181 @@ def upsert_docs(
         int(i) for i, db in zip(t_ids, t_db)
         if db == _DEAD_EVERYWHERE and int(i) not in live_again
     ]
-    _swap_tables(root, tmp, ("postings", "term_stats", "stats", "docs"))
+    _swap_tables(
+        root, tmp,
+        tuple(["postings", "term_stats", "stats", "docs"] + doc_tables),
+    )
     shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
     if remaining:
         delete_docs(spark, root, remaining)
     return {"updated": int(len(existing_ids)), "added": int(n_incoming - len(existing_ids))}
+
+
+
+def _doc_table_files(root: str, tbl: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(f"{root}/{tbl}/*.parquet"))
+
+
+def _facet_field_names(spark: SparkSession, root: str) -> list[str]:
+    """The facet fields a root was built with — read as the distinct
+    of the (dictionary-encoded) ``facet`` column. A production deploy
+    would pin this list in config.json; the column read is metadata-
+    cheap either way."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(_doc_table_files(root, "facets"), format="parquet")
+    col = ds.to_table(columns=["facet"])["facet"]
+    return sorted(set(col.to_pylist()))
+
+
+def _append_doc_tables(
+    spark: SparkSession,
+    root: str,
+    documents: DataFrame,
+    cfg: IndexConfig,
+    segment: int,
+) -> list[str]:
+    """Lucene's full update contract for the doc-side tables: stored
+    fields and facet rows (docValues) are SEGMENT-scoped — an update
+    appends the new doc's rows tagged ``_seg = segment`` and readers
+    resolve each doc to its LATEST segment (serve.fetch /
+    serve._load_facets), exactly how per-segment stored fields +
+    liveDocs behave in Lucene. Base rows written by write_index carry
+    no ``_seg`` column and read as segment 0.
+
+    Incoming docs must carry every stored / faceted field — Solr's
+    all-fields-stored atomic-update precondition, surfaced as a clear
+    error instead of silent nulls."""
+    import os as _os
+
+    touched: list[str] = []
+    if _os.path.isdir(f"{root}/stored"):
+        import pyarrow.parquet as _pq
+
+        names: set[str] = set()
+        for f in _doc_table_files(root, "stored"):
+            names |= set(_pq.read_schema(f).names)
+        cols = sorted(names - {"doc_id", "_seg"})
+        missing = [c for c in cols if c not in documents.columns]
+        if missing:
+            raise ValueError(
+                f"upsert into a root with stored fields requires the "
+                f"incoming docs to carry them (missing: {missing}) — "
+                "the all-fields-stored update precondition"
+            )
+        (
+            documents.select("doc_id", *cols)
+            .withColumn("_seg", F.lit(int(segment)))
+            .write.mode("append")
+            .parquet(f"{root}/stored")
+        )
+        touched.append("stored")
+    if _os.path.isdir(f"{root}/facets"):
+        from golr_loader_spark.plans.facets import build_facets
+
+        fnames = _facet_field_names(spark, root)
+        missing = [c for c in fnames if c not in documents.columns]
+        if missing:
+            raise ValueError(
+                f"upsert into a root with facets requires the incoming "
+                f"docs to carry the facet fields (missing: {missing})"
+            )
+        (
+            build_facets(documents, fnames, cfg)
+            .withColumn("_seg", F.lit(int(segment)))
+            .write.mode("append")
+            .parquet(f"{root}/facets")
+        )
+        touched.append("facets")
+    return touched
+
+
+def _resolve_doc_table(df: DataFrame, per_doc: bool = True) -> DataFrame:
+    """Latest-segment resolution for a doc-side table read with
+    mergeSchema: keep each doc's rows from its max ``_seg`` (missing /
+    null = 0 — base write_index rows), drop the column. Used by the
+    exact upsert and compaction rewrites; the serving readers do the
+    same resolution in-memory."""
+    from pyspark.sql import Window
+
+    if "_seg" not in df.columns:
+        return df
+    seg = F.coalesce(F.col("_seg"), F.lit(0))
+    w = Window.partitionBy("doc_id")
+    return (
+        df.withColumn("_s", seg)
+        .withColumn("_m", F.max("_s").over(w))
+        .filter(F.col("_s") == F.col("_m"))
+        .drop("_seg", "_s", "_m")
+    )
+
+
+def _rewrite_doc_tables(
+    spark: SparkSession,
+    root: str,
+    tmp: str,
+    documents: DataFrame | None,
+    replaced_ids: list[int],
+    cfg: IndexConfig,
+    drop_ids: list[int] | None = None,
+) -> list[str]:
+    """Full clean rewrite of stored/facets into ``tmp`` (the exact-
+    upsert / compaction path): resolve to latest segments, drop
+    ``replaced_ids`` (their fresh rows come from ``documents``) and
+    ``drop_ids`` (hard deletes), union the fresh rows, no ``_seg``
+    column in the result. Returns the table names written."""
+    import os as _os
+
+    written: list[str] = []
+    repl = [int(i) for i in replaced_ids]
+    dead = [int(i) for i in (drop_ids or [])]
+    if _os.path.isdir(f"{root}/stored"):
+        cur = _resolve_doc_table(
+            spark.read.option("mergeSchema", "true").parquet(f"{root}/stored")
+        )
+        cols = [c for c in cur.columns if c != "doc_id"]
+        keep = cur.filter(~F.col("doc_id").isin(repl + dead))
+        if documents is not None:
+            missing = [c for c in cols if c not in documents.columns]
+            if missing:
+                raise ValueError(
+                    f"upsert requires incoming stored fields {missing}"
+                )
+            keep = keep.unionByName(documents.select("doc_id", *cols))
+        (
+            keep.repartitionByRange(2, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/stored")
+        )
+        written.append("stored")
+    if _os.path.isdir(f"{root}/facets"):
+        from golr_loader_spark.plans.facets import build_facets
+
+        fnames = _facet_field_names(spark, root)
+        cur = _resolve_doc_table(
+            spark.read.option("mergeSchema", "true").parquet(f"{root}/facets")
+        )
+        keep = cur.filter(~F.col("doc_id").isin(repl + dead))
+        if documents is not None:
+            missing = [c for c in fnames if c not in documents.columns]
+            if missing:
+                raise ValueError(
+                    f"upsert requires incoming facet fields {missing}"
+                )
+            keep = keep.unionByName(
+                build_facets(documents, fnames, cfg).select(*cur.columns)
+            )
+        (
+            keep.repartitionByRange(2, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/facets")
+        )
+        written.append("facets")
+    return written
 
 
 def compact_root(spark: SparkSession, root: str, cfg: IndexConfig | None = None) -> int:
@@ -409,6 +582,9 @@ def compact_root(spark: SparkSession, root: str, cfg: IndexConfig | None = None)
     tmp = f"{root}/.compact_tmp"
     write_index(new_ix, tmp)
     tables = ["postings", "term_stats", "stats"]
+    tables += _rewrite_doc_tables(
+        spark, root, tmp, None, [], cfg, drop_ids=[int(i) for i in tomb]
+    )
     docs_path = f"{root}/docs"
     if os.path.isdir(docs_path):
         # prune compacted-away ids from the docs manifest — a stale
@@ -516,6 +692,12 @@ def upsert_docs_fast(
     from golr_loader_spark.plans.build_index import derived_term_stats
 
     derived_term_stats(fresh).write.mode("append").parquet(f"{root}/term_stats")
+    # 2b. stored fields + facet rows ride the SAME segment (Lucene's
+    #     update replaces them; readers resolve each doc to its latest
+    #     segment). Appended BEFORE tombstones — same crash contract
+    #     as the postings: a crash leaves both copies live, a retry
+    #     appends again and resolution picks the newest.
+    _append_doc_tables(spark, root, documents, cfg, new_seg)
     # 3. tombstone the superseded copies (old segments only) and
     #    withdraw any pending tombstones on re-upserted ids (revive)
     t_ids, t_db = load_tombstones(spark, root)
@@ -566,6 +748,78 @@ def upsert_docs_fast(
         "added": n_added,
         "segment": new_seg,
     }
+
+
+def atomic_update(
+    spark: SparkSession,
+    root: str,
+    ops: dict[int, dict[str, tuple]],
+    cfg: IndexConfig | None = None,
+    term_partitions: int = 2,
+) -> dict:
+    """Solr atomic updates: ``{doc_id: {field: (op, value)}}`` with op
+    in ``set`` / ``inc`` / ``add`` / ``remove`` (add/remove on
+    multi-valued fields). Current values are read back from the
+    ``{root}/stored`` table (latest segment — which is why Solr
+    requires all fields stored for atomic updates; same precondition
+    here, same clear error when violated), the ops applied, and the
+    merged docs re-upserted through ``upsert_docs_fast`` — Lucene's
+    update = delete + add, O(batch) not O(index).
+
+    Point-update shaped by design (Solr's atomic updates are per-doc
+    REST calls): the driver loop is over the update batch, never the
+    corpus. Bulk transformations should build a docs DataFrame and
+    call ``upsert_docs_fast`` directly."""
+    cfg = cfg or IndexConfig()
+    if not os.path.isdir(f"{root}/stored"):
+        raise ValueError(
+            "atomic updates need stored fields — persist with "
+            "write_index(..., store_fields=[...all indexed fields...])"
+        )
+    ids = [int(d) for d in ops]
+    cur = _resolve_doc_table(
+        spark.read.option("mergeSchema", "true").parquet(f"{root}/stored")
+    ).filter(F.col("doc_id").isin(ids))
+    rows = {int(r["doc_id"]): r.asDict(recursive=True) for r in cur.collect()}
+    missing_docs = sorted(set(ids) - set(rows))
+    if missing_docs:
+        raise ValueError(
+            f"atomic update of unknown doc(s): {missing_docs} — Solr "
+            "rejects atomic updates of missing documents"
+        )
+    schema = cur.schema
+    fields = {f.name for f in schema.fields} - {"doc_id"}
+    unstored_indexed = sorted(set(cfg.fields) - fields)
+    if unstored_indexed:
+        raise ValueError(
+            f"atomic updates need every INDEXED field stored too "
+            f"(missing from stored: {unstored_indexed}) — the re-add "
+            "would otherwise drop the doc's indexed content"
+        )
+    for d, field_ops in ops.items():
+        doc = rows[int(d)]
+        for field, (op, val) in field_ops.items():
+            if field not in fields:
+                raise ValueError(
+                    f"atomic update of unstored field {field!r} "
+                    f"(stored: {sorted(fields)})"
+                )
+            if op == "set":
+                doc[field] = val
+            elif op == "inc":
+                doc[field] = (doc[field] or 0) + val
+            elif op == "add":
+                doc[field] = list(doc[field] or []) + [val]
+            elif op == "remove":
+                doc[field] = [x for x in (doc[field] or []) if x != val]
+            else:
+                raise ValueError(
+                    f"unknown atomic op {op!r} (set/inc/add/remove)"
+                )
+    updated = spark.createDataFrame(list(rows.values()), schema)
+    return upsert_docs_fast(
+        spark, root, updated, cfg, term_partitions=term_partitions
+    )
 
 
 def snapshot_index(root: str, dest: str) -> dict:

@@ -1851,9 +1851,42 @@ class LocalSearcher:
         if not files:
             self._facet_arrays = False
             return False
-        tbl = pa.concat_tables(
-            [pq.read_table(f, columns=["doc_id", "facet", "value"]) for f in files]
-        )
+        schema = pa.unify_schemas([pq.read_schema(f) for f in files])
+        if "_seg" in schema.names:
+            # upserted roots: resolve each doc's facet ROWS to its
+            # latest segment (Lucene docValues update semantics) —
+            # base rows (no _seg column) read as segment 0
+            ds = pads.dataset(files, format="parquet", schema=schema)
+            tbl = ds.to_table(columns=["doc_id", "facet", "value", "_seg"])
+            ids0 = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            segs = tbl["_seg"].to_numpy(zero_copy_only=False)
+            segs = _np.where(_np.isnan(segs.astype(_np.float64)), 0, segs).astype(
+                _np.int64
+            ) if segs.dtype == object else _np.nan_to_num(
+                segs.astype(_np.float64), nan=0.0
+            ).astype(_np.int64)
+            order0 = _np.argsort(ids0, kind="stable")
+            ids_s, segs_s = ids0[order0], segs[order0]
+            starts = _np.flatnonzero(
+                _np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+            )
+            max_per = _np.maximum.reduceat(segs_s, starts)
+            doc_max = dict(zip(ids_s[starts].tolist(), max_per.tolist()))
+            keep = _np.fromiter(
+                (int(sg) == doc_max[int(d)] for d, sg in zip(ids0, segs)),
+                dtype=bool,
+                count=len(ids0),
+            )
+            tbl = tbl.filter(pa.array(keep)).select(
+                ["doc_id", "facet", "value"]
+            )
+        else:
+            tbl = pa.concat_tables(
+                [
+                    pq.read_table(f, columns=["doc_id", "facet", "value"])
+                    for f in files
+                ]
+            )
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
         order = _np.argsort(ids, kind="stable")
         self._facet_arrays = (
@@ -2136,15 +2169,36 @@ class LocalSearcher:
         {root}/stored is doc_id-range-partitioned and in-file sorted,
         so the predicate prunes to a few row groups — a page of k hits
         costs O(k) row-group reads, not a scan."""
+        import glob as _glob
         import os as _os
 
         if not _os.path.isdir(f"{self._root}/stored"):
             raise FileNotFoundError(f"{self._root}/stored not written")
-        ds = pads.dataset(f"{self._root}/stored", format="parquet")
-        cols = ["doc_id"] + (fields or [c for c in ds.schema.names if c != "doc_id"])
+        # upserted roots mix base files (no _seg column) and appended
+        # segment files (_seg = segment number): unify the schemas so
+        # base rows read _seg = null, then resolve each doc to its
+        # LATEST segment — Lucene's per-segment stored fields
+        files = sorted(_glob.glob(f"{self._root}/stored/*.parquet"))
+        schema = pa.unify_schemas([pq.read_schema(f) for f in files])
+        ds = pads.dataset(files, format="parquet", schema=schema)
+        has_seg = "_seg" in schema.names
+        want = fields or [
+            c for c in schema.names if c not in ("doc_id", "_seg")
+        ]
+        cols = ["doc_id"] + list(want) + (["_seg"] if has_seg else [])
         tbl = ds.to_table(filter=pc.field("doc_id").isin(doc_ids), columns=cols)
         rows = tbl.to_pylist()
-        return {int(r["doc_id"]): {c: r[c] for c in cols if c != "doc_id"} for r in rows}
+        if has_seg:
+            best: dict[int, tuple[int, dict]] = {}
+            for r in rows:
+                d = int(r["doc_id"])
+                seg = r["_seg"] if r["_seg"] is not None else 0
+                if d not in best or seg > best[d][0]:
+                    best[d] = (seg, r)
+            rows = [r for _s, r in best.values()]
+        return {
+            int(r["doc_id"]): {c: r[c] for c in want} for r in rows
+        }
 
     def search_fetch(
         self,

@@ -113,7 +113,13 @@ def shard_index(
         for tbl in ("stored", "facets", "docs"):
             if not os.path.isdir(f"{root}/{tbl}"):
                 continue
-            df = spark.read.parquet(f"{root}/{tbl}")
+            # mergeSchema: upserted roots mix base files (no _seg)
+            # and appended segment files — keep the _seg column so the
+            # per-shard searchers resolve latest-segment rows exactly
+            # like the unsharded one
+            df = spark.read.option("mergeSchema", "true").parquet(
+                f"{root}/{tbl}"
+            )
             owned = df.filter(
                 F.pmod(F.shiftright(F.col("doc_id"), shift), F.lit(n_shards))
                 == s
