@@ -1874,6 +1874,29 @@ FROM inj
 """
 
 
+def q39_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted subsampling (the CCNet/RefinedWeb curation
+    pass): long docs keep at 0.8, short at 0.3, membership decided by
+    a deterministic multiplicative hash of doc_id — reproducible
+    across runs/engines/partitionings, zero shuffles
+    (textstats.weighted_sample)."""
+    from golr_loader_spark.operators.textstats import weighted_sample
+
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    rate = F.when(F.col("n_chars") >= 500, F.lit(0.8)).otherwise(F.lit(0.3))
+    out = weighted_sample(d.withColumn("rate", rate), "doc_id", F.col("rate"))
+    return out.select("doc_id", "n_chars", "rate")
+
+
+SQL_Q39B = """
+SELECT doc_id, n_chars,
+       CAST(CASE WHEN n_chars >= 500 THEN 0.8 ELSE 0.3 END AS DOUBLE) AS rate
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0
+      < CASE WHEN n_chars >= 500 THEN 0.8 ELSE 0.3 END
+"""
+
+
 def q37_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2021 EXACTSUBSTR
     dedup): every 10-token window occurring >= 2x in the corpus marks
@@ -2368,4 +2391,5 @@ QUERIES: dict[str, tuple] = {
     "q36_pack_sequences": (q36_pack_sequences, SQL_Q36B),
     "q37_exact_substring": (q37_exact_substring, SQL_Q37B),
     "q38_pii_scrub": (q38_pii_scrub, SQL_Q38B),
+    "q39_weighted_sample": (q39_weighted_sample, SQL_Q39B),
 }

@@ -236,3 +236,25 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.select(
         "id", "n_email", "n_ipv4", "n_phone", red.alias("redacted")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    rate_col,
+    salt: int = 2654435761,
+) -> DataFrame:
+    """Deterministic weighted sampling for training-data curation
+    (CCNet/RefinedWeb-style quality-bucket subsampling): keep a row
+    iff ``u(id) < rate`` where ``u`` is a Knuth multiplicative hash of
+    the id mapped to [0, 1) — reproducible across runs, engines, and
+    partitionings (no RNG state, no per-partition seeds), and
+    embarrassingly parallel (zero shuffles; the filter pushes to the
+    scan). ``rate_col``: a Column giving the per-row keep probability
+    (e.g. a quality-bucket CASE expression). Expected kept fraction
+    per stratum = its rate; membership is stable under re-runs, so
+    downstream dedup/splits stay consistent."""
+    u = F.pmod(F.col(id_col) * F.lit(salt), F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    return df.withColumn("_u", u).filter(F.col("_u") < rate_col).drop("_u")

@@ -110,3 +110,24 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert out[3]["redacted"] == rows[3][1]
     assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (1, 1, 1)
     assert out[4]["redacted"] == "combo <EMAIL> from <IP> dial <PHONE>"
+
+
+def test_weighted_sample_deterministic_and_stratified(spark):
+    from pyspark.sql import functions as F
+
+    from golr_loader_spark.operators.textstats import weighted_sample
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).alias("long_doc"),
+    )
+    rate = F.when(F.col("long_doc"), F.lit(0.8)).otherwise(F.lit(0.2))
+    a = {r["doc_id"] for r in weighted_sample(df, "doc_id", rate).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "doc_id", rate).collect()
+    }
+    assert a == b  # partitioning-independent membership
+    longs = sum(1 for d in a if d % 2 == 0) / 10000
+    shorts = sum(1 for d in a if d % 2 == 1) / 10000
+    assert abs(longs - 0.8) < 0.02 and abs(shorts - 0.2) < 0.02
