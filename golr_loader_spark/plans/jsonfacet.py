@@ -254,6 +254,16 @@ def _facet_node(
         index, m, fspec, facets, cfg, nums, exclude_ids
     )
     field = fspec["field"]
+    missing_n = None
+    if fspec.get("missing"):
+        # Solr facet.missing / "missing": true — matching docs with NO
+        # value for the field: match count minus the docs the facet
+        # join reaches (one anti-semi-shaped count, map-side combined)
+        have = (
+            _joined_values(m, facets, field)
+            .select("doc_id").distinct().count()
+        )
+        missing_n = m.count() - have
     if subs and depth > 0:
         raise ValueError("json_facet supports one level of sub-facets")
     for sname, sspec in subs.items():
@@ -273,7 +283,10 @@ def _facet_node(
             )
         else:
             raise ValueError(f"unsupported facet type {stype!r}")
-    return {"buckets": buckets}
+    out = {"buckets": buckets}
+    if missing_n is not None:
+        out["missing"] = {"count": int(missing_n)}
+    return out
 
 
 def _attach_terms_subfacet(
@@ -453,6 +466,9 @@ def _local_node_partials(searcher, ids, fspec, depth, max_expansions=1024):
     by_val: dict = {}
     for d, v in pairs:
         by_val.setdefault(v, set()).add(int(d))
+    missing_n = None
+    if fspec.get("missing"):
+        missing_n = len(ids) - len({int(d) for d, _v in pairs})
     num_fields = {f for fn, f in aggs.values() if fn != "unique"}
     if any(fn == "unique" for fn, _f in aggs.values()) and depth > 0:
         raise ValueError("unique() is not supported inside a sub-facet")
@@ -472,7 +488,10 @@ def _local_node_partials(searcher, ids, fspec, depth, max_expansions=1024):
                 searcher, ds, sspec, depth + 1
             )
         buckets[v] = b
-    return {"_buckets": buckets}
+    node = {"_buckets": buckets}
+    if missing_n is not None:
+        node["_missing"] = missing_n
+    return node
 
 
 def _merge_nodes(a: dict, b: dict) -> dict:
@@ -483,6 +502,8 @@ def _merge_nodes(a: dict, b: dict) -> dict:
                 out["_buckets"][v] = _merge_bucket(out["_buckets"][v], bb)
             else:
                 out["_buckets"][v] = bb
+        if "_missing" in a or "_missing" in b:
+            out["_missing"] = a.get("_missing", 0) + b.get("_missing", 0)
         return out
     return _merge_bucket(a, b)
 
@@ -524,7 +545,10 @@ def _finalize_node(fspec: dict, node: dict) -> dict:
             fb[sname] = _finalize_node(sspec, b["_subs"][sname])
         buckets.append(fb)
     buckets.sort(key=_sort_key(sort))
-    return {"buckets": buckets[:limit]}
+    out = {"buckets": buckets[:limit]}
+    if "_missing" in node:
+        out["missing"] = {"count": int(node["_missing"])}
+    return out
 
 
 def json_facet_local(

@@ -172,3 +172,29 @@ def test_contract_errors(spark, cfg, setup):
                    "facet": {"p": "percentile(content_len,50)"}}},
             fx, cfg=cfg,
         )
+
+
+def test_missing_bucket(spark, cfg, setup):
+    """Solr facet.missing: matching docs with NO value for the field —
+    exercised against a facet table with deliberately removed rows
+    (every doc has a lang, so a fresh facet table missing some docs'
+    rows simulates a sparse field). Serve/shard merge sums exactly."""
+    from pyspark.sql import functions as F
+
+    ix, fx, _nums, _raw, mids, root, sh_roots = setup
+    sparse = fx.filter(~((F.col("facet") == "lang") & (F.col("doc_id") % 5 == 0)))
+    spec = {"langs": {"type": "terms", "field": "lang", "limit": 100,
+                      "missing": True}}
+    got = json_facet(ix, Q, spec, sparse, cfg=cfg)
+    want_missing = sum(1 for d in mids if d % 5 == 0)
+    assert got["langs"]["missing"] == {"count": want_missing}
+    assert sum(b["count"] for b in got["langs"]["buckets"]) == len(mids) - want_missing
+    # serving/shard twins (full facet table → missing = 0, still emitted)
+    spec2 = {"langs": {"type": "terms", "field": "lang", "limit": 100,
+                       "missing": True}}
+    want = json_facet(ix, Q, spec2, fx, cfg=cfg)
+    assert want["langs"]["missing"] == {"count": 0}
+    ls = LocalSearcher(root, cfg)
+    ss = ShardedSearcher(sh_roots, cfg)
+    assert ls.json_facet(Q, spec2) == want
+    assert ss.json_facet(Q, spec2) == want
