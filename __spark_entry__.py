@@ -527,6 +527,44 @@ def _engine_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_mselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select faceting on the REAL engine index (Solr
+    {!tag}/{!ex}): q='data query spark' with tagged fqs
+    {scanfq: 'scan', sortfq: 'sort'} — the lang facet excludes scanfq,
+    the source facet excludes sortfq, so each facet counts over the
+    match set WITHOUT its excluded filter. SQL_Q67 replays both
+    per-facet match sets and the count ranking; output flattens to
+    (facet, value, n)."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import (
+        build_facets,
+        facet_counts_multiselect,
+    )
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    fx = build_facets(d, ["lang", "source"], cfg)
+    res = facet_counts_multiselect(
+        ix, fx, "data query spark",
+        fqs={"scanfq": "scan", "sortfq": "sort"},
+        facet_fields={"lang": ["scanfq"], "source": ["sortfq"]},
+        cfg=cfg, top=10, min_count=1,
+    )
+    rows = [
+        (facet, v, n)
+        for facet, vals in res.items()
+        for v, n in vals
+    ]
+    return spark.createDataFrame(rows, "facet string, value string, n long")
+
+
 def _engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy query on the REAL engine index (Lucene FuzzyQuery,
     SCORING_BOOLEAN rewrite): JVM-side Levenshtein filter over the
@@ -1088,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_collate"] = _engine_collate
     out["engine_elevate"] = _engine_elevate
     out["engine_export"] = _engine_export
+    out["engine_mselect"] = _engine_mselect
     out["engine_fuzzy"] = _engine_fuzzy
     out["engine_mlt"] = _engine_mlt
     out["engine_bool"] = _engine_bool
@@ -1146,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q64,
         SQL_Q65,
         SQL_Q66,
+        SQL_Q67,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -1168,6 +1208,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_collate"] = SQL_Q64
     out["engine_elevate"] = SQL_Q65
     out["engine_export"] = SQL_Q66
+    out["engine_mselect"] = SQL_Q67
     out["engine_fuzzy"] = SQL_Q39
     out["engine_mlt"] = SQL_Q40
     out["engine_bool"] = SQL_Q41

@@ -2353,6 +2353,41 @@ FROM j
 """
 
 
+# Oracle for the engine's multi-select faceting
+# (facets.facet_counts_multiselect — engine_mselect in
+# __spark_entry__.py): Solr {!tag}/{!ex} — q='data query spark' with
+# tagged fqs {scanfq: 'scan', sortfq: 'sort'}; the lang facet
+# excludes scanfq (counts over base ∩ sort-matches), the source facet
+# excludes sortfq (base ∩ scan-matches). Counts (n desc, value asc),
+# top 10, mincount 1, flattened to (facet, value, n).
+SQL_Q67 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+base AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ('data','query','spark')),
+s_scan AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan'),
+s_sort AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'sort'),
+lang_counts AS (
+  SELECT 'lang' AS facet, d.lang AS value, count(*) AS n
+  FROM documents d
+  JOIN base USING (doc_id) JOIN s_sort USING (doc_id)
+  GROUP BY d.lang),
+src_counts AS (
+  SELECT 'source' AS facet, d.source AS value, count(*) AS n
+  FROM documents d
+  JOIN base USING (doc_id) JOIN s_scan USING (doc_id)
+  GROUP BY d.source),
+uni AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY facet ORDER BY n DESC, value ASC) AS r
+  FROM (SELECT * FROM lang_counts UNION ALL SELECT * FROM src_counts)
+  WHERE n >= 1)
+SELECT facet, value, CAST(n AS BIGINT) AS n FROM uni WHERE r <= 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

@@ -821,3 +821,72 @@ def export_matches(
         F.col("value").desc_nulls_last()
     )
     return out.orderBy(vcol, F.asc("doc_id"))
+
+
+def facet_counts_multiselect(
+    index: InvertedIndex,
+    facets: DataFrame,
+    query: str,
+    fqs: dict[str, str],
+    facet_fields: dict[str, list[str]],
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    top: int = 10,
+    min_count: int = 1,
+    exclude_ids=None,
+) -> dict[str, list[tuple[str, int]]]:
+    """Multi-select faceting — Solr's ``fq={!tag=T}...`` +
+    ``facet.field={!ex=T}field``: each facet's counts are computed
+    over the match set WITH THAT FACET'S OWN FILTERS EXCLUDED, so a
+    user who picked lang=en still sees the other languages' counts
+    (the standard e-commerce refinement pattern; without exclusion a
+    selected facet collapses to its own value).
+
+    ``fqs``: {tag: fq query string}. ``facet_fields``: {facet field:
+    [tags to exclude for this facet]} (empty list = plain drill-down).
+
+    Plan: the base match set and each tagged fq's match set decode
+    ONCE (persisted across the per-facet jobs); each facet is then the
+    same co-located join + map-side groupBy as ``facet_counts``, over
+    base ∩ (every fq except its excluded tags). Work grows with the
+    number of DISTINCT exclusion sets, not facets × fqs."""
+    from golr_loader_spark.plans.lucene import fq_doc_ids
+
+    cfg = cfg or index.cfg
+    base = matching_doc_ids(
+        index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids
+    ).persist()
+    tag_sets = {
+        tag: fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+        .select("doc_id")
+        .persist()
+        for tag, fq in fqs.items()
+    }
+    try:
+        out: dict[str, list[tuple[str, int]]] = {}
+        for field, excl_tags in facet_fields.items():
+            m = base
+            for tag, ids in tag_sets.items():
+                if tag in excl_tags:
+                    continue
+                m = m.join(ids, on="doc_id", how="left_semi")
+            fx = facets.filter(F.col("facet") == field).select(
+                "bucket", "doc_id", "value"
+            )
+            rows = (
+                fx.join(m.select("bucket", "doc_id"), on=["bucket", "doc_id"])
+                .groupBy("value")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .filter(F.col("n") >= min_count)
+                .collect()
+            )
+            vals = sorted(
+                ((int(r["n"]), r["value"]) for r in rows),
+                key=lambda x: (-x[0], x[1]),
+            )[:top]
+            out[field] = [(v, n) for n, v in vals]
+        return out
+    finally:
+        base.unpersist()
+        for ids in tag_sets.values():
+            ids.unpersist()

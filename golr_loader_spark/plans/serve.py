@@ -1131,6 +1131,47 @@ class LocalSearcher:
         out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
         return [(int(d), float(s)) for d, s in out]
 
+    def facet_counts_multiselect(
+        self,
+        query: str,
+        fqs: dict[str, str],
+        facet_fields: dict[str, list[str]],
+        mode: str = "or",
+        top: int = 10,
+        min_count: int = 1,
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Serving twin of ``facets.facet_counts_multiselect`` (Solr
+        {!tag}/{!ex} multi-select faceting): per-facet match sets with
+        that facet's own filters excluded, dict arithmetic over the
+        in-memory facet arrays."""
+        import numpy as _np
+
+        base = {int(d) for d in self.matching_ids(query, mode)}
+        tag_sets = {
+            tag: self._fq_ids_local(fq) for tag, fq in fqs.items()
+        }
+        arrays = self._load_facets()
+        if arrays is False:
+            raise FileNotFoundError(f"{self._root}/facets not written")
+        a_ids, a_facets, a_vals = arrays
+        out: dict[str, list[tuple[str, int]]] = {}
+        for field, excl_tags in facet_fields.items():
+            m = set(base)
+            for tag, ids in tag_sets.items():
+                if tag not in excl_tags:
+                    m &= ids
+            mask = a_facets == field
+            counts: dict[str, int] = {}
+            for d, v in zip(a_ids[mask].tolist(), a_vals[mask].tolist()):
+                if int(d) in m:
+                    counts[v] = counts.get(v, 0) + 1
+            vals = sorted(
+                ((n, v) for v, n in counts.items() if n >= min_count),
+                key=lambda x: (-x[0], x[1]),
+            )[:top]
+            out[field] = [(v, n) for n, v in vals]
+        return out
+
     def collate(
         self,
         query: str,
@@ -2199,6 +2240,31 @@ class LocalSearcher:
         return {
             int(r["doc_id"]): {c: r[c] for c in want} for r in rows
         }
+
+    def get(self, doc_id: int, fields: list[str] | None = None):
+        """Solr real-time get (/get): one doc's stored fields by id, or
+        None when the doc is deleted (tombstone-masked — a plain fetch
+        serves hit pages and does not consult liveDocs) or unknown.
+        With segment upserts the latest version is returned
+        (fetch's latest-segment resolution)."""
+        d = int(doc_id)
+        if self.tombstones is not None:
+            import numpy as _np
+
+            t_ids, t_db = self.tombstones
+            # raw concatenated tombstone files: unsorted, ids may
+            # repeat (upsert then delete) — the latest operation wins,
+            # i.e. the MAX dead_below of the id's entries
+            hits = _np.flatnonzero(t_ids == d)
+            if len(hits):
+                from golr_loader_spark.plans.bm25 import _DEAD_EVERYWHERE
+
+                if int(t_db[hits].max()) == _DEAD_EVERYWHERE:
+                    # dead in every segment → gone; segment-scoped
+                    # tombstones only mask OLD copies, the newest stays
+                    return None
+        out = self.fetch([d], fields)
+        return out.get(d)
 
     def search_fetch(
         self,

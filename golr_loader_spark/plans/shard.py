@@ -517,6 +517,39 @@ class ShardedSearcher:
 
     # -------------------------------------------------- sort / paging
 
+    def facet_counts_multiselect(
+        self,
+        query: str,
+        fqs: dict[str, str],
+        facet_fields: dict[str, list[str]],
+        mode: str = "or",
+        top: int = 10,
+        min_count: int = 1,
+    ) -> dict[str, list[tuple[str, int]]]:
+        """Sharded multi-select faceting: per-shard UNTRUNCATED counts
+        merge exactly (disjoint doc spaces), limit/mincount once."""
+        parts = self._fanout(
+            [
+                (lambda s=s: s.facet_counts_multiselect(
+                    query, fqs, facet_fields, mode=mode, top=_BIG,
+                    min_count=1,
+                ))
+                for s in self.shards
+            ]
+        )
+        out: dict[str, list[tuple[str, int]]] = {}
+        for field in facet_fields:
+            agg: dict[str, int] = {}
+            for p_ in parts:
+                for v, n in p_.get(field, []):
+                    agg[v] = agg.get(v, 0) + n
+            vals = sorted(
+                ((n, v) for v, n in agg.items() if n >= min_count),
+                key=lambda x: (-x[0], x[1]),
+            )[:top]
+            out[field] = [(v, n) for n, v in vals]
+        return out
+
     def collate(
         self,
         query: str,

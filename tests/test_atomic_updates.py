@@ -144,3 +144,22 @@ def test_atomic_update_preconditions(spark, root):
         atomic_update(spark, r, {0: {"nope": ("set", 1)}}, cfg)
     with pytest.raises(ValueError, match="unknown atomic op"):
         atomic_update(spark, r, {0: {"views": ("mul", 2)}}, cfg)
+
+
+def test_realtime_get(spark, root):
+    from golr_loader_spark.plans.maintenance import delete_docs
+
+    r, cfg, _docs = root
+    ls = LocalSearcher(r, cfg)
+    assert ls.get(1) == {"text": "spark joins", "lang": "de", "views": 20}
+    assert ls.get(1, ["lang"]) == {"lang": "de"}
+    assert ls.get(77) is None
+    # updated doc → latest version; deleted doc → None
+    upsert_docs_fast(
+        spark, r,
+        spark.createDataFrame([(0, "fresh words", "fr", 99)], SCHEMA), cfg,
+    )
+    delete_docs(spark, r, [2])
+    ls = ls.refresh()
+    assert ls.get(0)["text"] == "fresh words"
+    assert ls.get(2) is None
