@@ -2274,6 +2274,7 @@ class LocalSearcher:
         fields: list[str] | None = None,
         highlight_field: str | None = None,
         frag_size: int = 80,
+        n_snippets: int = 1,
     ) -> list[dict]:
         """search + stored-field retrieval (+ optional highlighting) —
         the full Solr response shape: [{doc_id, score, <fields>,
@@ -2294,6 +2295,12 @@ class LocalSearcher:
                 row["highlight"] = highlight(
                     str(row[highlight_field]), terms, frag_size=frag_size
                 )
+                if n_snippets > 1:
+                    # Solr hl.snippets: extra non-overlapping fragments
+                    row["highlights"] = highlight_snippets(
+                        str(row[highlight_field]), terms,
+                        n_snippets=n_snippets, frag_size=frag_size,
+                    )
             out.append(row)
         return out
 
@@ -2331,6 +2338,58 @@ def highlight(text: str, terms: list[str], frag_size: int = 80, pre: str = "<em>
     prefix = "…" if lo > 0 else ""
     suffix = "…" if hi + 1 < len(toks) else ""
     return prefix + " ".join(frag) + suffix
+
+
+def highlight_snippets(
+    text: str,
+    terms: list[str],
+    n_snippets: int = 3,
+    frag_size: int = 80,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> list[str]:
+    """Solr hl.snippets > 1: up to ``n_snippets`` NON-OVERLAPPING
+    fragments ranked by match density (ties: earliest), each built
+    like ``highlight``'s single best fragment. Returns [] when no
+    term matches (Solr omits the doc from the highlighting section)."""
+    toks = text.split(" ")
+    low = [t.lower() for t in toks]
+    tset = set(terms)
+    match = [i for i, t in enumerate(low) if t in tset]
+    if not match:
+        return []
+    starts = [0]
+    for t in toks[:-1]:
+        starts.append(starts[-1] + len(t) + 1)
+
+    def window(i):
+        lo = hi = i
+        while hi + 1 < len(toks) and starts[hi + 1] - starts[lo] <= frag_size:
+            hi += 1
+        return lo, hi
+
+    cands = []
+    for i in match:
+        n = sum(1 for j in match if 0 <= starts[j] - starts[i] <= frag_size)
+        cands.append((-n, i))
+    cands.sort()
+    taken: list[tuple[int, int]] = []
+    out: list[str] = []
+    for _negn, i in cands:
+        lo, hi = window(i)
+        if any(not (hi < a or lo > b) for a, b in taken):
+            continue  # overlaps an already-emitted fragment
+        taken.append((lo, hi))
+        frag = [
+            (pre + toks[k] + post) if low[k] in tset else toks[k]
+            for k in range(lo, hi + 1)
+        ]
+        prefix = "…" if lo > 0 else ""
+        suffix = "…" if hi + 1 < len(toks) else ""
+        out.append(prefix + " ".join(frag) + suffix)
+        if len(out) == n_snippets:
+            break
+    return out
 
 
 def p95_latency_ms(searcher: LocalSearcher, queries: list[str], k: int = 10) -> float:

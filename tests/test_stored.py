@@ -258,3 +258,38 @@ def test_distributed_search_fetch_matches_serving(spark, root, cfg):
         assert got == want, q
     # empty hit set
     assert search_fetch(ix, docs, "xyzzyq", k=3, cfg=cfg).count() == 0
+
+
+def test_highlight_snippets_multi_fragment():
+    from golr_loader_spark.plans.serve import highlight, highlight_snippets
+
+    text = (
+        "data query starts here with filler words that keep going on "
+        "and on for quite a while before another data query cluster "
+        "appears later in the document and then even more filler and "
+        "a final data mention at the very end of it"
+    )
+    snips = highlight_snippets(text, ["data", "query"], n_snippets=3,
+                               frag_size=40)
+    assert 2 <= len(snips) <= 3
+    assert all("<em>data</em>" in s or "<em>query</em>" in s for s in snips)
+    # the top snippet is the single-fragment highlighter's answer
+    assert snips[0] == highlight(text, ["data", "query"], frag_size=40)
+    # fragments never overlap: the emphasized tokens of each snippet
+    # are disjoint occurrences
+    assert highlight_snippets(text, ["zzz"], n_snippets=2) == []
+
+
+def test_search_fetch_multi_snippets(spark, root):
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.serve import LocalSearcher
+
+    ls = LocalSearcher(root)
+    rows = ls.search_fetch(
+        "data query", k=3, highlight_field="text", n_snippets=3,
+        frag_size=40,
+    )
+    assert rows
+    for r in rows:
+        if "highlights" in r:
+            assert r["highlights"][0] == r["highlight"]
