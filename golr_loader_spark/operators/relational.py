@@ -1897,6 +1897,58 @@ WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0
 """
 
 
+def q40_significant_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Significant terms (Solr SignificantTermsQParser / ES
+    significant_terms): the terms overrepresented in the docs matching
+    'data AND query' relative to the whole corpus, ranked by lift
+    (fg rate / bg rate); the query's own terms excluded
+    (textstats.significant_terms)."""
+    from golr_loader_spark.operators.textstats import significant_terms
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).distinct()
+    fg = (
+        toks.filter(F.col("t").isin(["data", "query"]))
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") == 2)
+        .select("doc_id")
+    )
+    return significant_terms(
+        d, fg, "doc_id", "text", k=20, min_fg=3,
+        exclude=["data", "query"],
+    )
+
+
+SQL_Q40B = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+fg AS (
+  SELECT doc_id FROM toks WHERE term IN ('data','query')
+  GROUP BY doc_id HAVING count(*) = 2),
+n AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT count(*) FROM fg) AS DOUBLE) AS fg_n),
+bg AS (SELECT term, count(*) AS bg_df FROM toks GROUP BY term),
+fgc AS (
+  SELECT term, count(*) AS fg_df
+  FROM toks JOIN fg USING (doc_id) GROUP BY term),
+scored AS (
+  SELECT f.term, CAST(f.fg_df AS BIGINT) AS fg_df,
+         CAST(b.bg_df AS BIGINT) AS bg_df,
+         round((f.fg_df / (SELECT fg_n FROM n))
+               / (b.bg_df / (SELECT n_docs FROM n)), 4) AS lift
+  FROM fgc f JOIN bg b USING (term)
+  WHERE f.fg_df >= 3 AND f.term NOT IN ('data','query'))
+SELECT term, fg_df, bg_df, lift FROM scored
+ORDER BY lift DESC, fg_df DESC, term ASC
+LIMIT 20
+"""
+
+
 def q37_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2021 EXACTSUBSTR
     dedup): every 10-token window occurring >= 2x in the corpus marks
@@ -2427,4 +2479,5 @@ QUERIES: dict[str, tuple] = {
     "q37_exact_substring": (q37_exact_substring, SQL_Q37B),
     "q38_pii_scrub": (q38_pii_scrub, SQL_Q38B),
     "q39_weighted_sample": (q39_weighted_sample, SQL_Q39B),
+    "q40_significant_terms": (q40_significant_terms, SQL_Q40B),
 }

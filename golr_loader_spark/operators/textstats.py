@@ -258,3 +258,64 @@ def weighted_sample(
         4294967296.0
     )
     return df.withColumn("_u", u).filter(F.col("_u") < rate_col).drop("_u")
+
+
+def significant_terms(
+    df: DataFrame,
+    fg_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_fg: int = 2,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Significant terms (Solr SignificantTermsQParser / ES
+    significant_terms): terms OVERREPRESENTED in a foreground doc set
+    relative to the whole corpus — "what distinguishes the docs
+    matching my query". Per term: fg_df (foreground docs containing
+    it), bg_df (corpus docs containing it), and the lift
+    ``(fg_df / fg_n) / (bg_df / n_docs)``; ranked (lift desc, fg_df
+    desc, term asc), terms below ``min_fg`` foreground docs and the
+    ``exclude`` list (the query's own terms) dropped.
+
+    Plan: ONE explode + distinct over the corpus tokens feeding two
+    map-side-combinable aggregations (bg over everything, fg over the
+    semi-joined foreground — the foreground set broadcasts when
+    small); output cardinality is vocabulary-sized. No per-doc
+    windows, no driver loops — the 100 TB shape."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).distinct()
+    n_docs = df.select(id_col).distinct().count()
+    fg = fg_ids.select(F.col(fg_ids.columns[0]).alias("_id")).distinct()
+    fg_n = fg.count()
+    if fg_n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "term string, fg_df long, bg_df long, lift double"
+        )
+    bg_counts = toks.groupBy("term").agg(
+        F.countDistinct("_id").cast("long").alias("bg_df")
+    )
+    fg_counts = (
+        toks.join(fg, on="_id", how="left_semi")
+        .groupBy("term")
+        .agg(F.countDistinct("_id").cast("long").alias("fg_df"))
+    )
+    out = (
+        fg_counts.join(bg_counts, on="term")
+        .filter(F.col("fg_df") >= min_fg)
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("fg_df") / F.lit(float(fg_n)))
+                / (F.col("bg_df") / F.lit(float(n_docs))),
+                4,
+            ),
+        )
+    )
+    if exclude:
+        out = out.filter(~F.col("term").isin([t.lower() for t in exclude]))
+    return out.orderBy(
+        F.desc("lift"), F.desc("fg_df"), F.asc("term")
+    ).limit(k)

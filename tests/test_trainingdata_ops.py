@@ -131,3 +131,33 @@ def test_weighted_sample_deterministic_and_stratified(spark):
     longs = sum(1 for d in a if d % 2 == 0) / 10000
     shorts = sum(1 for d in a if d % 2 == 1) / 10000
     assert abs(longs - 0.8) < 0.02 and abs(shorts - 0.2) < 0.02
+
+
+def test_significant_terms_lift_model(spark):
+    from pyspark.sql import functions as F
+
+    from golr_loader_spark.operators.textstats import significant_terms
+
+    rows = [
+        (0, "alpha beta common"),
+        (1, "alpha beta common"),
+        (2, "alpha beta rare common"),
+        (3, "common other words"),
+        (4, "common more words"),
+        (5, "common words again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fg = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    got = {
+        r["term"]: (r["fg_df"], r["bg_df"], r["lift"])
+        for r in significant_terms(df, fg, "doc_id", "text", min_fg=2).collect()
+    }
+    # alpha/beta: fg 3/3, bg 3/6 → lift (3/3)/(3/6) = 2.0
+    assert got["alpha"] == (3, 3, 2.0) and got["beta"] == (3, 3, 2.0)
+    # common: everywhere → lift 1.0; rare: fg_df 1 < min_fg → dropped
+    assert got["common"] == (3, 6, 1.0)
+    assert "rare" not in got
+    # exclusion drops the query's own terms
+    got2 = {r["term"] for r in significant_terms(
+        df, fg, "doc_id", "text", min_fg=2, exclude=["alpha"]).collect()}
+    assert "alpha" not in got2 and "beta" in got2
