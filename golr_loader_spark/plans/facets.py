@@ -48,6 +48,11 @@ from golr_loader_spark.functions.tokenize import analyze_query
 from golr_loader_spark.plans.bm25 import query_analyzer
 from golr_loader_spark.plans.build_index import InvertedIndex, bucket_of
 
+# instrumentation for the O(limit)-collect contract test: row count of
+# the last facet_counts_multiselect per-field collect (must be ≤ top,
+# never the distinct-value count)
+LAST_COLLECTED_MSELECT_ROWS: int | None = None
+
 
 def build_facets(
     documents: DataFrame,
@@ -873,18 +878,22 @@ def facet_counts_multiselect(
             fx = facets.filter(F.col("facet") == field).select(
                 "bucket", "doc_id", "value"
             )
+            # rank + truncate DISTRIBUTED-side: the match set is
+            # complete (single index, no shard partials), so
+            # orderBy(count desc, value asc).limit(top) is exact and the
+            # driver collects O(top) rows, not O(distinct values)
             rows = (
                 fx.join(m.select("bucket", "doc_id"), on=["bucket", "doc_id"])
                 .groupBy("value")
                 .agg(F.count(F.lit(1)).cast("long").alias("n"))
                 .filter(F.col("n") >= min_count)
+                .orderBy(F.desc("n"), F.asc("value"))
+                .limit(top)
                 .collect()
             )
-            vals = sorted(
-                ((int(r["n"]), r["value"]) for r in rows),
-                key=lambda x: (-x[0], x[1]),
-            )[:top]
-            out[field] = [(v, n) for n, v in vals]
+            global LAST_COLLECTED_MSELECT_ROWS
+            LAST_COLLECTED_MSELECT_ROWS = len(rows)
+            out[field] = [(r["value"], int(r["n"])) for r in rows]
         return out
     finally:
         base.unpersist()

@@ -88,6 +88,12 @@ def _agg_exprs(aggs: dict[str, tuple[str, str]]) -> list:
     return out
 
 
+# instrumentation for the O(limit)-collect contract test: row count of
+# the last _bucket_rows collect (must be ≤ the facet's limit, never the
+# distinct-value count)
+LAST_COLLECTED_BUCKET_ROWS: int | None = None
+
+
 def _round4(x):
     return None if x is None else round(float(x), 4)
 
@@ -189,7 +195,21 @@ def _bucket_rows(
             .agg(F.countDistinct("_uv").cast("long").alias(uname))
         )
         base = base.join(u, on="value", how="left")
-    rows = base.filter(F.col("count") >= mincount).collect()
+    # rank + truncate DISTRIBUTED-side for both supported sorts — the
+    # single-index match set is complete, so orderBy(...).limit(limit)
+    # is exact and the driver collects O(limit) rows, not O(distinct
+    # values).  (The sharded path computes its own untruncated
+    # mergeable partials in json_facet_sharded and never enters here.)
+    ranked = base.filter(F.col("count") >= mincount)
+    if sort == "index":
+        ranked = ranked.orderBy(F.asc("value"))
+    else:
+        ranked = ranked.orderBy(F.desc("count"), F.asc("value"))
+    if limit < (1 << 31):  # JVM limit() is int32; larger means "all"
+        ranked = ranked.limit(limit)
+    rows = ranked.collect()
+    global LAST_COLLECTED_BUCKET_ROWS
+    LAST_COLLECTED_BUCKET_ROWS = len(rows)
     buckets = []
     for r in rows:
         b = {"val": r["value"], "count": int(r["count"])}

@@ -1139,11 +1139,16 @@ class LocalSearcher:
         mode: str = "or",
         top: int = 10,
         min_count: int = 1,
+        values: dict[str, list[str]] | None = None,
     ) -> dict[str, list[tuple[str, int]]]:
         """Serving twin of ``facets.facet_counts_multiselect`` (Solr
         {!tag}/{!ex} multi-select faceting): per-facet match sets with
         that facet's own filters excluded, dict arithmetic over the
-        in-memory facet arrays."""
+        in-memory facet arrays.
+
+        ``values``: refinement mode — exact counts for exactly those
+        candidate values per facet field (zero counts omitted),
+        ignoring ``top``; used by the sharded coordinator's phase 2."""
         import numpy as _np
 
         base = {int(d) for d in self.matching_ids(query, mode)}
@@ -1156,6 +1161,8 @@ class LocalSearcher:
         a_ids, a_facets, a_vals = arrays
         out: dict[str, list[tuple[str, int]]] = {}
         for field, excl_tags in facet_fields.items():
+            if values is not None and field not in values:
+                continue
             m = set(base)
             for tag, ids in tag_sets.items():
                 if tag not in excl_tags:
@@ -1165,6 +1172,11 @@ class LocalSearcher:
             for d, v in zip(a_ids[mask].tolist(), a_vals[mask].tolist()):
                 if int(d) in m:
                     counts[v] = counts.get(v, 0) + 1
+            if values is not None:
+                want = set(values.get(field, ()))
+                got = [(v, n) for v, n in counts.items() if v in want]
+                out[field] = sorted(got, key=lambda x: (-x[1], x[0]))
+                continue
             vals = sorted(
                 ((n, v) for v, n in counts.items() if n >= min_count),
                 key=lambda x: (-x[0], x[1]),
@@ -2036,11 +2048,21 @@ class LocalSearcher:
         )
 
     def facet_counts(
-        self, query: str, mode: str = "or", top: int = 10, min_count: int = 1
+        self,
+        query: str,
+        mode: str = "or",
+        top: int = 10,
+        min_count: int = 1,
+        values: dict[str, list[str]] | None = None,
     ) -> dict[str, list[tuple[str, int]]]:
         """Solr-style facets for one query → {facet: [(value, n), …]}
         ordered (n desc, value asc), n ≥ min_count, ≤ top per facet.
-        Same counts as the distributed plans.facets.facet_counts."""
+        Same counts as the distributed plans.facets.facet_counts.
+
+        ``values``: refinement mode (Solr's distributed facet phase 2,
+        FacetComponent.REFINE_PARAM analog) — {facet: [candidate
+        values]}; returns exact counts for exactly those candidates
+        (zero-count candidates omitted), ignoring ``top``."""
         import numpy as _np
 
         loaded = self._load_facets()
@@ -2057,6 +2079,17 @@ class LocalSearcher:
         hit = matched[pos] == f_ids
         pairs = pd.DataFrame({"facet": f_facets[hit], "value": f_values[hit]})
         counts = pairs.groupby(["facet", "value"], sort=False).size()
+        if values is not None:
+            for facet, cands in values.items():
+                want = set(cands)
+                got = [
+                    (v, int(n))
+                    for (f, v), n in counts.items()
+                    if f == facet and v in want
+                ]
+                if got:
+                    out[str(facet)] = sorted(got, key=lambda x: (-x[1], x[0]))
+            return out
         for facet, grp in counts.groupby(level=0):
             vals = sorted(
                 ((int(n), v) for (_f, v), n in grp.items() if n >= min_count),

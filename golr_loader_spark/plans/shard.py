@@ -362,18 +362,69 @@ class ShardedSearcher:
     def facet_counts(
         self, query: str, mode: str = "or", top: int = 10, min_count: int = 1
     ):
-        sums: dict[str, dict[str, int]] = {}
-        shard_parts = self._fanout(
-            [
-                (lambda s=s: s.facet_counts(query, mode=mode, top=_BIG, min_count=1))
-                for s in self.shards
-            ]
+        """Two-phase distributed faceting (Solr FacetComponent's
+        overrequest + refinement design, restated):
+
+        * phase 1 — every shard returns its top ``top*1.5 + 10``
+          values (Solr's default overrequest formula), NOT the full
+          distinct-value set, so coordinator traffic is O(top) per
+          shard instead of O(distinct values);
+        * phase 2 — candidate values some shard truncated away are
+          re-requested from exactly the shards that didn't report
+          them (``values=`` targeted counts), so every RETURNED count
+          is exact.
+
+        Same caveat as Solr: a value below the overrequest rank on
+        EVERY shard can miss the candidate set; ``top >= _BIG``
+        requests the old single-round untruncated-exact merge."""
+        sums, missing = self._facet_phase1(
+            lambda s, t: s.facet_counts(query, mode=mode, top=t, min_count=1),
+            top,
         )
+        if missing:
+            refined = self._fanout(
+                [
+                    (lambda s=s, m=m: s.facet_counts(query, mode=mode, values=m))
+                    for s, m in missing
+                ]
+            )
+            for part in refined:
+                for facet, vals in part.items():
+                    agg = sums.setdefault(facet, {})
+                    for v, n in vals:
+                        agg[v] = agg.get(v, 0) + n
+        return self._facet_finalize(sums, top, min_count)
+
+    def _facet_phase1(self, call, top):
+        """Scatter phase-1 facet requests at the overrequest depth,
+        merge sums, and compute each shard's refinement need.
+        ``call(shard, req_top)`` → {facet: [(value, n), …]}. Returns
+        (sums, [(shard, {facet: [values to refine]}), …])."""
+        req = _BIG if top >= _BIG else int(top * 1.5) + 10
+        shard_parts = self._fanout(
+            [(lambda s=s: call(s, req)) for s in self.shards]
+        )
+        sums: dict[str, dict[str, int]] = {}
         for part in shard_parts:
             for facet, vals in part.items():
                 agg = sums.setdefault(facet, {})
                 for v, n in vals:
                     agg[v] = agg.get(v, 0) + n
+        missing: list = []
+        if req < _BIG:
+            for s, part in zip(self.shards, shard_parts):
+                need: dict[str, list[str]] = {}
+                for facet, agg in sums.items():
+                    seen = {v for v, _n in part.get(facet, [])}
+                    gaps = [v for v in agg if v not in seen]
+                    if gaps:
+                        need[facet] = gaps
+                if need:
+                    missing.append((s, need))
+        return sums, missing
+
+    @staticmethod
+    def _facet_finalize(sums, top, min_count):
         out: dict[str, list[tuple[str, int]]] = {}
         for facet, agg in sums.items():
             vals = sorted(
@@ -526,28 +577,33 @@ class ShardedSearcher:
         top: int = 10,
         min_count: int = 1,
     ) -> dict[str, list[tuple[str, int]]]:
-        """Sharded multi-select faceting: per-shard UNTRUNCATED counts
-        merge exactly (disjoint doc spaces), limit/mincount once."""
-        parts = self._fanout(
-            [
-                (lambda s=s: s.facet_counts_multiselect(
-                    query, fqs, facet_fields, mode=mode, top=_BIG,
-                    min_count=1,
-                ))
-                for s in self.shards
-            ]
+        """Sharded multi-select faceting with the same two-phase
+        overrequest + refinement as ``facet_counts`` (disjoint doc
+        spaces merge by summation; refined candidates get exact
+        targeted counts, so every returned count is exact)."""
+        sums, missing = self._facet_phase1(
+            lambda s, t: s.facet_counts_multiselect(
+                query, fqs, facet_fields, mode=mode, top=t, min_count=1
+            ),
+            top,
         )
-        out: dict[str, list[tuple[str, int]]] = {}
+        if missing:
+            refined = self._fanout(
+                [
+                    (lambda s=s, m=m: s.facet_counts_multiselect(
+                        query, fqs, facet_fields, mode=mode, values=m
+                    ))
+                    for s, m in missing
+                ]
+            )
+            for part in refined:
+                for field, vals in part.items():
+                    agg = sums.setdefault(field, {})
+                    for v, n in vals:
+                        agg[v] = agg.get(v, 0) + n
+        out = self._facet_finalize(sums, top, min_count)
         for field in facet_fields:
-            agg: dict[str, int] = {}
-            for p_ in parts:
-                for v, n in p_.get(field, []):
-                    agg[v] = agg.get(v, 0) + n
-            vals = sorted(
-                ((n, v) for v, n in agg.items() if n >= min_count),
-                key=lambda x: (-x[0], x[1]),
-            )[:top]
-            out[field] = [(v, n) for n, v in vals]
+            out.setdefault(field, [])
         return out
 
     def collate(
