@@ -176,15 +176,24 @@ def main() -> None:
                 spark, td, f"{td}/sharded{n_sh}", n_sh, cfg=cfg
             )
             ss = ShardedSearcher(sh_roots, cfg)
+            ps = ShardedSearcher(sh_roots, cfg, parallel=True)
             for q in queries.values():
                 ss.search(q, k=10)
-            extras[f"serve_p95_ms_{n_sh}shard"] = round(
-                min(
+                ps.search(q, k=10)
+            # interleaved A/B reps (noise-storm discipline): sequential
+            # scatter vs the process-per-shard transport on identical
+            # queries; min of each is the quiet-machine number
+            seq_reps, par_reps = [], []
+            for _ in range(3):
+                seq_reps.append(
                     p95_latency_ms(ss, list(queries.values()), k=10)
-                    for _ in range(3)
-                ),
-                1,
-            )
+                )
+                par_reps.append(
+                    p95_latency_ms(ps, list(queries.values()), k=10)
+                )
+            ps.close()
+            extras[f"serve_p95_ms_{n_sh}shard"] = round(min(seq_reps), 1)
+            extras[f"serve_p95_ms_{n_sh}shard_par"] = round(min(par_reps), 1)
 
     # ---- engine arm: positional index + phrase queries ------------------
     # one positional build (IndexConfig(positions=True)) over the SAME

@@ -588,25 +588,40 @@ def json_facet_local(
     return out
 
 
+def local_facet_partials(
+    searcher, query: str, spec: dict, mode: str = "or", fq: str | None = None
+):
+    """One shard's complete json-facet partials for a request — a
+    single scatter unit so the sharded path is ONE round trip per
+    shard (and one RPC per shard on the process transport)."""
+    ids = {int(d) for d in searcher.matching_ids(query, mode)}
+    if fq is not None:
+        ids &= searcher._fq_ids_local(fq)
+    return (
+        len(ids),
+        {
+            name: _local_node_partials(searcher, ids, fspec, depth=0)
+            for name, fspec in spec.items()
+        },
+    )
+
+
 def json_facet_sharded(
-    shards, query: str, spec: dict, mode: str = "or", fq: str | None = None
+    shards, query: str, spec: dict, mode: str = "or", fq: str | None = None,
+    fanout=None,
 ) -> dict:
     """Sharded twin: every shard computes UNTRUNCATED mergeable
     partials (count/sum/min/max merge trivially; avg as (sum, n);
     unique as exact value SETS — doc spaces are disjoint), the
     coordinator merges and finalizes sort/limit/mincount ONCE. Exact,
-    unlike Solr's distributed unique() sketch."""
-    per_shard = []
-    for s in shards:
-        ids = {int(d) for d in s.matching_ids(query, mode)}
-        if fq is not None:
-            ids &= s._fq_ids_local(fq)
-        per_shard.append(
-            (len(ids), {
-                name: _local_node_partials(s, ids, fspec, depth=0)
-                for name, fspec in spec.items()
-            })
-        )
+    unlike Solr's distributed unique() sketch. ``fanout``: optional
+    scatter executor (ShardedSearcher._fanout) so the process
+    transport parallelizes the per-shard partials."""
+    calls = [
+        (lambda s=s: s.json_facet_partials(query, spec, mode=mode, fq=fq))
+        for s in shards
+    ]
+    per_shard = fanout(calls) if fanout is not None else [c() for c in calls]
     out: dict = {"count": sum(n for n, _p in per_shard)}
     for name, fspec in spec.items():
         merged = per_shard[0][1][name]

@@ -2047,6 +2047,15 @@ class LocalSearcher:
             )
         )
 
+    def json_facet_partials(
+        self, query: str, spec: dict, mode: str = "or", fq: str | None = None
+    ):
+        """This shard's mergeable json-facet partials for one request
+        (single scatter unit for ``jsonfacet.json_facet_sharded``)."""
+        from golr_loader_spark.plans.jsonfacet import local_facet_partials
+
+        return local_facet_partials(self, query, spec, mode=mode, fq=fq)
+
     def facet_counts(
         self,
         query: str,

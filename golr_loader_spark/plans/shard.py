@@ -55,6 +55,100 @@ from golr_loader_spark.plans.serve import LocalSearcher
 _BIG = 1 << 60  # "untruncated" top for per-shard facet requests
 
 
+def _shard_worker_loop(root: str, cfg, conn) -> None:
+    """One shard's worker process: a persistent LocalSearcher behind a
+    pickle pipe. Requests are ("attr"|method_name, args, kwargs);
+    responses (ok, result | formatted traceback). The searcher is
+    built lazily on first request so fork stays instant; page-cache
+    warmth is shared with the coordinator through the OS (same files,
+    same mmaps)."""
+    searcher = None
+    while True:
+        try:
+            req = conn.recv()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if req is None:
+            break
+        name, args, kwargs = req
+        try:
+            if searcher is None:
+                searcher = LocalSearcher(root, cfg)
+            if name == "__attr__":
+                res = getattr(searcher, args[0])
+            else:
+                res = getattr(searcher, name)(*args, **kwargs)
+            if res is searcher:  # fluent methods (refresh) return self
+                res = None
+            conn.send((True, res))
+        except BaseException as exc:  # noqa: BLE001 — ship it to the caller
+            import traceback
+
+            conn.send(
+                (False, f"{type(exc).__name__}: {exc}\n{traceback.format_exc()}")
+            )
+    conn.close()
+
+
+class _ShardProxy:
+    """Coordinator-side stub for one shard worker process. Method
+    calls are blocking RPCs over a pipe; the GIL is RELEASED while the
+    coordinator thread waits on the pipe read, which is what makes a
+    thread-per-shard scatter actually parallel (the measured in-process
+    thread transport loses because the per-shard WORK holds the GIL;
+    here the work runs in the worker process). The attribute names in
+    ``_ATTRS`` are fetched by value; everything else resolves to an
+    RPC callable."""
+
+    _ATTRS = frozenset({"cfg", "n_docs", "avgdl"})
+
+    def __init__(self, root: str, cfg) -> None:
+        import multiprocessing as mp
+        import threading
+
+        ctx = mp.get_context("fork")
+        parent, child = ctx.Pipe()
+        self._conn = parent
+        self._lock = threading.Lock()
+        self._proc = ctx.Process(
+            target=_shard_worker_loop, args=(root, cfg, child), daemon=True
+        )
+        self._proc.start()
+        child.close()
+
+    def _rpc(self, name: str, args: tuple, kwargs: dict):
+        with self._lock:
+            self._conn.send((name, args, kwargs))
+            ok, res = self._conn.recv()
+        if not ok:
+            raise RuntimeError(f"shard worker call {name!r} failed:\n{res}")
+        return res
+
+    def __getattr__(self, name: str):
+        if name.startswith("_") and name != "__attr__":
+            # private LocalSearcher helpers are still legitimate RPCs
+            # (_fq_ids_local, _join_from_values, …) but dunder lookups
+            # from pickle/copy machinery must fail fast
+            if name.startswith("__"):
+                raise AttributeError(name)
+        if name in self._ATTRS:
+            return self._rpc("__attr__", (name,), {})
+        def call(*args, **kwargs):
+            return self._rpc(name, args, kwargs)
+        return call
+
+    def close(self) -> None:
+        try:
+            with self._lock:
+                self._conn.send(None)
+                self._conn.close()
+        except (BrokenPipeError, OSError):
+            pass
+        self._proc.join(timeout=5)
+        if self._proc.is_alive():
+            self._proc.terminate()
+
+
 def shard_of_doc(doc_id: int, cfg: IndexConfig, n_shards: int) -> int:
     """doc_id → owning shard: the arithmetic-shift bucket (same as
     build_index.bucket_of) mod n_shards. Python's ``>>`` and ``%``
@@ -164,24 +258,42 @@ class ShardedSearcher:
     ):
         if not roots:
             raise ValueError("need at least one shard root")
+        # Transport choice — SolrCloud scatters to shards concurrently,
+        # but there each shard is a separate PROCESS on (usually) a
+        # separate node, so the coordinator's threads merely wait on
+        # sockets.
+        #
+        # * parallel=False (default): sequential scatter over in-process
+        #   LocalSearchers. In-process thread-per-shard CONTENDS on the
+        #   GIL instead of overlapping (measured, 60k docs, 20-query
+        #   p95, min-of-4 interleaved: 2 shards 276 ms sequential vs
+        #   367 ms threaded; 4 shards 279 ms vs 754 ms).
+        # * parallel=True / "process": one worker PROCESS per shard
+        #   (fork; persistent LocalSearcher each) + a thread-per-shard
+        #   scatter whose threads only wait on pipe reads — the GIL is
+        #   released during the wait, so per-shard work genuinely
+        #   overlaps. This is the SolrCloud topology.
+        # * parallel="threads": the measured-losing in-process thread
+        #   transport, kept for A/B runs.
+        self._pool = None
+        self._proxies: list[_ShardProxy] | None = None
+        if parallel and parallel != "threads" and len(roots) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._proxies = [_ShardProxy(r, cfg) for r in roots]
+            self.shards = list(self._proxies)
+            self._pool = ThreadPoolExecutor(max_workers=len(roots))
+            # stats are global (copied whole to every shard): fetch
+            # by value from worker 0
+            self.cfg = self.shards[0].cfg
+            self.n_docs = self.shards[0].n_docs
+            self.avgdl = self.shards[0].avgdl
+            return
         self.shards = [LocalSearcher(r, cfg) for r in roots]
         self.cfg = self.shards[0].cfg
         self.n_docs = self.shards[0].n_docs
         self.avgdl = self.shards[0].avgdl
-        # SolrCloud scatters to shards concurrently — but there each
-        # shard is a separate PROCESS on (usually) a separate node, so
-        # the coordinator's threads merely wait on sockets. In this
-        # in-process emulation the per-shard work runs IN the
-        # coordinator's interpreter, and the scoring kernels are
-        # GIL-bound Python + short numpy calls: a thread per shard
-        # CONTENDS instead of overlapping. Measured (60k docs, 20-query
-        # p95, min-of-4 interleaved): 2 shards 276 ms sequential vs
-        # 367 ms threaded; 4 shards 279 ms vs 754 ms. Sequential is
-        # therefore the default; pass parallel=True only when the
-        # per-shard call genuinely releases the GIL (e.g. a future
-        # remote-shard transport).
-        self._pool = None
-        if parallel and len(self.shards) > 1:
+        if parallel == "threads" and len(self.shards) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             self._pool = ThreadPoolExecutor(max_workers=len(self.shards))
@@ -192,6 +304,23 @@ class ShardedSearcher:
         if self._pool is None:
             return [fn() for fn in fns]
         return list(self._pool.map(lambda fn: fn(), fns))
+
+    def close(self) -> None:
+        """Shut down the scatter pool and any shard worker processes.
+        Idempotent; the sequential default has nothing to release."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+        if self._proxies:
+            for p in self._proxies:
+                p.close()
+            self._proxies = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     @classmethod
     def open(cls, out_root: str, cfg: IndexConfig | None = None):
@@ -702,7 +831,9 @@ class ShardedSearcher:
         per-shard partials (``jsonfacet.json_facet_sharded``)."""
         from golr_loader_spark.plans.jsonfacet import json_facet_sharded
 
-        return json_facet_sharded(self.shards, query, spec, mode=mode, fq=fq)
+        return json_facet_sharded(
+            self.shards, query, spec, mode=mode, fq=fq, fanout=self._fanout
+        )
 
     def block_join_parent(
         self, child_query: str, which: str, block_field: str,

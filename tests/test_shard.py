@@ -192,18 +192,22 @@ def test_matching_ids_parity(pair):
 
 
 def test_parallel_scatter_optin_identical(roots, cfg):
-    """parallel=True (thread-per-shard scatter) is an opt-in transport
-    choice, never a semantic one: identical results to the sequential
-    default on ranked, facet, and grouped operations. Sequential IS
-    the default because in-process shards contend on the GIL (measured
-    2.7x worse p95 at 4 shards — see ShardedSearcher.__init__)."""
+    """parallel=True (process-per-shard scatter since round 5; see
+    test_shard_process.py for the full surface) and parallel="threads"
+    (the measured-losing in-process thread transport, kept for A/B)
+    are opt-in transport choices, never semantic ones: identical
+    results to the sequential default on ranked, facet, and grouped
+    operations."""
     _root, shard_roots, _docs = roots
     seq = ShardedSearcher(shard_roots, cfg)
-    par = ShardedSearcher(shard_roots, cfg, parallel=True)
-    assert seq._pool is None and par._pool is not None
-    for q in QUERIES:
-        assert par.search(q, k=10) == seq.search(q, k=10), q
-    assert par.facet_counts("def", "lang") == seq.facet_counts("def", "lang")
-    assert par.grouped_topk("lang", "def return", k_groups=3) == (
-        seq.grouped_topk("lang", "def return", k_groups=3)
-    )
+    thr = ShardedSearcher(shard_roots, cfg, parallel="threads")
+    assert seq._pool is None and thr._pool is not None and thr._proxies is None
+    with ShardedSearcher(shard_roots, cfg, parallel=True) as par:
+        assert par._pool is not None and par._proxies is not None
+        for q in QUERIES:
+            assert par.search(q, k=10) == seq.search(q, k=10), q
+            assert thr.search(q, k=10) == seq.search(q, k=10), q
+        assert par.facet_counts("def", "lang") == seq.facet_counts("def", "lang")
+        assert par.grouped_topk("lang", "def return", k_groups=3) == (
+            seq.grouped_topk("lang", "def return", k_groups=3)
+        )
