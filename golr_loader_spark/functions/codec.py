@@ -100,6 +100,22 @@ def decode_block(doc_id_first: int, doc_ids_buf: bytes, tfs_buf: bytes) -> tuple
     return ids, varint_decode(tfs_buf).astype(np.int64)
 
 
+def binary_from_segments(data: np.ndarray, seg_bytes: np.ndarray):
+    """Zero-copy pa.binary array: one value per segment of ``data``.
+    Shared by the posting-block encoder and the Arrow tokenizer — the
+    whole column is built from two buffers, never one Python bytes
+    object per row."""
+    import pyarrow as pa
+
+    offsets = np.zeros(len(seg_bytes) + 1, dtype=np.int32)
+    np.cumsum(seg_bytes, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(seg_bytes),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
 def positions_encode(
     flat_pos: np.ndarray, counts: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -109,13 +109,20 @@ def _chain_flat(chain, term_vocab, out_pos, tkey, tokpos):
 
 
 def _agg_flat(
-    term_vocab, out_pos, tkey, tokpos, dl_minlen, positional, dedupe=False
+    term_vocab, out_pos, tkey, tokpos, dl_minlen, positional, dedupe=False,
+    raw=False,
 ):
     """(instance arrays) → the analyzer output DataFrame: tf/dl
     aggregation on integer keys (doc × vocab code), no string
     groupby. dl = per-doc instance count (Σ tf over the doc's rows —
     the invariant downstream corpus stats rely on; synonym-injected
-    instances count, see functions/analysis.py)."""
+    instances count, see functions/analysis.py).
+
+    ``raw=True`` (the mapInArrow tokenizer's path) skips ALL per-row
+    Python objects — no term-string fancy-index, no per-row position
+    bytes, no pandas frame — and returns the integer/array form
+    {pos, codes, vocab, tf, dl, cpos}; the caller assembles Arrow
+    columns straight from these buffers."""
     L = max(len(term_vocab), 1)
     combined = out_pos * L + tkey
     if not positional:
@@ -153,12 +160,21 @@ def _agg_flat(
         else:
             gstart = uniq_keys = tf = np.empty(0, dtype=np.int64)
     agg_pos = uniq_keys // L
+    dl = np.bincount(out_pos, minlength=dl_minlen)
+    if raw:
+        return {
+            "pos": agg_pos.astype(np.int64),
+            "codes": (uniq_keys % L).astype(np.int64),
+            "vocab": term_vocab,
+            "tf": np.asarray(tf, dtype=np.int64),
+            "dl": dl[agg_pos].astype(np.int32),
+            "cpos": cpos if positional else None,
+        }
     agg_term = (
         term_vocab[uniq_keys % L]
         if len(term_vocab)
         else np.array([], dtype=object)
     )
-    dl = np.bincount(out_pos, minlength=dl_minlen)
     out = pd.DataFrame(
         {
             "pos": agg_pos,
@@ -173,8 +189,8 @@ def _agg_flat(
 
 
 def _code_tokens(
-    texts: pd.Series, positional: bool = False, chain=None
-) -> pd.DataFrame:
+    texts: pd.Series, positional: bool = False, chain=None, raw: bool = False
+):
     """Vectorized: Series[str] indexed by doc position → DataFrame
     (doc index, term) with one row per token occurrence.
 
@@ -195,11 +211,11 @@ def _code_tokens(
     token occupy distinct slots, raw tokens occupy disjoint ranges,
     and the compound term string can never equal its own first
     subword (it contains a case or underscore boundary)."""
-    raw = texts.str.findall(_RAW_TOKEN).explode().dropna()
-    if raw.empty:
-        return _empty_tokens(positional)
-    positions = raw.index.to_numpy(np.int64)
-    codes, uniques = pd.factorize(raw.to_numpy(), sort=False)
+    rawtok = texts.str.findall(_RAW_TOKEN).explode().dropna()
+    if rawtok.empty:
+        return None if raw else _empty_tokens(positional)
+    positions = rawtok.index.to_numpy(np.int64)
+    codes, uniques = pd.factorize(rawtok.to_numpy(), sort=False)
 
     # subword split of the unique identifiers, all in pandas str ops:
     # per-unique term list = lowercased subwords, plus the compound
@@ -255,18 +271,19 @@ def _code_tokens(
             chain, term_vocab, out_pos, tkey, tokpos
         )
     return _agg_flat(
-        term_vocab, out_pos, tkey, tokpos, dl_minlen, positional, dedupe
+        term_vocab, out_pos, tkey, tokpos, dl_minlen, positional, dedupe,
+        raw=raw,
     )
 
 
 def _simple_tokens(
-    texts: pd.Series, positional: bool = False, chain=None
-) -> pd.DataFrame:
+    texts: pd.Series, positional: bool = False, chain=None, raw: bool = False
+):
     # literal single-space split (keeps empty tokens), exactly
     # string_split(lower(text), ' ') — the analyzer must be
     # bit-identical to its ANSI-SQL twin, not merely close
     t = texts.str.lower().str.split(" ").explode().dropna()
-    if not positional and chain is None:
+    if not positional and chain is None and not raw:
         tok = pd.DataFrame({"pos": t.index, "term": t.values})
         tf = tok.groupby(["pos", "term"], sort=False).size().reset_index(name="tf")
         tf["dl"] = tf.groupby("pos", sort=False)["tf"].transform("sum").to_numpy(np.int32)
@@ -282,7 +299,7 @@ def _simple_tokens(
     # filter runs.)
     doc = t.index.to_numpy(np.int64)
     if len(doc) == 0:
-        return _empty_tokens(positional)
+        return None if raw else _empty_tokens(positional)
     toks = t.to_numpy()
     tokpos = None
     if positional:
@@ -297,7 +314,9 @@ def _simple_tokens(
         term_vocab, doc, codes, tokpos, dedupe = _chain_flat(
             chain, term_vocab, doc, codes, tokpos
         )
-    return _agg_flat(term_vocab, doc, codes, tokpos, dl_minlen, positional, dedupe)
+    return _agg_flat(
+        term_vocab, doc, codes, tokpos, dl_minlen, positional, dedupe, raw=raw
+    )
 
 
 _ANALYZERS = {"code": _code_tokens, "path": _code_tokens, "simple": _simple_tokens}
@@ -411,6 +430,13 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     never join a separate doc-length table — one fewer wide shuffle
     in the index build.
     """
+    import pyarrow as pa
+
+    from golr_loader_spark.functions.codec import (
+        binary_from_segments,
+        positions_encode,
+    )
+
     cfg = cfg or IndexConfig()
     field_spec = [(f, a) for f, (a, _b) in cfg.fields.items()]
     chain = cfg.chain
@@ -420,44 +446,75 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     positional = cfg.positions
     cols = ["doc_id"] + [f for f, _ in field_spec]
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    out_fields = [
+        ("doc_id", pa.int64()), ("field", pa.string()),
+        ("term", pa.string()), ("tf", pa.int32()), ("dl", pa.int32()),
+    ]
+    if positional:
+        out_fields.append(("positions", pa.binary()))
+    arrow_schema = pa.schema(out_fields)
+
+    # mapInArrow, not mapInPandas: the output columns are assembled
+    # straight from numpy buffers — term via one C-level take on the
+    # batch vocabulary, positions as a single (offsets, stream) binary
+    # column (binary_from_segments) — so the hot path creates ZERO
+    # per-row Python objects. The old pandas assembly built one bytes
+    # object per (doc, field, term) row for positions and one PyObject
+    # per term string; at bench scale that doubled tokenizer wall on
+    # positional builds.
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            pdf = pdf.reset_index(drop=True)
-            out = []
-            for fname, analyzer in field_spec:
-                agg = _ANALYZERS[analyzer](
-                    pdf[fname], positional=positional, chain=chain
+            doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            for ci, (fname, analyzer) in enumerate(field_spec, start=1):
+                texts = rb.column(ci).to_pandas()
+                r = _ANALYZERS[analyzer](
+                    texts, positional=positional, chain=chain, raw=True
                 )
-                if not len(agg):
+                if r is None:
                     continue
-                if min_len > 1:
-                    agg = agg[agg["term"].str.len() >= min_len]
-                    # INVARIANT: dl ≡ Σ tf over the kept rows — the
-                    # document's length in INDEXED tokens. Derived
-                    # corpus stats (avgdl = Σ tf_sum / n_docs over
-                    # posting blocks) rely on this, so dl is
-                    # recomputed after the filter.
-                    agg = agg.copy()
-                    agg["dl"] = (
-                        agg.groupby("pos", sort=False)["tf"]
-                        .transform("sum")
-                        .to_numpy(np.int32)
+                pos, codes, vocab = r["pos"], r["codes"], r["vocab"]
+                tf, dl_rows, cpos = r["tf"], r["dl"], r["cpos"]
+                if min_len > 1 and len(vocab):
+                    # vocab-level length filter (thousands of entries),
+                    # mapped back to rows by integer indexing.
+                    # INVARIANT: dl ≡ Σ tf over the KEPT rows — derived
+                    # corpus stats rely on this, so dl is recomputed
+                    # after the filter.
+                    vlens = np.fromiter(
+                        (len(t) for t in vocab), dtype=np.int64,
+                        count=len(vocab),
                     )
-                pos = agg["pos"].to_numpy(np.int64)
-                row = {
-                    "doc_id": pdf["doc_id"].to_numpy()[pos],
-                    "field": fname,
-                    "term": agg["term"].to_numpy(),
-                    "tf": agg["tf"].to_numpy(np.int32),
-                    "dl": agg["dl"].to_numpy(np.int32),
-                }
+                    keep = (vlens >= min_len)[codes]
+                    if not keep.all():
+                        if cpos is not None:
+                            cpos = cpos[np.repeat(keep, tf)]
+                        pos, codes, tf = pos[keep], codes[keep], tf[keep]
+                        if len(pos) == 0:
+                            continue
+                        dl_doc = np.bincount(
+                            pos, weights=tf, minlength=int(pos.max()) + 1
+                        )
+                        dl_rows = dl_doc[pos].astype(np.int32)
+                n = len(pos)
+                if n == 0:
+                    continue
+                vocab_arr = pa.array(vocab, type=pa.string())
+                arrays = [
+                    pa.array(doc_ids[pos], type=pa.int64()),
+                    pa.compute.take(
+                        pa.array([fname], type=pa.string()),
+                        pa.array(np.zeros(n, dtype=np.int32)),
+                    ),
+                    pa.compute.take(vocab_arr, pa.array(codes)),
+                    pa.array(tf.astype(np.int32)),
+                    pa.array(dl_rows),
+                ]
                 if positional:
-                    row["positions"] = agg["positions"].to_numpy()
-                out.append(pd.DataFrame(row))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                    stream, seg = positions_encode(cpos, tf)
+                    arrays.append(binary_from_segments(stream, seg))
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     schema = TOKENS_SCHEMA_POS if positional else TOKENS_SCHEMA
-    return documents.select(*cols).mapInPandas(run, schema=schema)
+    return documents.select(*cols).mapInArrow(run, schema=schema)

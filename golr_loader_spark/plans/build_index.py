@@ -46,7 +46,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from golr_loader_spark.config import IndexConfig
-from golr_loader_spark.functions.codec import varint_encode_with_sizes
+from golr_loader_spark.functions.codec import (
+    binary_from_segments as _binary_from_segments,
+    varint_encode_with_sizes,
+)
 from golr_loader_spark.functions.tokenize import tokenize
 
 POSTINGS_SCHEMA = pa.schema(
@@ -116,17 +119,6 @@ def term_stats(tokens: DataFrame) -> DataFrame:
     )
 
 
-def _binary_from_segments(
-    data: np.ndarray, seg_bytes: np.ndarray
-) -> pa.Array:
-    """Zero-copy pa.binary array: one value per segment of ``data``."""
-    offsets = np.zeros(len(seg_bytes) + 1, dtype=np.int32)
-    np.cumsum(seg_bytes, out=offsets[1:])
-    return pa.Array.from_buffers(
-        pa.binary(),
-        len(seg_bytes),
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
-    )
 
 
 def _encode_groups(
