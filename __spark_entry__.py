@@ -1105,6 +1105,92 @@ def _engine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_rangefacet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet API round-5 extensions on the REAL engine index:
+    a type:"range" facet over n_chars (start=0, end=800, gap=100 —
+    empty tail buckets INCLUDED, Solr's range mincount=0 default)
+    carrying sum(n_chars) (exact integer sums — avg would differ in round-half mode between Spark and DuckDB), plus numBuckets/allBuckets on a lang terms
+    facet, all over the decode-only match set of 'data query'.
+    Flattens to (facet, lo, n, avg_chars) rows — range buckets keyed
+    by their lower bound, the two scalar extensions as lo=-1 summary
+    rows. SQL_Q69 replays the bucket arithmetic (floor((x-start)/gap))
+    with a generate_series left join for the empties."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import build_facets
+    from golr_loader_spark.plans.jsonfacet import json_facet
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    fx = build_facets(d, ["lang"], cfg)
+    res = json_facet(
+        ix, "data query",
+        {
+            "lens": {"type": "range", "field": "n_chars",
+                     "start": 0, "end": 800, "gap": 100,
+                     "facet": {"sum_chars": "sum(n_chars)"}},
+            "langs": {"type": "terms", "field": "lang", "limit": 2,
+                      "numBuckets": True, "allBuckets": True},
+        },
+        fx, cfg=cfg, numbers=d.select("doc_id", "n_chars"),
+    )
+    rows = [
+        ("lens", int(b["val"]), int(b["count"]), b["sum_chars"])
+        for b in res["lens"]["buckets"]
+    ]
+    rows.append(("numBuckets", -1, int(res["langs"]["numBuckets"]), None))
+    rows.append(
+        ("allBuckets", -1, int(res["langs"]["allBuckets"]["count"]), None)
+    )
+    return spark.createDataFrame(
+        sorted(rows), "facet string, lo long, n long, sum_chars double"
+    )
+
+
+def _engine_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (Solr SynonymGraphFilter on the
+    query analyzer — the side that handles MULTI-WORD rules):
+    cfg.query_synonyms = (query→scan, stream→'data stream') rewrites
+    'query stream' into (query OR scan) (stream OR "data stream")
+    via plans.lucene.expand_synonyms before execution. A SHOULD-only
+    expansion scores exactly like the flat query over all
+    alternatives (boolean sum, boost-1 groups transparent), which is
+    what SQL_Q68 replays: term contributions for query/scan/stream
+    plus the positional-phrase BM25 score of the 'data stream'
+    bigram. Round-to-4-then-rank like the other engine rows."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.lucene import search_lucene
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+        positions=True,
+        query_synonyms=(("query", "scan"), ("stream", "data stream")),
+    )
+    ix = build_index(d, cfg)
+    top = (
+        search_lucene(ix, "query stream", k=1000, cfg=cfg)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
+        "rank int, doc_id long, score double",
+    )
+
+
 # REGISTRY_ORDER — rotation policy for the driver's correctness gate.
 #
 # The driver records exactly the FIRST 50 rows of queries() in dict-insertion
@@ -1124,7 +1210,8 @@ _REGISTRY_PRIORITY = [
     "engine_boost", "engine_cursor", "engine_pivot", "engine_fetchpage",
     "engine_mlt_boosted", "engine_chain", "engine_terms", "engine_tvec",
     "engine_join",
-    # -- new rows land here as they are added (0 records) --
+    # -- new in round 5 (0 records) --
+    "engine_synonym", "engine_rangefacet",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1191,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_terms"] = _engine_terms
     out["engine_tvec"] = _engine_tvec
     out["engine_join"] = _engine_join
+    out["engine_synonym"] = _engine_synonym
+    out["engine_rangefacet"] = _engine_rangefacet
     return _apply_registry_order(out)
 
 
@@ -1231,6 +1320,8 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q65,
         SQL_Q66,
         SQL_Q67,
+        SQL_Q68,
+        SQL_Q69,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -1273,4 +1364,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_terms"] = SQL_Q57
     out["engine_tvec"] = SQL_Q58
     out["engine_join"] = SQL_Q59
+    out["engine_synonym"] = SQL_Q68
+    out["engine_rangefacet"] = SQL_Q69
     return out

@@ -75,6 +75,15 @@ class IndexConfig:
     stopwords: tuple = ()
     stem: str | None = None
     synonyms: tuple = ()
+    # QUERY-TIME synonym expansion (Solr SynonymGraphFilter on the
+    # query analyzer — the side that supports MULTI-WORD rules, which
+    # index-time injection cannot): tuple of (source, target) pairs,
+    # either side may be a multi-word phrase. Applied by
+    # plans.lucene.expand_synonyms after parsing: a matched source
+    # span becomes a SHOULD group of alternatives (original ∪
+    # targets), multi-word alternatives as phrases. Independent of
+    # the index-time ``synonyms`` chain stage.
+    query_synonyms: tuple = ()
 
     @property
     def n_buckets(self) -> int:
@@ -112,6 +121,7 @@ class IndexConfig:
             "stopwords": list(self.stopwords),
             "stem": self.stem,
             "synonyms": [list(g) for g in self.synonyms],
+            "query_synonyms": [list(g) for g in self.query_synonyms],
         }
 
     @classmethod
@@ -129,6 +139,10 @@ class IndexConfig:
             kwargs["stopwords"] = tuple(d["stopwords"])
         if "synonyms" in d:
             kwargs["synonyms"] = tuple(tuple(g) for g in d["synonyms"])
+        if "query_synonyms" in d:
+            kwargs["query_synonyms"] = tuple(
+                tuple(g) for g in d["query_synonyms"]
+            )
         return cls(**kwargs)
 
 

@@ -1483,6 +1483,105 @@ SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
 """
 
 
+# Query-time synonym expansion oracle (engine twin: search_lucene
+# with cfg.query_synonyms=(query→scan, stream→'data stream') —
+# engine_synonym in __spark_entry__.py). The expansion rewrites
+# 'query stream' into (query OR scan) (stream OR "data stream");
+# SHOULD-only boolean scoring sums flat, so the replay is: BM25 term
+# contributions for query/scan/stream + the positional-phrase score
+# of the data→stream bigram (idf(data)+idf(stream), phrase tf =
+# adjacency count), folded in sorted term order, rounded to 4 then
+# ranked — identical float discipline to SQL_Q45.
+SQL_Q68 = """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+), tf_tab AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokp GROUP BY doc_id, term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf_tab GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf_tab WHERE term IN ('query', 'scan', 'stream', 'data')
+  GROUP BY term),
+contribs AS (
+  SELECT q.doc_id, q.term,
+         idf.idf * 2.2 * q.tf / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM tf_tab q
+  JOIN idf USING (term) JOIN dl USING (doc_id)
+  WHERE q.term IN ('query', 'scan', 'stream')),
+boolscore AS (
+  SELECT doc_id, sum(contrib ORDER BY term) AS bscore
+  FROM contribs GROUP BY doc_id),
+pmatch AS (
+  SELECT a.doc_id, a.pos
+  FROM tokp a JOIN tokp b
+    ON b.doc_id = a.doc_id AND b.term = 'stream' AND b.pos = a.pos + 1
+  WHERE a.term = 'data'),
+ptf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS f FROM pmatch GROUP BY doc_id),
+pscore AS (
+  SELECT ptf.doc_id,
+         (SELECT sum(idf) FROM idf WHERE term IN ('data','stream')) * 2.2
+           * f / (f + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS ps
+  FROM ptf JOIN dl USING (doc_id)),
+scored AS (
+  SELECT b.doc_id, round(b.bscore + coalesce(p.ps, 0.0), 4) AS score
+  FROM boolscore b LEFT JOIN pscore p USING (doc_id)),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20
+"""
+
+
+# JSON Facet range + numBuckets/allBuckets oracle (engine twin:
+# jsonfacet type:"range" over n_chars with sum(n_chars), plus
+# numBuckets (distinct lang values with count >= 1 among matched
+# docs, before limit) and allBuckets under the union reading
+# (distinct matched docs having a lang value) — engine_rangefacet in
+# __spark_entry__.py). Empty range buckets ride a generate_series
+# LEFT JOIN; values outside [0, 800) are dropped like the engine.
+SQL_Q69 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data', 'query')
+), vals AS (
+  SELECT d.doc_id, d.n_chars, d.lang
+  FROM documents d JOIN matched USING (doc_id)
+), lens AS (
+  SELECT 'lens' AS facet, CAST(gs.lo AS BIGINT) AS lo,
+         CAST(count(v.doc_id) AS BIGINT) AS n,
+         round(CAST(sum(v.n_chars) AS DOUBLE), 4) AS sum_chars
+  FROM generate_series(0, 700, 100) AS gs(lo)
+  LEFT JOIN vals v
+    ON v.n_chars >= gs.lo AND v.n_chars < gs.lo + 100
+   AND v.n_chars >= 0 AND v.n_chars < 800
+  GROUP BY gs.lo
+), extras AS (
+  SELECT 'numBuckets' AS facet, CAST(-1 AS BIGINT) AS lo,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS sum_chars
+  FROM vals WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'allBuckets', -1,
+         CAST(count(DISTINCT doc_id) AS BIGINT),
+         CAST(NULL AS DOUBLE)
+  FROM vals WHERE lang IS NOT NULL
+)
+SELECT facet, lo, n, sum_chars FROM lens
+UNION ALL
+SELECT facet, lo, n, sum_chars FROM extras
+ORDER BY facet, lo
+"""
+
+
 # Solr drill-down oracle (engine twin: facets.facet_counts with a
 # NON-SCORING fq — engine_drilldown in __spark_entry__.py). The
 # standard Solr workflow: q selects ('data' OR 'query'), fq filters

@@ -246,13 +246,45 @@ def _dismax_bucket_factory(
     return score_group
 
 
+def _word_synonyms(word: str, cfg: IndexConfig) -> list[str]:
+    """Single-word query-time synonym targets for one dismax word
+    clause (Lucene SynonymQuery analog: the alternatives extend the
+    word's own term list, so the clause matches and scores on any of
+    them). Multi-word rules need the graph-query path — use
+    ``search_lucene``, whose expand_synonyms handles phrases."""
+    if not cfg.query_synonyms:
+        return []
+    from golr_loader_spark.plans.lucene import synonym_rules
+
+    lw = word.lower()
+    out: list[str] = []
+    for src, targets in synonym_rules(cfg.query_synonyms):
+        if len(src) == 1 and src[0] == lw:
+            out.extend(t for t in targets if " " not in t)
+    return out
+
+
+def _analyzed_with_synonyms(
+    word: str, analyzer: str, cfg: IndexConfig
+) -> list[str]:
+    """analyze_query(word) plus the analyzed forms of its single-word
+    query synonyms, deduped in first-seen order."""
+    terms = list(analyze_query(word, analyzer, cfg.chain))
+    for syn in _word_synonyms(word, cfg):
+        for t in analyze_query(syn, analyzer, cfg.chain):
+            if t not in terms:
+                terms.append(t)
+    return terms
+
+
 def _analyze_qwords(
     query: str, qf_map: dict[str, float], cfg: IndexConfig
 ) -> list[dict[str, list[str]]]:
     """Split the user query into words and analyze each per qf field
     with that field's analyzer → one {field: subterms} dict per word
     (words whose every field-analysis is empty are dropped, like
-    stopword-only clauses in Solr)."""
+    stopword-only clauses in Solr). Single-word query synonyms extend
+    each word's subterm list (_word_synonyms)."""
     for f in qf_map:
         if f not in cfg.fields:
             raise ValueError(f"qf field {f!r} not in config ({list(cfg.fields)})")
@@ -260,7 +292,7 @@ def _analyze_qwords(
     for w in query.split():
         per_field: dict[str, list[str]] = {}
         for f in qf_map:
-            terms = analyze_query(w, cfg.fields[f][0], cfg.chain)
+            terms = _analyzed_with_synonyms(w, cfg.fields[f][0], cfg)
             if terms:
                 per_field[f] = terms
         if per_field:
@@ -518,7 +550,7 @@ def search_edismax(
             raise ValueError(f"unknown field {node.field!r}")
         per_field: dict[str, list[str]] = {}
         for f in fields:
-            terms = analyze_query(node.text, cfg.fields[f][0], cfg.chain)
+            terms = _analyzed_with_synonyms(node.text, cfg.fields[f][0], cfg)
             if terms:
                 per_field[f] = terms
         if occur == MUST_NOT:

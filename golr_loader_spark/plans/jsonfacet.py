@@ -201,6 +201,20 @@ def _bucket_rows(
     # values).  (The sharded path computes its own untruncated
     # mergeable partials in json_facet_sharded and never enters here.)
     ranked = base.filter(F.col("count") >= mincount)
+    extras: dict = {}
+    if fspec.get("numBuckets"):
+        # Solr numBuckets: bucket count after mincount, before limit —
+        # a count(*) over the (small) distinct-value agg, never
+        # collected
+        extras["numBuckets"] = int(ranked.count())
+    if fspec.get("allBuckets"):
+        # allBuckets under the union reading (documented): distinct
+        # matching docs having at least one value for the field —
+        # equals Solr for single-valued fields; for multi-valued
+        # fields Solr's bucket-sum reading would differ
+        extras["allBuckets"] = {
+            "count": int(jv.select("doc_id").distinct().count())
+        }
     if sort == "index":
         ranked = ranked.orderBy(F.asc("value"))
     else:
@@ -225,7 +239,7 @@ def _bucket_rows(
                 )
         buckets.append(b)
     buckets.sort(key=_sort_key(sort))
-    return buckets[:limit], aggs, subs
+    return buckets[:limit], aggs, subs, extras
 
 
 def _facet_node(
@@ -267,10 +281,12 @@ def _facet_node(
             return node
         finally:
             mq.unpersist()
+    if ftype == "range":
+        return _range_node(m, fspec, nums)
     if ftype != "terms":
         raise ValueError(f"unsupported facet type {ftype!r}")
 
-    buckets, aggs, subs = _bucket_rows(
+    buckets, aggs, subs, extras = _bucket_rows(
         index, m, fspec, facets, cfg, nums, exclude_ids
     )
     field = fspec["field"]
@@ -304,9 +320,79 @@ def _facet_node(
         else:
             raise ValueError(f"unsupported facet type {stype!r}")
     out = {"buckets": buckets}
+    out.update(extras)
     if missing_n is not None:
         out["missing"] = {"count": int(missing_n)}
     return out
+
+
+def _range_params(fspec: dict) -> tuple[float, float, float, int, bool]:
+    start = float(fspec["start"])
+    end = float(fspec["end"])
+    gap = float(fspec["gap"])
+    if gap <= 0 or end <= start:
+        raise ValueError("range facet needs gap > 0 and end > start")
+    import math
+
+    nb = int(math.ceil((end - start) / gap))
+    if nb > 100_000:
+        raise ValueError(f"range facet would create {nb} buckets")
+    integral = all(float(x).is_integer() for x in (start, end, gap))
+    return start, end, gap, nb, integral
+
+
+def _range_val(lo: float, integral: bool):
+    return int(lo) if integral else float(lo)
+
+
+def _range_node(m, fspec: dict, nums) -> dict:
+    """Solr JSON Facet ``type:"range"`` over a numeric doc value:
+    fixed-width buckets [start, start+gap), …, in range order,
+    EMPTY BUCKETS INCLUDED (Solr's range mincount defaults to 0),
+    values outside [start, end) dropped (no before/after/between —
+    documented subset). Aggregations (sum/avg/min/max of other
+    numeric fields) ride the same single groupBy; the bucket count is
+    bounded by the REQUEST ((end-start)/gap), never by data, so the
+    collect is O(request)."""
+    if nums is None:
+        raise ValueError("range facet needs the numbers doc-values table")
+    field = fspec["field"]
+    start, end, gap, nb, integral = _range_params(fspec)
+    mincount = int(fspec.get("mincount", 0))
+    aggs, subs = _parse_aggs(fspec)
+    if subs:
+        raise ValueError("sub-facets under a range facet are not supported")
+    if any(fn == "unique" for fn, _f in aggs.values()):
+        raise ValueError("unique() is not supported inside a range facet")
+    num_fields = {field} | {f for _fn, f in aggs.values()}
+    vals = _with_numbers(m.select("bucket", "doc_id"), nums, num_fields).filter(
+        F.col(field).isNotNull()
+        & (F.col(field) >= start)
+        & (F.col(field) < end)
+    )
+    lo_col = (F.floor((F.col(field) - start) / gap) * gap + start).alias("_lo")
+    rows = (
+        vals.groupBy(lo_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("count"), *_agg_exprs(aggs))
+        .collect()
+    )
+    got = {float(r["_lo"]): r for r in rows}
+    buckets = []
+    for i in range(nb):
+        lo = start + i * gap
+        r = got.get(float(lo))
+        b: dict = {"val": _range_val(lo, integral), "count": int(r["count"]) if r is not None else 0}
+        if b["count"] < mincount:
+            continue
+        for aname, (fn, _f) in aggs.items():
+            if r is None:
+                b[aname] = None
+            elif fn in ("sum", "avg"):
+                b[aname] = _round4(r[aname])
+            else:
+                b[aname] = r[aname]
+        buckets.append(b)
+    return {"buckets": buckets}
 
 
 def _attach_terms_subfacet(
@@ -479,6 +565,33 @@ def _local_node_partials(searcher, ids, fspec, depth, max_expansions=1024):
         }
         return node
 
+    if ftype == "range":
+        field = fspec["field"]
+        start, end, gap, _nb, _integral = _range_params(fspec)
+        if subs:
+            raise ValueError(
+                "sub-facets under a range facet are not supported"
+            )
+        if any(fn == "unique" for fn, _f in aggs.values()):
+            raise ValueError("unique() is not supported inside a range facet")
+        num_fields = {field} | {f for _fn, f in aggs.values()}
+        stored = numbers_of(ids, num_fields)
+        per_lo: dict[float, list] = {}
+        for d, row in stored.items():
+            x = row.get(field)
+            if x is None or not (start <= float(x) < end):
+                continue
+            lo = (float(x) - start) // gap * gap + start
+            per_lo.setdefault(float(lo), []).append(row)
+        ranges: dict = {}
+        for lo, rws in per_lo.items():
+            b = {"count": len(rws), "_aggs": {}, "_subs": {}}
+            for aname, (fn, afield) in aggs.items():
+                xs = [r.get(afield) for r in rws]
+                b["_aggs"][aname] = (fn, _agg_partial(fn, xs))
+            ranges[lo] = b
+        return {"_range": ranges}
+
     if ftype != "terms":
         raise ValueError(f"unsupported facet type {ftype!r}")
     field = fspec["field"]
@@ -489,6 +602,11 @@ def _local_node_partials(searcher, ids, fspec, depth, max_expansions=1024):
     missing_n = None
     if fspec.get("missing"):
         missing_n = len(ids) - len({int(d) for d, _v in pairs})
+    allbuckets_n = None
+    if fspec.get("allBuckets"):
+        # union reading (same as the distributed path): distinct docs
+        # with at least one value — sums exactly across disjoint shards
+        allbuckets_n = len({int(d) for d, _v in pairs})
     num_fields = {f for fn, f in aggs.values() if fn != "unique"}
     if any(fn == "unique" for fn, _f in aggs.values()) and depth > 0:
         raise ValueError("unique() is not supported inside a sub-facet")
@@ -511,10 +629,20 @@ def _local_node_partials(searcher, ids, fspec, depth, max_expansions=1024):
     node = {"_buckets": buckets}
     if missing_n is not None:
         node["_missing"] = missing_n
+    if allbuckets_n is not None:
+        node["_allbuckets"] = allbuckets_n
     return node
 
 
 def _merge_nodes(a: dict, b: dict) -> dict:
+    if "_range" in a:
+        out = {"_range": dict(a["_range"])}
+        for lo, bb in b["_range"].items():
+            if lo in out["_range"]:
+                out["_range"][lo] = _merge_bucket(out["_range"][lo], bb)
+            else:
+                out["_range"][lo] = bb
+        return out
     if "_buckets" in a:
         out = {"_buckets": dict(a["_buckets"])}
         for v, bb in b["_buckets"].items():
@@ -524,6 +652,8 @@ def _merge_nodes(a: dict, b: dict) -> dict:
                 out["_buckets"][v] = bb
         if "_missing" in a or "_missing" in b:
             out["_missing"] = a.get("_missing", 0) + b.get("_missing", 0)
+        if "_allbuckets" in a or "_allbuckets" in b:
+            out["_allbuckets"] = a.get("_allbuckets", 0) + b.get("_allbuckets", 0)
         return out
     return _merge_bucket(a, b)
 
@@ -551,6 +681,25 @@ def _finalize_node(fspec: dict, node: dict) -> dict:
         for sname, sspec in subs.items():
             out[sname] = _finalize_node(sspec, node["_subs"][sname])
         return out
+    if ftype == "range":
+        start, end, gap, nb, integral = _range_params(fspec)
+        mincount = int(fspec.get("mincount", 0))
+        ranges = node["_range"]
+        buckets = []
+        for i in range(nb):
+            lo = start + i * gap
+            b = ranges.get(float(lo))
+            n = b["count"] if b is not None else 0
+            if n < mincount:
+                continue
+            fb: dict = {"val": _range_val(lo, integral), "count": n}
+            for aname, (fn, _f) in aggs.items():
+                fb[aname] = (
+                    _finalize_agg(fn, b["_aggs"][aname][1])
+                    if b is not None else None
+                )
+            buckets.append(fb)
+        return {"buckets": buckets}
     limit = int(fspec.get("limit", 10))
     mincount = int(fspec.get("mincount", 1))
     sort = fspec.get("sort", "count")
@@ -566,6 +715,10 @@ def _finalize_node(fspec: dict, node: dict) -> dict:
         buckets.append(fb)
     buckets.sort(key=_sort_key(sort))
     out = {"buckets": buckets[:limit]}
+    if fspec.get("numBuckets"):
+        out["numBuckets"] = len(buckets)
+    if fspec.get("allBuckets"):
+        out["allBuckets"] = {"count": int(node.get("_allbuckets", 0))}
     if "_missing" in node:
         out["missing"] = {"count": int(node["_missing"])}
     return out

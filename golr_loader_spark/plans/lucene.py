@@ -182,6 +182,101 @@ _TOKEN = re.compile(
 _BOOST_SUFFIX = re.compile(r"\^(\d+(?:\.\d+)?)")
 
 
+def synonym_rules(synonyms) -> list[tuple[tuple[str, ...], list[str]]]:
+    """(source, target) pairs → longest-source-first match rules with
+    same-source targets merged: [(source_tokens, [target, …]), …].
+    Sources/targets are lowercased; either side may be multi-word."""
+    merged: dict[tuple[str, ...], list[str]] = {}
+    for src, tgt in synonyms:
+        key = tuple(src.lower().split())
+        if not key:
+            raise ValueError("empty synonym source")
+        tgt = " ".join(tgt.lower().split())
+        if not tgt:
+            raise ValueError("empty synonym target")
+        bucket = merged.setdefault(key, [])
+        if tgt not in bucket:
+            bucket.append(tgt)
+    return sorted(merged.items(), key=lambda kv: -len(kv[0]))
+
+
+def expand_synonyms(
+    clauses: list[tuple[str, object]], synonyms
+) -> list[tuple[str, object]]:
+    """Query-time synonym expansion — the SynonymGraphFilter +
+    QueryBuilder graph-query analog (Solr runs SynonymGraphFilter on
+    the QUERY analyzer precisely because multi-word rules cannot be
+    injected at index time; reference context: the golr documents
+    were served by production Solr, README.md:3-24).
+
+    Matching: runs of consecutive un-fielded, boost-1 ``Term``
+    clauses are scanned for source sequences (longest source first,
+    case-insensitive). Multi-token sources only match all-SHOULD runs
+    (a ``+``/``-`` inside a span is an explicit user override);
+    single-token matches keep their clause's occur. A matched span is
+    replaced by ONE group of SHOULD alternatives — the original span
+    (a 0-slop Phrase when multi-word) and each target (Term, or
+    Phrase when multi-word) — carrying the span's occur. Because
+    boolean scoring sums SHOULD clauses and a boost-1 group is
+    transparent, a SHOULD-only expansion scores exactly like the
+    flat query over all alternatives (the property the DuckDB oracle
+    replays). Groups recurse; every other clause type passes through
+    untouched."""
+    rules = synonym_rules(synonyms)
+    if not rules:
+        return clauses
+    out: list[tuple[str, object]] = []
+    i = 0
+    n = len(clauses)
+
+    def plain_term(j: int) -> str | None:
+        occ, node = clauses[j][0], clauses[j][1]
+        if isinstance(node, Term) and node.field is None and node.boost == 1.0:
+            return node.text.lower()
+        return None
+
+    while i < n:
+        occ, node = clauses[i][0], clauses[i][1]
+        if isinstance(node, Group):
+            out.append(
+                (occ, Group(
+                    tuple(expand_synonyms(list(node.clauses), synonyms)),
+                    boost=node.boost,
+                ))
+            )
+            i += 1
+            continue
+        matched = False
+        word0 = plain_term(i)
+        if word0 is not None:
+            for src, targets in rules:
+                L = len(src)
+                if i + L > n or word0 != src[0]:
+                    continue
+                span = [plain_term(i + d) for d in range(L)]
+                if any(w is None for w in span) or tuple(span) != src:
+                    continue
+                if L > 1 and any(clauses[i + d][0] != SHOULD for d in range(L)):
+                    continue
+                alts: list[tuple[str, object]] = [
+                    (SHOULD, Term(span[0]) if L == 1 else Phrase(" ".join(span)))
+                ]
+                for tgt in targets:
+                    words = tgt.split()
+                    alts.append(
+                        (SHOULD, Term(words[0]) if len(words) == 1
+                         else Phrase(tgt))
+                    )
+                out.append((occ if L == 1 else SHOULD, Group(tuple(alts))))
+                i += L
+                matched = True
+                break
+        if not matched:
+            out.append(clauses[i])
+            i += 1
+    return out
+
+
 def parse_lucene(query: str) -> list[tuple[str, object]]:
     """Query string → clause list [(occur, node)].
 
@@ -413,6 +508,8 @@ def search_lucene(
     spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score double")
     clauses = parse_lucene(query)
+    if cfg.query_synonyms:
+        clauses = expand_synonyms(clauses, cfg.query_synonyms)
     if not clauses:
         return empty
     # Under fq the complete match set must be scored BEFORE the filter
@@ -459,6 +556,10 @@ def fq_doc_ids(
     cfg = cfg or index.cfg
     spark = index.postings.sparkSession
     clauses = parse_lucene(fq) if isinstance(fq, str) else list(fq)
+    if cfg.query_synonyms and isinstance(fq, str):
+        # Solr runs the query analyzer (incl. SynonymGraphFilter) on
+        # fq strings too; pre-parsed clause lists are taken verbatim
+        clauses = expand_synonyms(clauses, cfg.query_synonyms)
     if not clauses:
         return spark.createDataFrame([], "bucket int, doc_id long")
     occurs = {occ for occ, _n in clauses}

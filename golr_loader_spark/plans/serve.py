@@ -1111,9 +1111,11 @@ class LocalSearcher:
         with BooleanQuery score summation. ``fq``: non-scoring filter
         query (match-set restriction). Mirrors ``lucene.search_lucene``
         clause for clause."""
-        from golr_loader_spark.plans.lucene import parse_lucene
+        from golr_loader_spark.plans.lucene import expand_synonyms, parse_lucene
 
         clauses = parse_lucene(querystring)
+        if self.cfg.query_synonyms:
+            clauses = expand_synonyms(clauses, self.cfg.query_synonyms)
         if not clauses:
             return []
         # Under fq, score the complete match set (k hint None) before
@@ -1353,10 +1355,13 @@ class LocalSearcher:
         from golr_loader_spark.plans.lucene import (
             MUST_NOT,
             SHOULD,
+            expand_synonyms,
             parse_lucene,
         )
 
         clauses = parse_lucene(fq) if isinstance(fq, str) else list(fq)
+        if self.cfg.query_synonyms and isinstance(fq, str):
+            clauses = expand_synonyms(clauses, self.cfg.query_synonyms)
         if not clauses:
             return set()
         occurs = {occ for occ, _n in clauses}

@@ -198,3 +198,73 @@ def test_missing_bucket(spark, cfg, setup):
     ss = ShardedSearcher(sh_roots, cfg)
     assert ls.json_facet(Q, spec2) == want
     assert ss.json_facet(Q, spec2) == want
+
+
+def test_range_facet_distributed_brute_serving_sharded(spark, cfg, setup):
+    """type:"range" (round-5): fixed-width buckets over content_len —
+    distributed result vs a brute python model, empty buckets
+    included, aggs ride along; serving + sharded twins identical."""
+    ix, fx, nums, raw, mids, root, sh_roots = setup
+    spec = {"lens": {"type": "range", "field": "content_len",
+                     "start": 0, "end": 600, "gap": 100,
+                     "facet": {"avg_len": "avg(content_len)"}}}
+    got = json_facet(ix, Q, spec, fx, cfg=cfg, numbers=nums)
+    per_lo: dict = {}
+    for d in mids:
+        ln = raw[d][2]
+        if 0 <= ln < 600:
+            per_lo.setdefault(ln // 100 * 100, []).append(ln)
+    want_buckets = []
+    for lo in range(0, 600, 100):
+        xs = per_lo.get(lo, [])
+        want_buckets.append({
+            "val": lo, "count": len(xs),
+            "avg_len": round(sum(xs) / len(xs), 4) if xs else None,
+        })
+    assert got["lens"] == {"buckets": want_buckets}
+    ls = LocalSearcher(root, cfg)
+    ss = ShardedSearcher(sh_roots, cfg)
+    assert ls.json_facet(Q, spec) == got
+    assert ss.json_facet(Q, spec) == got
+    # mincount drops empty buckets
+    spec_mc = {"lens": {"type": "range", "field": "content_len",
+                        "start": 0, "end": 600, "gap": 100, "mincount": 1}}
+    got_mc = json_facet(ix, Q, spec_mc, fx, cfg=cfg, numbers=nums)
+    assert all(b["count"] >= 1 for b in got_mc["lens"]["buckets"])
+    assert ls.json_facet(Q, spec_mc) == got_mc
+
+
+def test_numbuckets_and_allbuckets(spark, cfg, setup):
+    """numBuckets (bucket count after mincount, before limit) and
+    allBuckets (union reading: distinct matching docs with a value) —
+    distributed vs brute, serving + sharded parity."""
+    ix, fx, nums, raw, mids, root, sh_roots = setup
+    spec = {"langs": {"type": "terms", "field": "lang", "limit": 2,
+                      "numBuckets": True, "allBuckets": True}}
+    got = json_facet(ix, Q, spec, fx, cfg=cfg, numbers=nums)
+    n_langs = len({raw[d][0] for d in mids})
+    assert got["langs"]["numBuckets"] == n_langs
+    assert got["langs"]["allBuckets"] == {"count": len(mids)}
+    assert len(got["langs"]["buckets"]) == 2
+    ls = LocalSearcher(root, cfg)
+    ss = ShardedSearcher(sh_roots, cfg)
+    assert ls.json_facet(Q, spec) == got
+    assert ss.json_facet(Q, spec) == got
+
+
+def test_range_contract_errors(spark, cfg, setup):
+    ix, fx, nums, _raw, _m, root, _sh = setup
+    with pytest.raises(ValueError, match="gap"):
+        json_facet(ix, Q, {"r": {"type": "range", "field": "content_len",
+                                 "start": 0, "end": 100, "gap": 0}},
+                   fx, cfg=cfg, numbers=nums)
+    with pytest.raises(ValueError, match="numbers"):
+        json_facet(ix, Q, {"r": {"type": "range", "field": "content_len",
+                                 "start": 0, "end": 100, "gap": 10}},
+                   fx, cfg=cfg)
+    with pytest.raises(ValueError, match="sub-facets"):
+        json_facet(ix, Q, {"r": {"type": "range", "field": "content_len",
+                                 "start": 0, "end": 100, "gap": 10,
+                                 "facet": {"x": {"type": "terms",
+                                                 "field": "lang"}}}},
+                   fx, cfg=cfg, numbers=nums)
