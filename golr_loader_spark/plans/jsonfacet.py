@@ -12,6 +12,17 @@ production golr cores actually use:
   "sort": "count"|"index", "facet": {...}}`` — bucket per field value;
 * ``{"type": "query", "q": "<lucene query>", "facet": {...}}`` — one
   bucket counting a subquery;
+* ``{"type": "range", "field": f, "start": s, "end": e, "gap": g}``
+  — fixed-width numeric buckets in range order, EMPTY BUCKETS
+  INCLUDED (Solr's range mincount defaults to 0), values outside
+  [start, end) dropped (no before/after/between — documented
+  subset); aggregations ride the same single groupBy and the bucket
+  count is bounded by the REQUEST, never by data;
+* ``numBuckets: true`` (bucket count after mincount, before limit)
+  and ``allBuckets: true`` on terms facets — allBuckets uses the
+  union reading (distinct matching docs having at least one value;
+  equals Solr for single-valued fields, documented divergence for
+  multi-valued);
 * leaf aggregations ``"sum(f)" | "avg(f)" | "min(f)" | "max(f)"``
   over numeric doc values and ``"unique(f)"`` over a facet field
   (exact, not the streaming sketch Solr uses in distrib mode);

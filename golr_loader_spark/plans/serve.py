@@ -2122,13 +2122,19 @@ class LocalSearcher:
         top_outer: int = 10,
         top_inner: int = 5,
         min_count: int = 1,
+        outer_values: list[str] | None = None,
     ) -> list[tuple[str, int, int, str, int, int]]:
         """Serving-path pivot facets (twin of
         ``facets.pivot_facet_counts``): two-level drill-down counts
         from the preloaded facet table → [(outer_value, outer_n,
         outer_rank, inner_value, inner_n, inner_rank)], both levels
         ranked (count desc, value asc), same ordering as the
-        distributed path."""
+        distributed path.
+
+        ``outer_values``: refinement mode for the sharded
+        coordinator's phase 2 — restrict to exactly those outer
+        values and return their COMPLETE inner counts (top limits
+        ignored); ranks are within the restriction."""
         import numpy as _np
 
         loaded = self._load_facets()
@@ -2158,6 +2164,9 @@ class LocalSearcher:
             .size()
             .reset_index(name="inner_n")
         )
+        if outer_values is not None:
+            counts = counts[counts["outer_value"].isin(set(outer_values))]
+            top_outer = top_inner = len(counts) + 1
         counts = counts[counts["inner_n"] >= min_count]
         outer_n = counts.groupby("outer_value")["inner_n"].sum()
         heads = sorted(

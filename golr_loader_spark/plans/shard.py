@@ -29,11 +29,14 @@ how the low-latency path keeps working.
   k-way merge on (score desc, doc_id asc) — each shard's contribution
   to the global top-k is within its local top-k because scores are
   globally weighted, so merging truncated lists is EXACT, not
-  approximate. Facet/stats operations merge complete per-shard counts
-  (Solr's two-phase facet refinement exists because its shards
-  truncate counts; we request untruncated per-shard counts — facet
-  value sets are small — and merge exactly). Point operations
-  (explain, fetch) route by the same ``bucket % n_shards`` rule.
+  approximate. Facet operations use Solr's two-phase design since
+  round 5: phase 1 overrequests ``int(top*1.5)+10`` values per shard
+  (coordinator traffic O(top), not O(distinct values)); phase 2
+  refines candidates a shard truncated away with exact targeted
+  counts, so every RETURNED count is exact (``top >= _BIG`` keeps the
+  single-round untruncated merge). Stats and json-facet partials
+  still merge complete mergeable partials. Point operations (explain,
+  fetch) route by the same ``bucket % n_shards`` rule.
 
 Parity contract (pytest ``test_shard.py``): every query type returns
 results identical to a ``LocalSearcher`` over the unsharded root.
@@ -584,15 +587,52 @@ class ShardedSearcher:
         self, query: str, outer: str, inner: str, mode: str = "or",
         top_outer: int = 10, top_inner: int = 5, min_count: int = 1,
     ):
-        pairs: dict[tuple[str, str], int] = {}
+        """Two-phase sharded pivot (Solr PivotFacet refinement,
+        simplified): phase 1 overrequests ``int(top_outer*1.5)+10``
+        outer heads per shard (inner lists equally capped) ONLY to
+        pick the candidate outer set; phase 2 re-requests, from every
+        shard, the COMPLETE inner counts for exactly those outer
+        values (``outer_values=`` targeted mode) and REPLACES the
+        phase-1 data — so every returned (outer, inner) count is
+        exact. Same candidate-set caveat as ``facet_counts``; inner
+        traffic is bounded by O(candidate outers × that outer's inner
+        cardinality) instead of the whole pivot table. ``top_outer >=
+        _BIG`` keeps the single-round untruncated merge."""
+        if top_outer >= _BIG:
+            req_o = req_i = _BIG
+        else:
+            req_o = int(top_outer * 1.5) + 10
+            req_i = int(top_inner * 1.5) + 10
         shard_parts = self._fanout(
             [
                 (lambda s=s: s.pivot_facet_counts(
                     query, outer, inner, mode=mode,
-                    top_outer=_BIG, top_inner=_BIG, min_count=1))
+                    top_outer=req_o, top_inner=req_i, min_count=1))
                 for s in self.shards
             ]
         )
+        if req_o < _BIG:
+            cand_mass: dict[str, int] = {}
+            for part in shard_parts:
+                for ov, _on, _orank, _iv, inn, _irank in part:
+                    cand_mass[ov] = cand_mass.get(ov, 0) + inn
+            cands = [
+                v for _n, v in sorted(
+                    ((n, v) for v, n in cand_mass.items()),
+                    key=lambda x: (-x[0], x[1]),
+                )[:req_o]
+            ]
+            if not cands:
+                return []
+            shard_parts = self._fanout(
+                [
+                    (lambda s=s: s.pivot_facet_counts(
+                        query, outer, inner, mode=mode, min_count=1,
+                        outer_values=cands))
+                    for s in self.shards
+                ]
+            )
+        pairs: dict[tuple[str, str], int] = {}
         for part in shard_parts:
             for ov, _on, _orank, iv, inn, _irank in part:
                 pairs[(ov, iv)] = pairs.get((ov, iv), 0) + inn

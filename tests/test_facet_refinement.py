@@ -161,3 +161,33 @@ def test_sharded_multiselect_parity_with_refinement(setup, cfg):
         assert ss.facet_counts_multiselect(Q, fqs, fields, top=top) == (
             ls.facet_counts_multiselect(Q, fqs, fields, top=top)
         ), top
+
+
+def test_sharded_pivot_overrequest_and_parity(setup, cfg, monkeypatch):
+    """Sharded pivot: phase 1 is capped at int(top*1.5)+10 (never
+    _BIG), phase 2 re-requests complete inner counts for the
+    candidate outers only, and the merged result equals the unsharded
+    pivot on both a low-cardinality (lang->path) and a
+    high-cardinality (path->lang) pivot."""
+    _ix, _fx, _docs, root, sh_roots = setup
+    ls = LocalSearcher(root, cfg)
+    ss = ShardedSearcher(sh_roots, cfg)
+    seen: list[tuple] = []
+    orig = LocalSearcher.pivot_facet_counts
+
+    def spy(self, query, outer, inner, mode="or", top_outer=10, top_inner=5,
+            min_count=1, outer_values=None):
+        seen.append((top_outer, outer_values is not None))
+        return orig(self, query, outer, inner, mode=mode,
+                    top_outer=top_outer, top_inner=top_inner,
+                    min_count=min_count, outer_values=outer_values)
+
+    monkeypatch.setattr(LocalSearcher, "pivot_facet_counts", spy)
+    for outer, inner, to, ti in [("lang", "path", 3, 2), ("path", "lang", 3, 2)]:
+        want = ls.pivot_facet_counts(Q, outer, inner, top_outer=to, top_inner=ti)
+        seen.clear()
+        got = ss.pivot_facet_counts(Q, outer, inner, top_outer=to, top_inner=ti)
+        assert got == want, (outer, inner)
+        phase1 = [t for t, targeted in seen if not targeted]
+        assert phase1 and all(t == int(to * 1.5) + 10 for t in phase1)
+        assert any(targeted for _t, targeted in seen), "phase 2 never ran"
