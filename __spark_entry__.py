@@ -1191,6 +1191,144 @@ def _engine_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_qfacet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.query (facets.facet_query_counts): count of docs
+    matching each requested subquery WITHIN the q match set — a bare
+    term, a boolean '+spark -engine', and a positional phrase
+    '"data stream"', all through the non-scoring fq executor. Zero
+    counts included, labels sorted. SQL_Q70 is the DuckDB twin
+    (phrase adjacency replayed with the tokp self-join)."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import facet_query_counts
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+        positions=True,
+    )
+    ix = build_index(d, cfg)
+    return facet_query_counts(
+        ix,
+        {
+            "has_spark": "spark",
+            "spark_not_engine": "+spark -engine",
+            "phrase_ds": '"data stream"',
+        },
+        "data query",
+        cfg=cfg,
+    )
+
+
+def _engine_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial search (Solr {!geofilt}/geodist: spatial.geodist_topk):
+    the 20 matching docs nearest (37.77, -122.42) by great-circle
+    distance. Locations derive deterministically from doc_id (same
+    modular arithmetic in SQL_Q72); haversine on Lucene's mean earth
+    radius, round-to-4-then-rank, doc_id tie-break."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.spatial import geodist_topk
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d, cfg)
+    locs = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    return geodist_topk(ix, locs, "data query", (37.77, -122.42), k=20, cfg=cfg)
+
+
+def _stream_ctx(spark: SparkSession, sf_dir: str):
+    """Shared StreamContext for the streaming-expression rows: the
+    documents table as one engine-indexed collection."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.stream_expr import StreamCollection, StreamContext
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    return StreamContext({"documents": StreamCollection(ix, d, cfg)})
+
+
+def _engine_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Streaming Expressions (/stream — plans.stream_expr): a
+    rollup over an /export-semantics search compiled to one Catalyst
+    plan: rollup(search(documents, q="data query", fl=...),
+    over="lang", count(*), sum(n_chars)). Field names are Solr's
+    literal metric names. SQL_Q73 is the DuckDB twin."""
+    from golr_loader_spark.plans.stream_expr import compile_stream
+
+    return compile_stream(
+        'rollup(search(documents, q="data query", fl="doc_id,lang,n_chars"),'
+        ' over="lang", count(*), sum(n_chars))',
+        _stream_ctx(spark, sf_dir),
+    )
+
+
+def _engine_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-expression join pipeline: top(innerJoin(search(q=
+    data), search(q=spark), on="doc_id"), sort="doc_id asc", n=20) —
+    two /export match streams equi-joined (right dup key dropped),
+    bounded by top. SQL_Q74 is the DuckDB twin."""
+    from golr_loader_spark.plans.stream_expr import compile_stream
+
+    return compile_stream(
+        'top(innerJoin(search(documents, q="data", fl="doc_id,lang"),'
+        ' search(documents, q="spark", fl="doc_id,source"), on="doc_id"),'
+        ' n=20, sort="doc_id asc")',
+        _stream_ctx(spark, sf_dir),
+    )
+
+
+def _engine_ifacet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr interval facets (facets.interval_facet_counts): counts of
+    matching docs per REQUESTED interval over the n_chars doc value —
+    request order, zero counts included, the fourth interval
+    overlapping the first two (a doc counts in every interval it
+    satisfies, Solr IntervalFacets semantics). One conditional-sum
+    aggregate row however many intervals are requested. SQL_Q71 is
+    the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import interval_facet_counts
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    vals = d.select("doc_id", F.col("n_chars").cast("double").alias("value"))
+    return interval_facet_counts(
+        ix,
+        vals,
+        ["[0,200)", "[200,500)", "[500,*]", "(100,300]"],
+        "data query",
+        cfg=cfg,
+    )
+
+
 # REGISTRY_ORDER — rotation policy for the driver's correctness gate.
 #
 # The driver records exactly the FIRST 50 rows of queries() in dict-insertion
@@ -1211,7 +1349,8 @@ _REGISTRY_PRIORITY = [
     "engine_mlt_boosted", "engine_chain", "engine_terms", "engine_tvec",
     "engine_join",
     # -- new in round 5 (0 records) --
-    "engine_synonym", "engine_rangefacet",
+    "engine_synonym", "engine_rangefacet", "engine_qfacet", "engine_ifacet",
+    "engine_geo", "engine_stream", "engine_stream_join", "q41_semdedup",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1280,6 +1419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_join"] = _engine_join
     out["engine_synonym"] = _engine_synonym
     out["engine_rangefacet"] = _engine_rangefacet
+    out["engine_qfacet"] = _engine_qfacet
+    out["engine_ifacet"] = _engine_ifacet
+    out["engine_geo"] = _engine_geo
+    out["engine_stream"] = _engine_stream
+    out["engine_stream_join"] = _engine_stream_join
     return _apply_registry_order(out)
 
 
@@ -1322,6 +1466,11 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q67,
         SQL_Q68,
         SQL_Q69,
+        SQL_Q70,
+        SQL_Q71,
+        SQL_Q72,
+        SQL_Q73,
+        SQL_Q74,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -1366,4 +1515,9 @@ def oracle_sql() -> dict[str, str]:
     out["engine_join"] = SQL_Q59
     out["engine_synonym"] = SQL_Q68
     out["engine_rangefacet"] = SQL_Q69
+    out["engine_qfacet"] = SQL_Q70
+    out["engine_ifacet"] = SQL_Q71
+    out["engine_geo"] = SQL_Q72
+    out["engine_stream"] = SQL_Q73
+    out["engine_stream_join"] = SQL_Q74
     return out

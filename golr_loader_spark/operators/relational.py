@@ -2539,6 +2539,205 @@ SELECT facet, value, CAST(n AS BIGINT) AS n FROM uni WHERE r <= 10
 """
 
 
+def q41_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup over the
+    embeddings table — cluster by argmax cosine against the first-8
+    centroid vectors, then mark within-cluster near-duplicates
+    (cosine ≥ 0.97, keep-lowest-id). The cluster blocks the pair
+    join; assignment is zero-shuffle (operators.similarity.semdedup)."""
+    e = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.semdedup(e, n_clusters=8, tau=0.97)
+
+
+# SemDeDup oracle: same centroid choice (first 8 vectors by vec_id,
+# cid = vec_id rank - 1), same round-to-4-then-compare discipline on
+# BOTH the argmax assignment (ties to lowest cid) and the tau
+# threshold, same keep-lowest-id dup rule.
+SQL_Q41B = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, e AS c
+  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 8)
+), assign0 AS (
+  SELECT emb.vec_id, cent.cid,
+         round({_SQL_DOT.format(a='emb.e', b='cent.c')} /
+               (sqrt({_SQL_DOT.format(a='emb.e', b='emb.e')}) *
+                sqrt({_SQL_DOT.format(a='cent.c', b='cent.c')})), 4) AS cos
+  FROM emb CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM assign0)
+  WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+  WHERE round({_SQL_DOT.format(a='ea.e', b='eb.e')} /
+              (sqrt({_SQL_DOT.format(a='ea.e', b='ea.e')}) *
+               sqrt({_SQL_DOT.format(a='eb.e', b='eb.e')})), 4) >= 0.97
+)
+SELECT emb.vec_id, assign.cluster,
+       (emb.vec_id IN (SELECT vec_id FROM dups)) AS is_dup
+FROM emb JOIN assign USING (vec_id)
+ORDER BY vec_id
+"""
+
+
+# Solr facet.query oracle (engine twin: facets.facet_query_counts —
+# engine_qfacet in __spark_entry__.py). q = 'data' OR 'query'; three
+# facet queries counted within the match set: a bare term ('spark'),
+# a boolean ('+spark -engine'), and a positional phrase
+# ('"data stream"' — adjacency replayed with the tokp self-join).
+# Labels returned sorted, zero counts included.
+SQL_Q70 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data', 'query')
+), tokp AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+), phrase_d AS (
+  SELECT DISTINCT a.doc_id
+  FROM tokp a JOIN tokp b
+    ON b.doc_id = a.doc_id AND b.term = 'stream' AND b.pos = a.pos + 1
+  WHERE a.term = 'data'
+), spark_d AS (SELECT doc_id FROM toks WHERE term = 'spark'),
+engine_d AS (SELECT doc_id FROM toks WHERE term = 'engine')
+SELECT label, n FROM (
+  SELECT 'has_spark' AS label, CAST(count(*) AS BIGINT) AS n
+  FROM matched WHERE doc_id IN (SELECT doc_id FROM spark_d)
+  UNION ALL
+  SELECT 'phrase_ds', CAST(count(*) AS BIGINT)
+  FROM matched WHERE doc_id IN (SELECT doc_id FROM phrase_d)
+  UNION ALL
+  SELECT 'spark_not_engine', CAST(count(*) AS BIGINT)
+  FROM matched WHERE doc_id IN (SELECT doc_id FROM spark_d)
+    AND doc_id NOT IN (SELECT doc_id FROM engine_d)
+) ORDER BY label
+"""
+
+
+# Solr interval facets oracle (engine twin:
+# facets.interval_facet_counts — engine_ifacet in __spark_entry__.py).
+# q = 'data' OR 'query'; four REQUESTED intervals over n_chars, in
+# request order, zero counts included, the last interval OVERLAPPING
+# the first two (a doc counts in every interval it satisfies — Solr
+# IntervalFacets semantics, unlike range buckets).
+SQL_Q71 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data', 'query')
+), v AS (
+  SELECT d.n_chars AS value
+  FROM documents d JOIN matched USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT pos, "interval", n FROM (
+  SELECT 1 AS pos, '[0,200)' AS "interval",
+         (SELECT CAST(count(*) AS BIGINT) FROM v
+          WHERE value >= 0 AND value < 200) AS n
+  UNION ALL
+  SELECT 2, '[200,500)',
+         (SELECT CAST(count(*) AS BIGINT) FROM v
+          WHERE value >= 200 AND value < 500)
+  UNION ALL
+  SELECT 3, '[500,*]',
+         (SELECT CAST(count(*) AS BIGINT) FROM v WHERE value >= 500)
+  UNION ALL
+  SELECT 4, '(100,300]',
+         (SELECT CAST(count(*) AS BIGINT) FROM v
+          WHERE value > 100 AND value <= 300)
+) ORDER BY pos
+"""
+
+
+# Spatial oracle (engine twin: spatial.geodist_topk — engine_geo in
+# __spark_entry__.py). Locations are derived DETERMINISTICALLY from
+# doc_id (same modular arithmetic both engines); distance is the
+# haversine on Lucene's mean earth radius (6371.0087714 km), rounded
+# to 4 BEFORE ranking; ties break by doc_id asc.
+SQL_Q72 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data', 'query')
+), loc AS (
+  SELECT doc_id,
+         CAST(doc_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+         CAST(doc_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+  FROM matched
+), dist AS (
+  SELECT doc_id,
+         round(2.0 * 6371.0087714 * asin(sqrt(
+           pow(sin(radians(37.77 - lat) / 2.0), 2)
+           + cos(radians(lat)) * cos(radians(37.77))
+             * pow(sin(radians(-122.42 - lon) / 2.0), 2)
+         )), 4) AS dist_km
+  FROM loc
+), ranked AS (
+  SELECT doc_id, dist_km,
+         row_number() OVER (ORDER BY dist_km ASC, doc_id ASC) AS rank
+  FROM dist)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, dist_km
+FROM ranked WHERE rank <= 20
+"""
+
+
+# Streaming-expression rollup oracle (engine twin:
+# stream_expr.compile_stream over a real engine index — engine_stream
+# in __spark_entry__.py). rollup(search(q='data query' OR-matched,
+# /export semantics), over=lang, count(*), sum(n_chars)) — Solr's
+# literal metric field names, buckets in over-field order.
+SQL_Q73 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data', 'query')
+), j AS (
+  SELECT d.lang, d.n_chars FROM documents d JOIN matched USING (doc_id)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS "count(*)",
+       CAST(sum(n_chars) AS DOUBLE) AS "sum(n_chars)"
+FROM j GROUP BY lang ORDER BY lang
+"""
+
+
+# Streaming-expression join oracle (engine twin: engine_stream_join):
+# top(innerJoin(search(q=data), search(q=spark), on=doc_id), sort=
+# doc_id asc, n=20) — the equi-join of two /export match streams,
+# right-side duplicate key dropped, bounded by the top decorator.
+SQL_Q74 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), m_data AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'data'
+), m_spark AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+JOIN m_data USING (doc_id)
+JOIN m_spark USING (doc_id)
+ORDER BY d.doc_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),
@@ -2579,4 +2778,5 @@ QUERIES: dict[str, tuple] = {
     "q38_pii_scrub": (q38_pii_scrub, SQL_Q38B),
     "q39_weighted_sample": (q39_weighted_sample, SQL_Q39B),
     "q40_significant_terms": (q40_significant_terms, SQL_Q40B),
+    "q41_semdedup": (q41_semdedup, SQL_Q41B),
 }

@@ -457,3 +457,85 @@ def embedding_neardup_pairs(
         )
         .distinct()
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    tau: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then marking within-
+    cluster near-duplicates by pairwise cosine — the cluster blocks
+    the quadratic comparison, which is the whole published design.
+    Output: (vec_id, cluster, is_dup) for every input vector, ordered
+    by vec_id; ``is_dup`` is true when a LOWER-id vector in the same
+    cluster has cosine ≥ tau (keep-lowest-id canonicalization, the
+    same keeper rule as the exact-dedup family).
+
+    ``centroids``: [(cid, vector)] cluster centers; defaults to the
+    first ``n_clusters`` vectors by id (deterministic, SQL-replayable
+    — swap in ``train_ivf_centroids`` output for quality at scale).
+    Assignment = argmax cosine, ties to the LOWEST cid; cosines are
+    rounded to ``round_to`` BEFORE the argmax and the tau threshold
+    (the module's round-then-compare float discipline).
+
+    Plan shape at 100 TB: assignment is ZERO-shuffle — the K centroid
+    cosines are one array column built from broadcast literals and
+    ``array_position(arr, array_max(arr))`` picks the first maximum
+    JVM-side (first = lowest cid, the tie rule). The only wide ops
+    are the cluster-blocked self-join (equi-join on cluster id — at
+    SemDeDup scale clusters are ~corpus/K, exactly the published
+    cost) and the final sort. No driver collect beyond the K
+    centroid rows."""
+    if centroids is None:
+        centroids = [
+            (i, list(r[vec_col]))
+            for i, r in enumerate(
+                embeddings.select(vec_col)
+                .orderBy(F.col(id_col).asc())
+                .limit(n_clusters)
+                .collect()  # bounded: K rows
+            )
+        ]
+    v = F.col(vec_col)
+    cos_cols = []
+    for _cid, cvec in sorted(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cnorm = float(np.sqrt(sum(float(x) * float(x) for x in cvec)))
+        cos_cols.append(F.round(_dot(v, c) / (_norm(v) * F.lit(cnorm)), round_to))
+    arr = F.array(*cos_cols)
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("_vec"),
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("cluster"),
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    dup_ids = (
+        l.join(r, on="cluster")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("l._vec"), F.col("r._vec"))
+                / (_norm(F.col("l._vec")) * _norm(F.col("r._vec"))),
+                round_to,
+            ),
+        )
+        .filter(F.col("cos_sim") >= tau)
+        .select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("_d", F.lit(True)), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

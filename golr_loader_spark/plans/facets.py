@@ -348,6 +348,141 @@ def range_facet_counts(
     )
 
 
+def facet_query_counts(
+    index: InvertedIndex,
+    facet_queries: dict[str, str],
+    query: str,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    fq=None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Solr ``facet.query``: the count of docs matching each arbitrary
+    subquery WITHIN the q (+fq) match set → (label, n) ordered by
+    label, one row per requested facet.query INCLUDING zero counts
+    (Solr returns every requested facet.query unconditionally —
+    facet.mincount does not apply to query facets). Each subquery is
+    any ``plans.lucene`` query string, run through the same
+    non-scoring filter executor as fq (``fq_doc_ids``), so boolean /
+    phrase / wildcard facet queries all work.
+
+    Plan shape at scale: one decode-only match for q, one per facet
+    query (bounded by the REQUEST size — a handful of labels), each a
+    semi-join + map-side-combinable count; the label column is a
+    literal so the union of per-label single-row aggregates never
+    shuffles more than len(facet_queries) rows."""
+    from golr_loader_spark.plans.lucene import fq_doc_ids
+
+    cfg = cfg or index.cfg
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    if fq is not None:
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    parts = []
+    for label in sorted(facet_queries):
+        sub = facet_queries[label]
+        hit = m.join(
+            fq_doc_ids(index, sub, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+        parts.append(
+            hit.agg(F.count("*").cast("long").alias("n")).select(
+                F.lit(label).alias("label"), "n"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("label")
+
+
+def parse_interval(spec: str) -> tuple[float | None, float | None, bool, bool]:
+    """Parse one Solr ``facet.interval.set`` spec — ``[0,100)``,
+    ``(100,500]``, ``[500,*]`` — into (lo, hi, lo_incl, hi_incl);
+    ``*`` = unbounded (None). Raises ValueError on malformed specs,
+    mirroring Solr's IntervalFacets syntax errors."""
+    s = spec.strip()
+    if len(s) < 5 or s[0] not in "[(" or s[-1] not in ")]":
+        raise ValueError(f"bad interval spec: {spec!r}")
+    lo_incl, hi_incl = s[0] == "[", s[-1] == "]"
+    body = s[1:-1].split(",")
+    if len(body) != 2:
+        raise ValueError(f"bad interval spec: {spec!r}")
+    lo = None if body[0].strip() == "*" else float(body[0])
+    hi = None if body[1].strip() == "*" else float(body[1])
+    return lo, hi, lo_incl, hi_incl
+
+
+def _interval_cond(col, spec: str):
+    """Catalyst predicate for one interval spec over ``col``."""
+    lo, hi, lo_incl, hi_incl = parse_interval(spec)
+    cond = col.isNotNull()
+    if lo is not None:
+        cond = cond & ((col >= lo) if lo_incl else (col > lo))
+    if hi is not None:
+        cond = cond & ((col <= hi) if hi_incl else (col < hi))
+    return cond
+
+
+def interval_facet_counts(
+    index: InvertedIndex,
+    values: DataFrame,
+    intervals: list[str],
+    query: str,
+    cfg: IndexConfig | None = None,
+    mode: str = "or",
+    fq=None,
+    exclude_ids=None,
+) -> DataFrame:
+    """Solr interval facets (``facet.interval`` +
+    ``facet.interval.set``): count of matching docs whose numeric doc
+    value falls in each REQUESTED interval → (pos, interval, n) in
+    request order, zero counts included (Solr returns every requested
+    interval; intervals may overlap — a doc counts in each interval
+    it satisfies, exactly Solr's DocValues single-pass semantics).
+    ``values``: (doc_id, value) doc-values table; bound syntax per
+    ``parse_interval`` ([incl] / (excl) / ``*`` unbounded).
+
+    Plan shape at scale: decode-only matching, ONE (bucket, doc_id)
+    equi-join, then a single aggregate row of conditional sums — one
+    pass over the matched values however many intervals are requested
+    (the request size bounds the aggregate width, not the data); the
+    driver receives exactly one row."""
+    cfg = cfg or index.cfg
+    spark = index.postings.sparkSession
+    m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
+    if fq is not None:
+        from golr_loader_spark.plans.lucene import fq_doc_ids
+
+        m = m.join(
+            fq_doc_ids(index, fq, cfg=cfg, exclude_ids=exclude_ids)
+            .select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    v = values.select("doc_id", "value").withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    j = m.join(v, on=["bucket", "doc_id"])
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(_interval_cond(F.col("value"), spec), 1)), F.lit(0)
+        ).cast("long").alias(f"_i{i}")
+        for i, spec in enumerate(intervals)
+    ]
+    row = j.agg(*aggs).collect()[0]  # bounded: exactly one row
+    return spark.createDataFrame(
+        [(i + 1, spec, int(row[f"_i{i}"])) for i, spec in enumerate(intervals)],
+        "pos int, interval string, n long",
+    )
+
+
 def pivot_facet_counts(
     index: InvertedIndex,
     documents: DataFrame,

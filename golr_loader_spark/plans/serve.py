@@ -2210,6 +2210,127 @@ class LocalSearcher:
             bins[lo] = bins.get(lo, 0) + 1
         return sorted((lo, n) for lo, n in bins.items() if n >= min_count)
 
+    def facet_query_counts(
+        self,
+        query: str,
+        facet_queries: dict[str, str],
+        mode: str = "or",
+        fq: str | None = None,
+    ) -> list[tuple[str, int]]:
+        """Solr ``facet.query`` (twin of
+        ``facets.facet_query_counts``): count of q(+fq)-matching docs
+        also matching each requested subquery → [(label, n)] ordered
+        by label, zero counts included. Subqueries run through the
+        same non-scoring local filter executor as fq
+        (``_fq_ids_local``), so boolean/phrase/wildcard facet queries
+        all work."""
+        m = {int(d) for d in self.matching_ids(query, mode)}
+        if fq is not None:
+            m &= self._fq_ids_local(fq)
+        return [
+            (label, len(m & self._fq_ids_local(facet_queries[label])))
+            for label in sorted(facet_queries)
+        ]
+
+    def interval_facet_counts(
+        self,
+        query: str,
+        field: str,
+        intervals: list[str],
+        mode: str = "or",
+        fq: str | None = None,
+    ) -> list[tuple[int, str, int]]:
+        """Solr interval facets (twin of
+        ``facets.interval_facet_counts``): [(pos, interval, n)] in
+        request order, zero counts included, overlapping intervals
+        each counting the doc — one pass over the matched docs'
+        stored values."""
+        from golr_loader_spark.plans.facets import parse_interval
+
+        m = {int(d) for d in self.matching_ids(query, mode)}
+        if fq is not None:
+            m &= self._fq_ids_local(fq)
+        parsed = [parse_interval(s) for s in intervals]
+        counts = [0] * len(intervals)
+        if m:
+            stored = self.fetch(sorted(m), [field])
+            for v in stored.values():
+                x = v.get(field)
+                if x is None:
+                    continue
+                x = float(x)
+                for i, (lo, hi, li, hi_incl) in enumerate(parsed):
+                    if lo is not None and (x < lo if li else x <= lo):
+                        continue
+                    if hi is not None and (x > hi if hi_incl else x >= hi):
+                        continue
+                    counts[i] += 1
+        return [(i + 1, s, counts[i]) for i, s in enumerate(intervals)]
+
+    def _geo_dists(
+        self, query: str, pt: tuple[float, float], mode: str, fq: str | None,
+        lat_field: str = "lat", lon_field: str = "lon",
+    ) -> list[tuple[float, int]]:
+        """(rounded dist_km, doc_id) for every matching doc with a
+        stored location — shared by the geofilt/geodist twins."""
+        import math
+
+        from golr_loader_spark.plans.spatial import EARTH_RADIUS_KM
+
+        m = {int(d) for d in self.matching_ids(query, mode)}
+        if fq is not None:
+            m &= self._fq_ids_local(fq)
+        if not m:
+            return []
+        stored = self.fetch(sorted(m), [lat_field, lon_field])
+        rl1, rlo1 = math.radians(pt[0]), math.radians(pt[1])
+        out = []
+        for did, v in stored.items():
+            lat, lon = v.get(lat_field), v.get(lon_field)
+            if lat is None or lon is None:
+                continue
+            rl2 = math.radians(float(lat))
+            a = (
+                math.sin((rl2 - rl1) / 2.0) ** 2
+                + math.cos(rl1)
+                * math.cos(rl2)
+                * math.sin((math.radians(float(lon)) - rlo1) / 2.0) ** 2
+            )
+            out.append(
+                (round(2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(a)), 4), did)
+            )
+        return out
+
+    def geofilt(
+        self,
+        query: str,
+        pt: tuple[float, float],
+        d_km: float,
+        mode: str = "or",
+        fq: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Solr {!geofilt} (twin of ``spatial.geofilt``): matching
+        docs within d km great-circle of pt → [(doc_id, dist_km)]
+        ordered (dist asc, doc_id asc), round-to-4-then-threshold."""
+        return [
+            (did, d)
+            for d, did in sorted(self._geo_dists(query, pt, mode, fq))
+            if d <= d_km
+        ]
+
+    def geodist_topk(
+        self,
+        query: str,
+        pt: tuple[float, float],
+        k: int = 10,
+        mode: str = "or",
+        fq: str | None = None,
+    ) -> list[tuple[int, int, float]]:
+        """Solr sort=geodist() asc + rows=k (twin of
+        ``spatial.geodist_topk``) → [(rank, doc_id, dist_km)]."""
+        ranked = sorted(self._geo_dists(query, pt, mode, fq))[:k]
+        return [(i + 1, did, d) for i, (d, did) in enumerate(ranked)]
+
     def grouped_topk(
         self,
         facet: str,

@@ -1,0 +1,524 @@
+"""Solr Streaming Expressions → Catalyst plans.
+
+The serving stack the reference feeds (Solr — GolrLoader.java posts
+documents for it to serve) ships a parallel-SQL layer, the Streaming
+Expression API (``/stream``): composable ``search(...)`` sources
+wrapped by ``rollup``/``innerJoin``/``unique``/``top``/… decorators,
+executed as a streaming relational algebra over the cluster. This
+module re-expresses that surface on Spark: one recursive-descent
+parser for the published expression grammar, and a compiler that maps
+every decorator to the DataFrame operator it IS — which is the
+Spark-first answer: Solr streams exist to fake a distributed query
+engine on top of an index, and Catalyst already is one.
+
+Supported (the /stream core):
+
+* sources — ``search(coll, q=, fq=, fl=, sort=, rows=)`` (qt=/export
+  semantics: the COMPLETE non-scored match set in sort order; rows
+  caps it), ``facet(coll, q=, buckets=, bucketSorts=, bucketSizeLimit=,
+  metrics…)``, ``stats(coll, q=, metrics…)``.
+* decorators — ``select(s, "f as g", …)``, ``sort(s, by=)``,
+  ``unique(s, over=[, sort=])``, ``top(s, n=, sort=)``,
+  ``rollup(s, over=, metrics…)``, ``having(s, boolOp)``,
+  ``innerJoin/leftOuterJoin/hashJoin(l, r, on=)``,
+  ``merge(l, r, on=)``, ``intersect(l, r, on=)``,
+  ``complement(l, r, on=)``, ``fetch(coll, s, fl=, on=)``.
+* metrics — ``count(*)``, ``sum(f)``, ``min(f)``, ``max(f)``,
+  ``avg(f)``; output field names are Solr's literal ``sum(f)`` style.
+* boolean evaluators (having) — ``eq/gt/lt/gteq/lteq(f, v)``,
+  ``and(a,b)``, ``or(a,b)``, ``not(a)``.
+
+Deviations, documented: Solr streams carry an implicit tuple ORDER
+and ``unique`` keeps the first tuple of the incoming order; DataFrames
+are unordered sets, so ``unique`` takes the tie-break as an explicit
+``sort=`` param (default: the over fields asc) and ``merge`` is
+union-then-sort (same result set and final order as Solr's ordered
+merge). ``search`` does not emit ``score`` (export semantics — the
+scored path is ``plans.bm25/lucene``).
+
+Plan shape at 100 TB: ``search`` is the engine's decode-only match
+(posting blocks pruned to the query terms) joined to the stored table
+on the co-located (bucket, doc_id) key; every decorator is the native
+Catalyst operator (groupBy-agg with map-side combine for rollup,
+equi-join for the join family — broadcast hint for hashJoin's hashed
+side, TakeOrdered for top/rows). Nothing collects driver-side; the
+composed expression is ONE lazy plan Catalyst optimizes whole.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.plans.build_index import InvertedIndex, bucket_of
+
+# ----------------------------------------------------------- parser
+
+_BARE_CHARS = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789_.*:+-/!{}^~?"
+)
+
+
+@dataclass
+class Expr:
+    """One ``name(arg, key=value, …)`` node of a streaming expression."""
+
+    name: str
+    args: list = field(default_factory=list)      # str | Expr
+    kwargs: dict = field(default_factory=dict)    # str -> (str | Expr)
+
+
+class _P:
+    def __init__(self, s: str):
+        self.s, self.i = s, 0
+
+    def _ws(self):
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def _peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def _bare(self) -> str:
+        j = self.i
+        while j < len(self.s) and self.s[j] in _BARE_CHARS:
+            j += 1
+        if j == self.i:
+            raise ValueError(
+                f"stream expression: expected token at {self.i}: {self.s[self.i:self.i+20]!r}"
+            )
+        out = self.s[self.i : j]
+        self.i = j
+        return out
+
+    def _quoted(self) -> str:
+        assert self.s[self.i] == '"'
+        self.i += 1
+        out = []
+        while self.i < len(self.s):
+            c = self.s[self.i]
+            if c == "\\" and self.i + 1 < len(self.s):
+                out.append(self.s[self.i + 1])
+                self.i += 2
+                continue
+            if c == '"':
+                self.i += 1
+                return "".join(out)
+            out.append(c)
+            self.i += 1
+        raise ValueError("stream expression: unterminated string")
+
+    def _value(self):
+        """quoted string | nested expr | bare word."""
+        self._ws()
+        if self._peek() == '"':
+            return self._quoted()
+        w = self._bare()
+        self._ws()
+        if self._peek() == "(":
+            return self._call(w)
+        return w
+
+    def _call(self, name: str) -> Expr:
+        assert self._peek() == "("
+        self.i += 1  # consume (
+        e = Expr(name)
+        self._ws()
+        if self._peek() == ")":
+            self.i += 1
+            return e
+        while True:
+            self._ws()
+            if self._peek() == '"':
+                e.args.append(self._quoted())
+            else:
+                w = self._bare()
+                self._ws()
+                if self._peek() == "(":
+                    e.args.append(self._call(w))
+                elif self._peek() == "=":
+                    self.i += 1
+                    e.kwargs[w] = self._value()
+                else:
+                    e.args.append(w)
+            self._ws()
+            if self._peek() == ",":
+                self.i += 1
+                continue
+            if self._peek() == ")":
+                self.i += 1
+                return e
+            raise ValueError(
+                f"stream expression: expected ',' or ')' at {self.i}: "
+                f"{self.s[self.i:self.i+20]!r}"
+            )
+
+
+def parse_expr(s: str) -> Expr:
+    p = _P(s)
+    p._ws()
+    name = p._bare()
+    p._ws()
+    if p._peek() != "(":
+        raise ValueError("stream expression must be name(...)")
+    e = p._call(name)
+    p._ws()
+    if p.i != len(p.s):
+        raise ValueError(f"stream expression: trailing input at {p.i}")
+    return e
+
+
+# ------------------------------------------------------ collections
+
+
+@dataclass
+class StreamCollection:
+    """One named 'collection': engine index + stored-fields table."""
+
+    index: InvertedIndex
+    documents: DataFrame
+    cfg: IndexConfig | None = None
+
+    @property
+    def config(self) -> IndexConfig:
+        return self.cfg or self.index.cfg
+
+
+class StreamContext:
+    def __init__(self, collections: dict[str, StreamCollection]):
+        self.collections = collections
+
+    def collection(self, name) -> StreamCollection:
+        if not isinstance(name, str) or name not in self.collections:
+            raise ValueError(f"unknown collection {name!r}")
+        return self.collections[name]
+
+
+# --------------------------------------------------------- helpers
+
+_METRICS = {"sum", "min", "max", "avg", "count"}
+_BOOL_OPS = {"eq", "gt", "lt", "gteq", "lteq", "and", "or", "not"}
+
+
+def _sort_cols(df: DataFrame, spec: str) -> list[Column]:
+    out = []
+    for part in spec.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        fname = toks[0]
+        desc = len(toks) > 1 and toks[1].lower() == "desc"
+        c = df[fname]
+        out.append(c.desc() if desc else c.asc())
+    if not out:
+        raise ValueError(f"empty sort spec {spec!r}")
+    return out
+
+
+def _csv(spec: str) -> list[str]:
+    return [x.strip() for x in spec.split(",") if x.strip()]
+
+
+def _on_pairs(spec: str) -> list[tuple[str, str]]:
+    out = []
+    for part in _csv(spec):
+        if "=" in part:
+            a, b = part.split("=", 1)
+            out.append((a.strip(), b.strip()))
+        else:
+            out.append((part, part))
+    return out
+
+
+def _metric_col(m: Expr) -> Column:
+    if m.name == "count":
+        return F.count("*").cast("long").alias("count(*)")
+    (col,) = m.args
+    fn = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[m.name]
+    c = fn(col)
+    if m.name in ("sum", "avg"):
+        c = c.cast("double")
+    return c.alias(f"{m.name}({col})")
+
+
+def _lit_value(v: str):
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def _bool_cond(df: DataFrame, e: Expr) -> Column:
+    if e.name == "and":
+        out = _bool_cond(df, e.args[0])
+        for sub in e.args[1:]:
+            out = out & _bool_cond(df, sub)
+        return out
+    if e.name == "or":
+        out = _bool_cond(df, e.args[0])
+        for sub in e.args[1:]:
+            out = out | _bool_cond(df, sub)
+        return out
+    if e.name == "not":
+        return ~_bool_cond(df, e.args[0])
+    fname, raw = e.args
+    if isinstance(fname, Expr):
+        # a metric reference (sum(f), count(*)) names the rollup's
+        # literal output field — map the parsed call back to it
+        fname = f"{fname.name}({fname.args[0] if fname.args else ''})"
+    c, v = df[fname], F.lit(_lit_value(raw))
+    return {
+        "eq": c == v, "gt": c > v, "lt": c < v, "gteq": c >= v, "lteq": c <= v,
+    }[e.name]
+
+
+def _match_ids(coll: StreamCollection, q: str, fq: str | None) -> DataFrame:
+    """Decode-only match set (doc_id) for a /export-style source."""
+    from golr_loader_spark.plans.facets import all_doc_ids
+    from golr_loader_spark.plans.lucene import fq_doc_ids
+
+    cfg = coll.config
+    if q.strip() == "*:*":
+        ids = all_doc_ids(coll.index, cfg=cfg).select("doc_id")
+    else:
+        ids = fq_doc_ids(coll.index, q, cfg=cfg).select("doc_id")
+    if fq is not None:
+        ids = ids.join(
+            fq_doc_ids(coll.index, fq, cfg=cfg).select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+    return ids
+
+
+def _stored_join(coll: StreamCollection, ids: DataFrame, cols: list[str]) -> DataFrame:
+    cfg = coll.config
+    bucketed = coll.documents.select(
+        "doc_id", *[c for c in cols if c != "doc_id"]
+    ).withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    withb = ids.withColumn(
+        "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
+    )
+    return withb.join(bucketed, on=["bucket", "doc_id"]).select(*cols)
+
+
+# -------------------------------------------------------- compilers
+
+
+def _c_search(e: Expr, ctx: StreamContext) -> DataFrame:
+    coll = ctx.collection(e.args[0] if e.args else None)
+    q = e.kwargs.get("q", "*:*")
+    fl = _csv(e.kwargs.get("fl", "doc_id"))
+    ids = _match_ids(coll, q, e.kwargs.get("fq"))
+    out = _stored_join(coll, ids, fl if "doc_id" in fl else ["doc_id"] + fl)
+    if "doc_id" not in fl:
+        out = out.select(*fl)
+    if "sort" in e.kwargs:
+        out = out.orderBy(*_sort_cols(out, e.kwargs["sort"]))
+    if "rows" in e.kwargs:
+        out = out.limit(int(e.kwargs["rows"]))
+    return out
+
+
+def _c_stats(e: Expr, ctx: StreamContext) -> DataFrame:
+    coll = ctx.collection(e.args[0] if e.args else None)
+    metrics = [a for a in e.args[1:] if isinstance(a, Expr) and a.name in _METRICS]
+    if not metrics:
+        raise ValueError("stats() needs at least one metric")
+    ids = _match_ids(coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"))
+    need = sorted({m.args[0] for m in metrics if m.name != "count"})
+    base = _stored_join(coll, ids, ["doc_id"] + need)
+    return base.agg(*[_metric_col(m) for m in metrics])
+
+
+def _c_facet(e: Expr, ctx: StreamContext) -> DataFrame:
+    coll = ctx.collection(e.args[0] if e.args else None)
+    metrics = [a for a in e.args[1:] if isinstance(a, Expr) and a.name in _METRICS]
+    if not metrics:
+        metrics = [Expr("count", ["*"])]
+    buckets = _csv(e.kwargs["buckets"])
+    ids = _match_ids(coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"))
+    need = sorted(
+        set(buckets) | {m.args[0] for m in metrics if m.name != "count"}
+    )
+    base = _stored_join(coll, ids, ["doc_id"] + need)
+    out = base.groupBy(*buckets).agg(*[_metric_col(m) for m in metrics])
+    sort_spec = e.kwargs.get(
+        "bucketSorts", ", ".join(f"{b} asc" for b in buckets)
+    )
+    out = out.orderBy(*_sort_cols(out, sort_spec))
+    if "bucketSizeLimit" in e.kwargs:
+        out = out.limit(int(e.kwargs["bucketSizeLimit"]))
+    return out
+
+
+def _c_select(e: Expr, ctx: StreamContext) -> DataFrame:
+    df = compile_stream(e.args[0], ctx)
+    cols = []
+    for spec in e.args[1:]:
+        parts = spec.split(" as ")
+        if len(parts) == 2:
+            cols.append(df[parts[0].strip()].alias(parts[1].strip()))
+        else:
+            cols.append(df[spec.strip()])
+    return df.select(*cols)
+
+
+def _c_sort(e: Expr, ctx: StreamContext) -> DataFrame:
+    df = compile_stream(e.args[0], ctx)
+    return df.orderBy(*_sort_cols(df, e.kwargs["by"]))
+
+
+def _c_unique(e: Expr, ctx: StreamContext) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = compile_stream(e.args[0], ctx)
+    over = _csv(e.kwargs["over"])
+    sort_spec = e.kwargs.get("sort", ", ".join(f"{c} asc" for c in over))
+    w = Window.partitionBy(*over).orderBy(*_sort_cols(df, sort_spec))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _c_top(e: Expr, ctx: StreamContext) -> DataFrame:
+    df = compile_stream(e.args[0], ctx)
+    return df.orderBy(*_sort_cols(df, e.kwargs["sort"])).limit(int(e.kwargs["n"]))
+
+
+def _c_rollup(e: Expr, ctx: StreamContext) -> DataFrame:
+    df = compile_stream(e.args[0], ctx)
+    metrics = [a for a in e.args[1:] if isinstance(a, Expr) and a.name in _METRICS]
+    if not metrics:
+        raise ValueError("rollup() needs at least one metric")
+    over = _csv(e.kwargs["over"])
+    return (
+        df.groupBy(*over)
+        .agg(*[_metric_col(m) for m in metrics])
+        .orderBy(*[F.asc(c) for c in over])
+    )
+
+
+def _c_having(e: Expr, ctx: StreamContext) -> DataFrame:
+    df = compile_stream(e.args[0], ctx)
+    conds = [a for a in e.args[1:] if isinstance(a, Expr)]
+    if len(conds) != 1:
+        raise ValueError("having() takes exactly one boolean operation")
+    return df.filter(_bool_cond(df, conds[0]))
+
+
+def _join_dfs(e: Expr, ctx: StreamContext, how: str, broadcast_right: bool):
+    left = compile_stream(e.args[0], ctx)
+    right_expr = e.args[1] if len(e.args) > 1 else e.kwargs.get("hashed")
+    right = compile_stream(right_expr, ctx)
+    pairs = _on_pairs(e.kwargs["on"])
+    if broadcast_right:
+        right = F.broadcast(right)
+    cond = None
+    for l, r in pairs:
+        c = left[l] == right[r]
+        cond = c if cond is None else (cond & c)
+    joined = left.join(right, on=cond, how=how)
+    # Solr emits each field once when the on-clause names are equal —
+    # drop the right-side duplicate of every equi-named join key
+    for l, r in pairs:
+        if l == r:
+            joined = joined.drop(right[r])
+    return joined
+
+
+def _c_inner_join(e: Expr, ctx: StreamContext) -> DataFrame:
+    return _join_dfs(e, ctx, "inner", broadcast_right=False)
+
+
+def _c_left_join(e: Expr, ctx: StreamContext) -> DataFrame:
+    return _join_dfs(e, ctx, "left", broadcast_right=False)
+
+
+def _c_hash_join(e: Expr, ctx: StreamContext) -> DataFrame:
+    return _join_dfs(e, ctx, "inner", broadcast_right=True)
+
+
+def _c_merge(e: Expr, ctx: StreamContext) -> DataFrame:
+    streams = [compile_stream(a, ctx) for a in e.args]
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out.orderBy(*_sort_cols(out, e.kwargs["on"]))
+
+
+def _c_intersect(e: Expr, ctx: StreamContext) -> DataFrame:
+    left = compile_stream(e.args[0], ctx)
+    right = compile_stream(e.args[1], ctx)
+    pairs = _on_pairs(e.kwargs["on"])
+    return left.join(
+        right.select(*[right[r].alias(l) for l, r in pairs]).distinct(),
+        on=[l for l, _ in pairs],
+        how="left_semi",
+    )
+
+
+def _c_complement(e: Expr, ctx: StreamContext) -> DataFrame:
+    left = compile_stream(e.args[0], ctx)
+    right = compile_stream(e.args[1], ctx)
+    pairs = _on_pairs(e.kwargs["on"])
+    return left.join(
+        right.select(*[right[r].alias(l) for l, r in pairs]).distinct(),
+        on=[l for l, _ in pairs],
+        how="left_anti",
+    )
+
+
+def _c_fetch(e: Expr, ctx: StreamContext) -> DataFrame:
+    coll = ctx.collection(e.args[0] if e.args else None)
+    df = compile_stream(e.args[1], ctx)
+    fl = _csv(e.kwargs["fl"])
+    (pair,) = _on_pairs(e.kwargs.get("on", "doc_id=doc_id"))
+    doc_key, stream_key = pair
+    stored = coll.documents.select(
+        F.col(doc_key).alias(stream_key),
+        *[c for c in fl if c != doc_key],
+    )
+    return df.join(stored, on=stream_key, how="left")
+
+
+_COMPILERS = {
+    "search": _c_search,
+    "stats": _c_stats,
+    "facet": _c_facet,
+    "select": _c_select,
+    "sort": _c_sort,
+    "unique": _c_unique,
+    "top": _c_top,
+    "rollup": _c_rollup,
+    "having": _c_having,
+    "innerJoin": _c_inner_join,
+    "leftOuterJoin": _c_left_join,
+    "hashJoin": _c_hash_join,
+    "merge": _c_merge,
+    "intersect": _c_intersect,
+    "complement": _c_complement,
+    "fetch": _c_fetch,
+}
+
+
+def compile_stream(expr: str | Expr, ctx: StreamContext) -> DataFrame:
+    """Parse (if needed) and compile a streaming expression to ONE
+    lazy DataFrame plan over the context's collections."""
+    e = parse_expr(expr) if isinstance(expr, str) else expr
+    if not isinstance(e, Expr):
+        raise ValueError(f"not a stream expression: {expr!r}")
+    if e.name not in _COMPILERS:
+        raise ValueError(f"unknown stream operator {e.name!r}")
+    return _COMPILERS[e.name](e, ctx)

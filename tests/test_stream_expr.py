@@ -1,0 +1,196 @@
+"""Solr Streaming Expressions → DataFrame compiler.
+
+Parser shape tests plus end-to-end semantics of every supported
+source/decorator over a tiny engine-indexed collection, checked
+against hand-computed results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.plans.build_index import build_index
+from golr_loader_spark.plans.stream_expr import (
+    Expr,
+    StreamCollection,
+    StreamContext,
+    compile_stream,
+    parse_expr,
+)
+
+ROWS = [
+    (0, "data spark fast", "en", "web", 10),
+    (1, "data slow query", "en", "book", 20),
+    (2, "query spark data", "de", "web", 30),
+    (3, "other words here", "de", "web", 40),
+    (4, "data data query", "fr", "book", 50),
+]
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    docs = spark.createDataFrame(ROWS, SCHEMA).cache()
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)}, bucket_bits=0, id_space_bits=3,
+    )
+    ix = build_index(docs.select("doc_id", "text"), cfg)
+    return StreamContext({"docs": StreamCollection(ix, docs, cfg)})
+
+
+# ------------------------------------------------------------ parser
+
+def test_parse_nested_kwargs_and_metrics():
+    e = parse_expr(
+        'rollup(search(docs, q="data", fl="doc_id,lang", sort="doc_id asc"),'
+        ' over="lang", count(*), sum(n_chars))'
+    )
+    assert e.name == "rollup" and e.kwargs["over"] == "lang"
+    inner = e.args[0]
+    assert isinstance(inner, Expr) and inner.name == "search"
+    assert inner.args == ["docs"] and inner.kwargs["q"] == "data"
+    names = [a.name for a in e.args[1:]]
+    assert names == ["count", "sum"]
+    assert e.args[2].args == ["n_chars"]
+
+
+def test_parse_quoted_escapes_and_errors():
+    e = parse_expr('search(docs, q="a \\"b\\" c")')
+    assert e.kwargs["q"] == 'a "b" c'
+    with pytest.raises(ValueError):
+        parse_expr("search(docs")
+    with pytest.raises(ValueError):
+        parse_expr('search(docs) trailing')
+    with pytest.raises(ValueError):
+        parse_expr("noparens")
+
+
+# --------------------------------------------------------- semantics
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_search_export_semantics(ctx):
+    got = rows(compile_stream(
+        'search(docs, q="data", fl="doc_id,lang", sort="doc_id desc")', ctx
+    ))
+    assert got == [(4, "fr"), (2, "de"), (1, "en"), (0, "en")]
+
+
+def test_search_star_fq_rows(ctx):
+    got = rows(compile_stream(
+        'search(docs, q="*:*", fq="spark", fl="doc_id", sort="doc_id asc", rows=1)',
+        ctx,
+    ))
+    assert got == [(0,)]
+
+
+def test_rollup_and_having(ctx):
+    got = rows(compile_stream(
+        'having(rollup(search(docs, q="data", fl="doc_id,lang,n_chars"),'
+        ' over="lang", count(*), sum(n_chars)), gteq(sum(n_chars), 30))',
+        ctx,
+    ))
+    # data matches docs 0,1,2,4: en sum=30 n=2, de sum=30, fr sum=50
+    assert sorted(got) == [("de", 1, 30.0), ("en", 2, 30.0), ("fr", 1, 50.0)]
+
+
+def test_stats_source(ctx):
+    got = rows(compile_stream(
+        'stats(docs, q="data", count(*), min(n_chars), max(n_chars), avg(n_chars))',
+        ctx,
+    ))
+    assert got == [(4, 10, 50, 27.5)]
+
+
+def test_facet_source_sorted_limited(ctx):
+    got = rows(compile_stream(
+        'facet(docs, q="*:*", buckets="source", bucketSorts="count(*) desc",'
+        ' bucketSizeLimit=1, count(*))',
+        ctx,
+    ))
+    assert got == [("web", 3)]
+
+
+def test_select_rename_unique_top(ctx):
+    got = rows(compile_stream(
+        'top(unique(select(search(docs, q="data", fl="doc_id,lang"),'
+        ' "doc_id as id", "lang"), over="lang", sort="id asc"),'
+        ' n=2, sort="id asc")',
+        ctx,
+    ))
+    # unique keeps first id per lang: en→0, de→2, fr→4; top 2 by id
+    assert got == [(0, "en"), (2, "de")]
+
+
+def test_inner_join_drops_dup_key(ctx):
+    df = compile_stream(
+        'innerJoin(search(docs, q="data", fl="doc_id,lang"),'
+        ' search(docs, q="spark", fl="doc_id,source"), on="doc_id")',
+        ctx,
+    )
+    assert df.columns == ["doc_id", "lang", "source"]
+    assert sorted(rows(df)) == [(0, "en", "web"), (2, "de", "web")]
+
+
+def test_left_outer_and_hash_join_agree(ctx):
+    left = 'search(docs, q="data", fl="doc_id,lang")'
+    right = 'search(docs, q="spark", fl="doc_id,source")'
+    outer = rows(compile_stream(
+        f'sort(leftOuterJoin({left}, {right}, on="doc_id"), by="doc_id asc")', ctx
+    ))
+    assert outer == [
+        (0, "en", "web"), (1, "en", None), (2, "de", "web"), (4, "fr", None),
+    ]
+    hashed = rows(compile_stream(
+        f'sort(hashJoin({left}, hashed={right}, on="doc_id"), by="doc_id asc")',
+        ctx,
+    ))
+    assert hashed == [(0, "en", "web"), (2, "de", "web")]
+
+
+def test_merge_intersect_complement(ctx):
+    a = 'search(docs, q="spark", fl="doc_id")'
+    b = 'search(docs, q="query", fl="doc_id")'
+    assert rows(compile_stream(f'merge({a}, {b}, on="doc_id asc")', ctx)) == [
+        (0,), (1,), (2,), (2,), (4,),
+    ]
+    assert sorted(rows(compile_stream(f'intersect({a}, {b}, on="doc_id")', ctx))) == [
+        (2,)
+    ]
+    assert sorted(rows(compile_stream(f'complement({a}, {b}, on="doc_id")', ctx))) == [
+        (0,)
+    ]
+
+
+def test_fetch_enriches(ctx):
+    got = rows(compile_stream(
+        'sort(fetch(docs, search(docs, q="spark", fl="doc_id"),'
+        ' fl="lang,n_chars", on="doc_id=doc_id"), by="doc_id asc")',
+        ctx,
+    ))
+    assert got == [(0, "en", 10), (2, "de", 30)]
+
+
+def test_boolean_evaluators(ctx):
+    base = 'search(docs, q="*:*", fl="doc_id,lang,n_chars")'
+    got = rows(compile_stream(
+        f'sort(having({base}, and(gt(n_chars, 10), not(eq(lang, "de")))),'
+        ' by="doc_id asc")',
+        ctx,
+    ))
+    assert [r[0] for r in got] == [1, 4]
+    got2 = rows(compile_stream(
+        f'having({base}, or(eq(doc_id, 0), eq(doc_id, 3)))', ctx
+    ))
+    assert sorted(r[0] for r in got2) == [0, 3]
+
+
+def test_unknown_operator_and_collection(ctx):
+    with pytest.raises(ValueError):
+        compile_stream('bogus(search(docs, q="x"))', ctx)
+    with pytest.raises(ValueError):
+        compile_stream('search(nope, q="x")', ctx)
