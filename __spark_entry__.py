@@ -1351,6 +1351,7 @@ _REGISTRY_PRIORITY = [
     # -- new in round 5 (0 records) --
     "engine_synonym", "engine_rangefacet", "engine_qfacet", "engine_ifacet",
     "engine_geo", "engine_stream", "engine_stream_join", "q41_semdedup",
+    "q42_bigram_logprob",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",

@@ -2590,6 +2590,38 @@ ORDER BY vec_id
 """
 
 
+def q42_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (CCNet pattern): avg bigram
+    log-probability of each doc under a corpus-level additive-smoothed
+    bigram LM (textstats.bigram_logprob) — the low tail is the
+    unusual/garbled text a CCNet-style filter cuts."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return ts.bigram_logprob(d)
+
+
+# Bigram-LM oracle: identical counts (bigram, first-element, vocab),
+# identical smoothing arithmetic, round-to-6 on the avg natural log.
+SQL_Q42B = """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+), bg AS (
+  SELECT a.doc_id AS id, a.term AS w1, b.term AS w2
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), v AS (SELECT count(DISTINCT term) AS v FROM tokp)
+SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * (SELECT v FROM v)))), 6)
+         AS avg_logprob
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY id ORDER BY id
+"""
+
+
 # Solr facet.query oracle (engine twin: facets.facet_query_counts —
 # engine_qfacet in __spark_entry__.py). q = 'data' OR 'query'; three
 # facet queries counted within the match set: a bare term ('spark'),
@@ -2779,4 +2811,5 @@ QUERIES: dict[str, tuple] = {
     "q39_weighted_sample": (q39_weighted_sample, SQL_Q39B),
     "q40_significant_terms": (q40_significant_terms, SQL_Q40B),
     "q41_semdedup": (q41_semdedup, SQL_Q41B),
+    "q42_bigram_logprob": (q42_bigram_logprob, SQL_Q42B),
 }

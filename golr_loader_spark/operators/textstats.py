@@ -319,3 +319,70 @@ def significant_terms(
     return out.orderBy(
         F.desc("lift"), F.desc("fg_df"), F.asc("term")
     ).limit(k)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet/Wenzek et al. 2020
+    pattern: score each document under a language model trained on
+    the corpus itself and filter/bucket by it — here a corpus-level
+    bigram LM with additive smoothing instead of external KenLM, so
+    the whole pass stays self-contained and SQL-replayable):
+
+        P(w2 | w1) = (C(w1 w2) + alpha) / (C(w1 ·) + alpha · V)
+
+    where C(w1 w2) is the corpus bigram count, C(w1 ·) the count of
+    w1 as a bigram FIRST element (so the conditional normalizes), V
+    the corpus vocabulary size. Output: (id, n_bigrams, avg_logprob)
+    per doc with ≥ 1 bigram — avg natural-log probability of the
+    doc's bigrams, rounded; HIGHER = more typical of the corpus (the
+    low tail is the unusual/garbled text CCNet's head/middle/tail
+    split cuts).
+
+    Plan shape at 100 TB: bigrams materialize JVM-side from one
+    arrays_zip over the token split (no self-join, no window); the
+    two count tables are map-side-combinable groupBys; the scoring
+    pass is two equi-joins on term keys (AQE-broadcast when the
+    vocabulary is small) + one final groupBy(doc). Everything is a
+    hash shuffle on (term) or (doc) — no skewed cross products."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    bg = (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bigram_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    first_c = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("w")).agg(
+            F.countDistinct("w").alias("v")
+        )
+    )
+    scored = (
+        bg.join(bigram_c, on=["w1", "w2"])
+        .join(first_c, on="w1")
+        .crossJoin(F.broadcast(vocab))  # one-row dimension
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("logp"), round_to).alias("avg_logprob"),
+        )
+        .orderBy("id")
+    )

@@ -36,6 +36,7 @@ BOUNDED_NLJ = {
     "q32_ivf_ann",            # 16 literal centroids; queries explode
     "q18_minhash",
     "q17_ngram_jaccard",
+    "q42_bigram_logprob",     # ONE-ROW vocab-size dimension (countDistinct agg)
 }
 
 
