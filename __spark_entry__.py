@@ -1299,6 +1299,39 @@ def _engine_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr LTR (plans.ltr): top-15 BM25 block rescored by a
+    LinearModel over four stock feature kinds (original score, a
+    feature-query score, a stored numeric field, a constant) — score
+    REPLACED inside the block, first-pass order/score below it, k=25
+    exercises both sides of the block boundary. SQL_Q75 replays the
+    model arithmetic."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.ltr import Feature, LinearModel, ltr_rerank
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    feats = [
+        Feature("orig", "original_score"),
+        Feature("f_sortscan", "solr_query", "sort scan"),
+        Feature("f_len", "field_value", "n_chars"),
+        Feature("f_const", "constant", 1.0),
+    ]
+    model = LinearModel(
+        "m", (("orig", 1.0), ("f_sortscan", 0.8), ("f_len", 0.001), ("f_const", 0.5))
+    )
+    return ltr_rerank(
+        ix, d, "data query spark", feats, model, k=25, rerank_docs=15, cfg=cfg
+    )
+
+
 def _engine_ifacet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr interval facets (facets.interval_facet_counts): counts of
     matching docs per REQUESTED interval over the n_chars doc value —
@@ -1350,8 +1383,8 @@ _REGISTRY_PRIORITY = [
     "engine_join",
     # -- new in round 5 (0 records) --
     "engine_synonym", "engine_rangefacet", "engine_qfacet", "engine_ifacet",
-    "engine_geo", "engine_stream", "engine_stream_join", "q41_semdedup",
-    "q42_bigram_logprob",
+    "engine_geo", "engine_stream", "engine_stream_join", "engine_ltr",
+    "q41_semdedup", "q42_bigram_logprob",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1425,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_geo"] = _engine_geo
     out["engine_stream"] = _engine_stream
     out["engine_stream_join"] = _engine_stream_join
+    out["engine_ltr"] = _engine_ltr
     return _apply_registry_order(out)
 
 
@@ -1472,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q72,
         SQL_Q73,
         SQL_Q74,
+        SQL_Q75,
     )
 
     out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
@@ -1521,4 +1556,5 @@ def oracle_sql() -> dict[str, str]:
     out["engine_geo"] = SQL_Q72
     out["engine_stream"] = SQL_Q73
     out["engine_stream_join"] = SQL_Q74
+    out["engine_ltr"] = SQL_Q75
     return out

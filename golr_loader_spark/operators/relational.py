@@ -2770,6 +2770,67 @@ LIMIT 20
 """
 
 
+# Solr LTR oracle (engine twin: ltr.ltr_rerank with a LinearModel —
+# engine_ltr in __spark_entry__.py). First pass BM25('data query
+# spark'); top-15 block rescored by round(1.0·orig + 0.8·score('sort
+# scan') + 0.001·n_chars + 0.5·1.0, 4) — score REPLACED in the block
+# (LTR semantics, not {!rerank}'s additive combine) — tail keeps
+# first-pass order/score below the block; k=25 exercises both.
+SQL_Q75 = """
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt1 AS (SELECT * FROM toks WHERE term IN ('data','query','spark')),
+idf1 AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt1 GROUP BY term),
+s1 AS (
+  SELECT qt1.doc_id,
+         sum(idf1.idf * 2.2 * qt1.tf / (qt1.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) ORDER BY qt1.term) AS s1
+  FROM qt1 JOIN idf1 USING (term) JOIN dl USING (doc_id)
+  GROUP BY qt1.doc_id),
+qt2 AS (SELECT * FROM toks WHERE term IN ('sort','scan')),
+idf2 AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt2 GROUP BY term),
+s2 AS (
+  SELECT qt2.doc_id,
+         sum(idf2.idf * 2.2 * qt2.tf / (qt2.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) ORDER BY qt2.term) AS s2
+  FROM qt2 JOIN idf2 USING (term) JOIN dl USING (doc_id)
+  GROUP BY qt2.doc_id),
+ranked1 AS (
+  SELECT doc_id, s1, row_number() OVER (ORDER BY s1 DESC, doc_id ASC) AS r1
+  FROM s1),
+blk AS (
+  SELECT r.doc_id,
+         round(1.0 * r.s1 + 0.8 * coalesce(s2.s2, 0.0)
+               + 0.001 * d.n_chars + 0.5 * 1.0, 4) AS model
+  FROM ranked1 r
+  LEFT JOIN s2 USING (doc_id)
+  JOIN documents d USING (doc_id)
+  WHERE r.r1 <= 15),
+ordered AS (
+  SELECT doc_id, model AS score, 0 AS grp,
+         row_number() OVER (ORDER BY model DESC, doc_id ASC) AS pos
+  FROM blk
+  UNION ALL
+  SELECT doc_id, round(s1, 4) AS score, 1 AS grp, r1 AS pos
+  FROM ranked1 WHERE r1 > 15),
+final AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY grp, pos) AS rank
+  FROM ordered)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, score
+FROM final WHERE rank <= 25
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

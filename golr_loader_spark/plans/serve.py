@@ -1323,6 +1323,63 @@ class LocalSearcher:
         )
         return [(int(d), float(s)) for d, s in out]
 
+    def ltr_rerank(
+        self,
+        querystring: str,
+        features: list,
+        model,
+        k: int = 10,
+        rerank_docs: int = 200,
+        max_expansions: int = 1024,
+    ) -> list[tuple[int, int, float]]:
+        """Serving-path Solr LTR (rq={!ltr model=m reRankDocs=N}):
+        complete first-pass match set, features resolved locally
+        (original_score / solr_query via the local executor,
+        field_value via stored fields, constant), then the shared
+        ``ltr.ltr_block`` kernel — the exact twin of
+        ``ltr.ltr_rerank``. → [(rank, doc_id, score)]."""
+        from golr_loader_spark.plans.lucene import parse_lucene
+        from golr_loader_spark.plans.ltr import ltr_block
+
+        clauses = parse_lucene(querystring)
+        if not clauses:
+            return []
+        first = self._exec_clauses_local(clauses, max_expansions, None)
+        if first is None:
+            return []
+        block_ids = [
+            d
+            for d, _s in sorted(first.items(), key=lambda x: (-x[1], x[0]))[
+                :rerank_docs
+            ]
+        ]
+        vals: dict[str, dict[int, float]] = {}
+        for f in features:
+            if f.kind == "original_score":
+                vals[f.name] = {int(d): float(s) for d, s in first.items()}
+            elif f.kind == "constant":
+                vals[f.name] = {int(d): float(f.param) for d in block_ids}
+            elif f.kind == "solr_query":
+                m = self._exec_clauses_local(
+                    parse_lucene(str(f.param)), max_expansions, None
+                )
+                vals[f.name] = (
+                    {int(d): float(s) for d, s in m.items()} if m else {}
+                )
+            elif f.kind == "field_value":
+                stored = self.fetch(sorted(block_ids), [str(f.param)])
+                vals[f.name] = {
+                    int(d): float(v[str(f.param)])
+                    for d, v in stored.items()
+                    if v.get(str(f.param)) is not None
+                }
+            else:
+                raise ValueError(f"unknown feature kind {f.kind!r}")
+        return ltr_block(
+            [(int(d), float(s)) for d, s in first.items()],
+            vals, model, k, rerank_docs,
+        )
+
     def _all_doc_ids_local(self) -> set[int]:
         """Live doc universe (serving twin of ``facets.all_doc_ids``):
         union of every posting list's decoded doc-id stream,
