@@ -63,6 +63,10 @@ def main() -> None:
         "q12_sessionize",
         "q17_ngram_jaccard",
         "q24_bm25_topk",
+        # round-5 additions: semantic dedup (cluster-blocked pair
+        # join) and the corpus bigram-LM scoring pass
+        "q41_semdedup",
+        "q42_bigram_logprob",
     ]
     for rep in range(2):
         for name in headline:
