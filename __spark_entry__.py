@@ -1299,6 +1299,48 @@ def _engine_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr graph traversal (/graph — stream_expr nodes()/
+    gatherNodes): two-level walk over stored-fields-only collections,
+    customer → orders → lineitem: nodes(lineitem, nodes(orders,
+    search(customer, q="*:*", rows=20 by custkey), walk="c_custkey->
+    o_custkey", gather="o_orderkey"), walk="node->l_orderkey",
+    gather="l_partkey") — each hop ONE distinct + ONE equi-join on
+    the string node key, the whole traversal a single lazy plan.
+    SQL_Q76 is the DuckDB twin."""
+    from golr_loader_spark.plans.stream_expr import (
+        StreamCollection,
+        StreamContext,
+        compile_stream,
+    )
+
+    _tune(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "doc_id", F.col("c_custkey")
+    )
+    ctx = StreamContext(
+        {
+            "customer": StreamCollection(None, cust),
+            "orders": StreamCollection(
+                None, spark.read.parquet(f"{sf_dir}/orders.parquet")
+            ),
+            "lineitem": StreamCollection(
+                None, spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            ),
+        }
+    )
+    out = compile_stream(
+        'nodes(lineitem,'
+        ' nodes(orders,'
+        '  search(customer, q="*:*", fl="doc_id,c_custkey",'
+        '   sort="c_custkey asc", rows=20),'
+        '  walk="c_custkey->o_custkey", gather="o_orderkey"),'
+        ' walk="node->l_orderkey", gather="l_partkey")',
+        ctx,
+    )
+    return out.orderBy("node")
+
+
 def _engine_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr LTR (plans.ltr): top-15 BM25 block rescored by a
     LinearModel over four stock feature kinds (original score, a
@@ -1384,7 +1426,8 @@ _REGISTRY_PRIORITY = [
     # -- new in round 5 (0 records) --
     "engine_synonym", "engine_rangefacet", "engine_qfacet", "engine_ifacet",
     "engine_geo", "engine_stream", "engine_stream_join", "engine_ltr",
-    "q41_semdedup", "q42_bigram_logprob",
+    "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
+    "engine_nodes",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1459,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_stream"] = _engine_stream
     out["engine_stream_join"] = _engine_stream_join
     out["engine_ltr"] = _engine_ltr
+    out["engine_nodes"] = _engine_nodes
     return _apply_registry_order(out)
 
 
@@ -1506,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q72,
         SQL_Q73,
         SQL_Q74,
+        SQL_Q76,
         SQL_Q75,
     )
 
@@ -1556,5 +1601,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_geo"] = SQL_Q72
     out["engine_stream"] = SQL_Q73
     out["engine_stream_join"] = SQL_Q74
+    out["engine_nodes"] = SQL_Q76
     out["engine_ltr"] = SQL_Q75
     return out

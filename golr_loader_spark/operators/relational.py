@@ -2622,6 +2622,73 @@ GROUP BY id ORDER BY id
 """
 
 
+def q43_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher + C4 heuristic quality-rule features (Rae et al. 2021
+    A1.1; Raffel et al. 2020 §2.2) — word/line-shape features and the
+    combined pass flags, one pure-Catalyst projection over documents
+    (textstats.gopher_rules). Zero shuffles; used as a predicate the
+    flags push to the scan."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return ts.gopher_rules(d, "doc_id", "text").orderBy("id")
+
+
+# Gopher/C4 oracle: same splits (tokens on ' ', lines on \n), same
+# occurrence counting via replace()/regexp, same thresholds; list
+# lambdas replay the Catalyst filter() predicates verbatim.
+SQL_Q43B = """
+WITH f AS (
+  SELECT doc_id AS id, text,
+         len(string_split(text, ' ')) AS n_words,
+         len(string_split(text, chr(10))) AS n_lines,
+         length(text) - length(replace(text, '#', '')) AS hash_n,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS ell_n,
+         len(list_filter(string_split(text, chr(10)),
+             x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')) AS bullet_n,
+         len(list_filter(string_split(text, chr(10)),
+             x -> x LIKE '%...')) AS ell_line_n,
+         len(list_filter(string_split(text, chr(10)),
+             x -> x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?'
+               OR x LIKE '%"')) AS tp_n,
+         len(list_filter(string_split(text, ' '),
+             t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha_n,
+         len(list_filter(
+             ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+             s -> list_contains(string_split(lower(text), ' '), s)))
+           AS n_stop,
+         length(text)
+           - length(regexp_replace(text, '[.!?]', '', 'g')) AS sent_n,
+         CAST(lower(text) LIKE '%lorem ipsum%' AS INT) AS has_lorem
+  FROM documents
+), g AS (
+  SELECT id, n_words,
+         (length(text) - n_words + 1) / n_words AS mean_wl,
+         (hash_n + ell_n) / n_words AS symbol_ratio,
+         bullet_n / n_lines AS bullet_frac,
+         ell_line_n / n_lines AS ell_line_frac,
+         alpha_n / n_words AS alpha_frac,
+         n_stop, tp_n / n_lines AS tp_frac, sent_n, has_lorem
+  FROM f
+)
+SELECT id, CAST(n_words AS BIGINT) AS n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_line_frac,
+       round(ell_line_frac, 6) AS ellipsis_line_frac,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       CAST(n_stop AS BIGINT) AS n_stop_hits,
+       round(tp_frac, 6) AS term_punct_line_frac,
+       CAST(sent_n AS BIGINT) AS n_sentences,
+       has_lorem,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND mean_wl >= 3 AND mean_wl <= 10
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ell_line_frac <= 0.3 AND alpha_frac >= 0.8
+            AND n_stop >= 2 AS INT) AS gopher_pass,
+       CAST(sent_n >= 3 AND has_lorem = 0 AS INT) AS c4_pass
+FROM g ORDER BY id
+"""
+
+
 # Solr facet.query oracle (engine twin: facets.facet_query_counts —
 # engine_qfacet in __spark_entry__.py). q = 'data' OR 'query'; three
 # facet queries counted within the match set: a bare term ('spark'),
@@ -2831,6 +2898,27 @@ FROM final WHERE rank <= 25
 """
 
 
+# Solr graph-traversal streaming expression oracle (engine twin:
+# stream_expr nodes()/gatherNodes — engine_nodes in
+# __spark_entry__.py). Two-level walk: the 20 lowest custkeys →
+# their orders (level 1) → those orders' parts (level 2, leaves
+# only). Node ids compare as strings (Solr node ids are strings);
+# each hop is DISTINCT (BFS frontier, not paths).
+SQL_Q76 = """
+WITH roots AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS node
+  FROM customer ORDER BY c_custkey LIMIT 20
+), lvl1 AS (
+  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS node
+  FROM orders JOIN roots ON CAST(o_custkey AS VARCHAR) = roots.node
+), lvl2 AS (
+  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS node
+  FROM lineitem JOIN lvl1 ON CAST(l_orderkey AS VARCHAR) = lvl1.node
+)
+SELECT node, 'l_partkey' AS field, 2 AS level FROM lvl2 ORDER BY node
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),
@@ -2873,4 +2961,5 @@ QUERIES: dict[str, tuple] = {
     "q40_significant_terms": (q40_significant_terms, SQL_Q40B),
     "q41_semdedup": (q41_semdedup, SQL_Q41B),
     "q42_bigram_logprob": (q42_bigram_logprob, SQL_Q42B),
+    "q43_gopher_rules": (q43_gopher_rules, SQL_Q43B),
 }

@@ -321,6 +321,105 @@ def significant_terms(
     ).limit(k)
 
 
+# Gopher rule-filter stopword set (Rae et al. 2021, Appendix A1.1 —
+# "contains at least 2 of" this fixed 8-word list)
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher + C4 heuristic quality-rule features per document
+    (Rae et al. 2021 Appendix A1.1; Raffel et al. 2020 §2.2) — the
+    standard pre-training corpus rule filters, computed as ONE pure
+    Catalyst projection (no UDF, no shuffle; the filter pushes to the
+    scan when used as a predicate):
+
+      n_words            whitespace tokens
+      mean_word_len      total token chars / n_words
+      symbol_ratio       ('#' + '...' occurrences) / n_words   (<= 0.1)
+      bullet_line_frac   lines starting '- ' / '* ' / '• '      (<= 0.9)
+      ellipsis_line_frac lines ending '...'                    (<= 0.3)
+      alpha_word_frac    words containing [A-Za-z]             (>= 0.8)
+      n_stop_hits        DISTINCT Gopher stopwords present     (>= 2)
+      term_punct_line_frac  C4: lines ending . ! ? or "
+      n_sentences        count of . ! ? characters             (>= 3)
+      has_lorem          contains 'lorem ipsum'                (== 0)
+      gopher_pass        all Gopher thresholds (50 <= n_words <=
+                         100000, 3 <= mean_word_len <= 10, plus the
+                         four ratio rules above)
+      c4_pass            n_sentences >= 3 AND NOT has_lorem
+
+    Every feature is replayable in ANSI SQL (list_filter/list_
+    transform on the same splits), so the whole rule set is DuckDB-
+    oracle-checkable; ratios round to 6 like the other textstats."""
+    txt = F.col(text_col)
+    toks = F.split(txt, " ")
+    n_words = F.size(toks)
+    mean_wl = (F.length(txt) - n_words + 1) / n_words
+    hash_n = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    ell_n = (
+        F.length(txt) - F.length(F.regexp_replace(txt, "\\.\\.\\.", ""))
+    ) / 3
+    symbol_ratio = (hash_n + ell_n) / n_words
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    bullet_n = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("* ")
+            | l.startswith("• "),
+        )
+    )
+    ell_line_n = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    tp_n = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith(".")
+            | l.endswith("!")
+            | l.endswith("?")
+            | l.endswith('"'),
+        )
+    )
+    alpha_n = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = alpha_n / n_words
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.split(F.lower(txt), " ")), stop_arr)
+    )
+    n_sent = F.length(txt) - F.length(F.regexp_replace(txt, "[.!?]", ""))
+    lorem = F.lower(txt).contains("lorem ipsum").cast("int")
+    bullet_frac = bullet_n / n_lines
+    ell_line_frac = ell_line_n / n_lines
+    tp_frac = tp_n / n_lines
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ell_line_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    ).cast("int")
+    c4_pass = ((n_sent >= 3) & (lorem == 0)).cast("int")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ell_line_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        F.round(tp_frac, 6).alias("term_punct_line_frac"),
+        n_sent.cast("long").alias("n_sentences"),
+        lorem.alias("has_lorem"),
+        gopher_pass.alias("gopher_pass"),
+        c4_pass.alias("c4_pass"),
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

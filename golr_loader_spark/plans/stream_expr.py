@@ -22,7 +22,9 @@ Supported (the /stream core):
   ``rollup(s, over=, metrics…)``, ``having(s, boolOp)``,
   ``innerJoin/leftOuterJoin/hashJoin(l, r, on=)``,
   ``merge(l, r, on=)``, ``intersect(l, r, on=)``,
-  ``complement(l, r, on=)``, ``fetch(coll, s, fl=, on=)``.
+  ``complement(l, r, on=)``, ``fetch(coll, s, fl=, on=)``,
+  ``nodes/gatherNodes(coll, s, walk=, gather=, scatter=, metrics…)``
+  (graph traversal — one equi-join hop per nesting level).
 * metrics — ``count(*)``, ``sum(f)``, ``min(f)``, ``max(f)``,
   ``avg(f)``; output field names are Solr's literal ``sum(f)`` style.
 * boolean evaluators (having) — ``eq/gt/lt/gteq/lteq(f, v)``,
@@ -177,15 +179,25 @@ def parse_expr(s: str) -> Expr:
 
 @dataclass
 class StreamCollection:
-    """One named 'collection': engine index + stored-fields table."""
+    """One named 'collection': engine index + stored-fields table.
 
-    index: InvertedIndex
+    ``index=None`` makes a stored-fields-only collection (Solr
+    collections with no text fields still serve /export and graph
+    walks): ``search`` then supports only ``q="*:*"`` (pure export),
+    and ``nodes`` joins the documents table directly. The documents
+    table must carry the unique key as ``doc_id``."""
+
+    index: InvertedIndex | None
     documents: DataFrame
     cfg: IndexConfig | None = None
 
     @property
     def config(self) -> IndexConfig:
-        return self.cfg or self.index.cfg
+        if self.cfg is not None:
+            return self.cfg
+        if self.index is not None:
+            return self.index.cfg
+        return IndexConfig()
 
 
 class StreamContext:
@@ -285,11 +297,19 @@ def _match_ids(coll: StreamCollection, q: str, fq: str | None) -> DataFrame:
     from golr_loader_spark.plans.lucene import fq_doc_ids
 
     cfg = coll.config
-    if q.strip() == "*:*":
+    if coll.index is None:
+        if q.strip() != "*:*":
+            raise ValueError(
+                f"collection has no index: only q='*:*' supported, got {q!r}"
+            )
+        ids = coll.documents.select("doc_id")
+    elif q.strip() == "*:*":
         ids = all_doc_ids(coll.index, cfg=cfg).select("doc_id")
     else:
         ids = fq_doc_ids(coll.index, q, cfg=cfg).select("doc_id")
     if fq is not None:
+        if coll.index is None:
+            raise ValueError("collection has no index: fq unsupported")
         ids = ids.join(
             fq_doc_ids(coll.index, fq, cfg=cfg).select("doc_id"),
             on="doc_id",
@@ -493,6 +513,84 @@ def _c_fetch(e: Expr, ctx: StreamContext) -> DataFrame:
     return df.join(stored, on=stream_key, how="left")
 
 
+def _nodes_depth(e) -> int:
+    """Structural traversal level of a nodes() node: 1 + the depth of
+    its child stream (Solr assigns level by gatherNodes nesting)."""
+    if isinstance(e, Expr) and e.name in ("nodes", "gatherNodes"):
+        child = e.args[1] if len(e.args) > 1 else None
+        return 1 + _nodes_depth(child)
+    return 0
+
+
+def _c_nodes(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr graph traversal (``nodes``/``gatherNodes``): expand the
+    incoming stream's frontier ONE hop through this collection —
+    ``walk="srcField->matchField"`` matches the child tuples' src
+    values against the collection's match field, ``gather="f"`` emits
+    the distinct gathered values as (node, field, level) tuples;
+    ``scatter="branches,leaves"`` controls whether the incoming
+    frontier (branches, level-1) and/or the gathered set (leaves,
+    level) are emitted — Solr's defaults (leaves only) apply. Metric
+    args (``count(*)``, ``sum(f)``…) aggregate over gathered EDGES
+    per node, Solr-style, and require leaves-only scatter.
+
+    Node values are cast to string (Solr node ids are strings), so
+    multi-level walks (``walk="node->fk"``) compare exact decimal
+    renderings — never a lossy numeric coercion. Plan shape: each
+    hop is one distinct + one equi-join on the string key; a k-level
+    traversal is k chained joins in ONE lazy plan, no driver loop,
+    frontier dedup keeps the join input minimal (BFS frontier, not
+    multiset paths)."""
+    coll = ctx.collection(e.args[0] if e.args else None)
+    if len(e.args) < 2 or not isinstance(e.args[1], Expr):
+        raise ValueError("nodes(collection, <stream>, ...) needs a child stream")
+    child = compile_stream(e.args[1], ctx)
+    walk = e.kwargs.get("walk")
+    gather = e.kwargs.get("gather")
+    if not walk or "->" not in walk or not gather:
+        raise ValueError('nodes needs walk="src->match" and gather="field"')
+    src, match = (x.strip() for x in walk.split("->", 1))
+    gather = gather.strip()
+    scatter = {s.strip() for s in e.kwargs.get("scatter", "leaves").split(",")}
+    if not scatter <= {"branches", "leaves"}:
+        raise ValueError(f"bad scatter {e.kwargs.get('scatter')!r}")
+    metrics = [a for a in e.args[2:] if isinstance(a, Expr)]
+    if metrics and scatter != {"leaves"}:
+        raise ValueError("nodes metrics require scatter='leaves'")
+    lvl = _nodes_depth(e)
+    frontier = (
+        child.select(F.col(src).cast("string").alias("node")).distinct()
+    )
+    docs = coll.documents
+    joined = docs.join(
+        frontier, docs[match].cast("string") == frontier["node"], "inner"
+    )
+    gathered = joined.select(F.col(gather).cast("string").alias("node"))
+    if metrics:
+        gathered_m = joined.groupBy(
+            F.col(gather).cast("string").alias("node")
+        ).agg(*[_metric_col(m) for m in metrics])
+        mcols = [c for c in gathered_m.columns if c != "node"]
+        leaves = gathered_m.select(
+            "node",
+            F.lit(gather).alias("field"),
+            F.lit(lvl).alias("level"),
+            *mcols,
+        )
+    else:
+        leaves = gathered.distinct().select(
+            "node", F.lit(gather).alias("field"), F.lit(lvl).alias("level")
+        )
+    if scatter == {"leaves"}:
+        return leaves
+    branches = frontier.select(
+        "node", F.lit(src).alias("field"), F.lit(lvl - 1).alias("level")
+    )
+    if scatter == {"branches"}:
+        return branches
+    return branches.unionByName(leaves)
+
+
 _COMPILERS = {
     "search": _c_search,
     "stats": _c_stats,
@@ -510,6 +608,8 @@ _COMPILERS = {
     "intersect": _c_intersect,
     "complement": _c_complement,
     "fetch": _c_fetch,
+    "nodes": _c_nodes,
+    "gatherNodes": _c_nodes,
 }
 
 
