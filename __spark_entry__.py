@@ -404,6 +404,47 @@ def _engine_jsonfacet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JSON Facet percentile aggregation (jsonfacet
+    percentile(field,p)): terms facet over lang (top-5 by count)
+    carrying p50/p90 percentile(n_chars) plus avg(n_chars), over the
+    decode-only match set of 'data query spark'. Exact
+    linear-interpolated percentile (F.percentile == quantile_cont) in
+    place of Solr's t-digest — deterministic and SQL-replayable;
+    SQL_Q77 is the DuckDB twin."""
+    from golr_loader_spark.config import IndexConfig
+    from golr_loader_spark.plans.build_index import build_index
+    from golr_loader_spark.plans.facets import build_facets
+    from golr_loader_spark.plans.jsonfacet import json_facet
+
+    _tune(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = int(d.agg(F.max("doc_id")).collect()[0][0])
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(max_id.bit_length(), 1),
+    )
+    ix = build_index(d.select("doc_id", "text"), cfg)
+    fx = build_facets(d, ["lang"], cfg)
+    res = json_facet(
+        ix, "data query spark",
+        {"langs": {"type": "terms", "field": "lang", "limit": 5,
+                   "facet": {"p50_chars": "percentile(n_chars,50)",
+                             "p90_chars": "percentile(n_chars,90)",
+                             "avg_chars": "avg(n_chars)"}}},
+        fx, cfg=cfg, numbers=d.select("doc_id", "n_chars"),
+    )
+    rows = [
+        (b["val"], b["count"], b["p50_chars"], b["p90_chars"], b["avg_chars"])
+        for b in res["langs"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, lang_count long, p50_chars double, "
+        "p90_chars double, avg_chars double",
+    )
+
+
 def _engine_blockjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr {!parent} block join on the REAL engine index: one
     synthesized parent doc per source (marker token 'parentdoc',
@@ -1427,7 +1468,7 @@ _REGISTRY_PRIORITY = [
     "engine_synonym", "engine_rangefacet", "engine_qfacet", "engine_ifacet",
     "engine_geo", "engine_stream", "engine_stream_join", "engine_ltr",
     "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
-    "engine_nodes",
+    "engine_nodes", "engine_pctl",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1503,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_stream_join"] = _engine_stream_join
     out["engine_ltr"] = _engine_ltr
     out["engine_nodes"] = _engine_nodes
+    out["engine_pctl"] = _engine_pctl
     return _apply_registry_order(out)
 
 
@@ -1551,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q73,
         SQL_Q74,
         SQL_Q76,
+        SQL_Q77,
         SQL_Q75,
     )
 
@@ -1602,5 +1645,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_stream"] = SQL_Q73
     out["engine_stream_join"] = SQL_Q74
     out["engine_nodes"] = SQL_Q76
+    out["engine_pctl"] = SQL_Q77
     out["engine_ltr"] = SQL_Q75
     return out

@@ -2919,6 +2919,34 @@ SELECT node, 'l_partkey' AS field, 2 AS level FROM lvl2 ORDER BY node
 """
 
 
+# Solr JSON Facet percentile agg oracle (engine twin: jsonfacet
+# percentile(field,p) — engine_pctl in __spark_entry__.py). Exact
+# linear-interpolated percentile (Spark F.percentile == DuckDB
+# quantile_cont) instead of Solr's t-digest approximation — the
+# deterministic, replayable choice; round-to-4 like sum/avg.
+SQL_Q77 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ('data','query','spark')),
+d AS (
+  SELECT doc_id, lang, n_chars FROM documents JOIN m USING (doc_id)),
+lb AS (
+  SELECT lang, count(*) AS lang_count,
+         round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+         round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+         round(avg(n_chars), 4) AS avg_chars
+  FROM d GROUP BY lang),
+lt AS (
+  SELECT *, row_number() OVER (ORDER BY lang_count DESC, lang ASC) AS lr
+  FROM lb)
+SELECT lang, lang_count, p50_chars, p90_chars, avg_chars
+FROM lt WHERE lr <= 5 ORDER BY lr
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

@@ -576,6 +576,7 @@ def stats_field(
     fq=None,
     exclude_ids=None,
     round_to: int | None = 4,
+    percentiles: list[float] | None = None,
 ) -> DataFrame:
     """Solr StatsComponent (stats.field over a numeric doc value):
     one row (n, min, max, sum, mean, stddev) over ALL docs matching
@@ -584,7 +585,10 @@ def stats_field(
     non-scoring ``fq``. ``values``: (doc_id, value). ``stddev`` is
     the sample standard deviation (Solr's). ``round_to`` rounds the
     float outputs for cross-engine comparison (the module's
-    round-then-compare float discipline); None keeps raw floats."""
+    round-then-compare float discipline); None keeps raw floats.
+    ``percentiles`` adds Solr's stats.percentiles columns (named
+    ``p<pct>``) — EXACT linear-interpolated (F.percentile ==
+    quantile_cont) instead of Solr's t-digest approximation."""
     cfg = cfg or index.cfg
     m = matching_doc_ids(index, query, cfg=cfg, mode=mode, exclude_ids=exclude_ids)
     if fq is not None:
@@ -599,6 +603,15 @@ def stats_field(
     v = values.select("doc_id", "value").withColumn(
         "bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
     )
+    def _pc(p):
+        e = F.percentile("value", F.lit(p / 100.0)).cast("double")
+        if round_to is not None:
+            e = F.round(e, round_to)
+        # rounded at agg time: names like p99.9 contain '.', which
+        # F.col would parse as a struct path
+        return e.alias(f"p{p:g}")
+
+    pcols = [_pc(p) for p in (percentiles or [])]
     agg = m.join(v, on=["bucket", "doc_id"]).agg(
         F.count("value").cast("long").alias("n"),
         F.min("value").alias("min"),
@@ -606,6 +619,7 @@ def stats_field(
         F.sum("value").cast("double").alias("sum"),
         F.avg("value").alias("mean"),
         F.stddev_samp("value").alias("stddev"),
+        *pcols,
     )
     if round_to is not None:
         for c in ("sum", "mean", "stddev"):

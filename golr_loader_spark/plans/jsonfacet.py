@@ -65,25 +65,57 @@ from golr_loader_spark.plans.build_index import InvertedIndex, bucket_of
 from golr_loader_spark.plans.facets import matching_doc_ids
 
 _AGG_RE = re.compile(r"^(sum|avg|min|max|unique)\((\w+)\)$")
+# Solr percentile agg, single-percentile subset: percentile(field, 50).
+# Solr computes these with a t-digest sketch; this engine computes the
+# EXACT linear-interpolated percentile (Spark F.percentile ==
+# SQL quantile_cont), so the result is deterministic and
+# oracle-replayable — at true 100-TB bucket sizes you'd swap the
+# partial back to a mergeable sketch, which this fn-string dispatch
+# isolates to _agg_partial/_merge_agg/_finalize_agg.
+_PCTL_RE = re.compile(r"^percentile\((\w+),(\d+(?:\.\d+)?)\)$")
 
 
 def _parse_aggs(spec: dict) -> tuple[dict[str, tuple[str, str]], dict[str, dict]]:
-    """spec["facet"] → ({agg_name: (fn, field)}, {subfacet_name: spec})."""
+    """spec["facet"] → ({agg_name: (fn, field)}, {subfacet_name: spec}).
+    fn is sum/avg/min/max/unique or 'percentile:<pct>'."""
     aggs: dict[str, tuple[str, str]] = {}
     subs: dict[str, dict] = {}
     for name, sub in (spec.get("facet") or {}).items():
         if isinstance(sub, str):
-            m = _AGG_RE.match(sub.replace(" ", ""))
-            if not m:
+            flat = sub.replace(" ", "")
+            m = _AGG_RE.match(flat)
+            if m:
+                aggs[name] = (m.group(1), m.group(2))
+                continue
+            mp = _PCTL_RE.match(flat)
+            if not mp:
                 raise ValueError(
-                    f"unsupported aggregation {sub!r} (sum/avg/min/max/unique)"
+                    f"unsupported aggregation {sub!r} "
+                    "(sum/avg/min/max/unique/percentile)"
                 )
-            aggs[name] = (m.group(1), m.group(2))
+            aggs[name] = (f"percentile:{mp.group(2)}", mp.group(1))
         elif isinstance(sub, dict):
             subs[name] = sub
         else:
             raise ValueError(f"bad facet entry {name!r}")
     return aggs, subs
+
+
+def _pctl_frac(fn: str) -> float:
+    return float(fn.split(":", 1)[1]) / 100.0
+
+
+def exact_percentile(xs, pct: float):
+    """Exact linear-interpolated percentile of a value sequence —
+    quantile_cont / Spark F.percentile semantics; None on empty.
+    Shared by the serving/sharded stats and facet partial merges."""
+    xs = sorted(xs)
+    if not xs:
+        return None
+    pos = (pct / 100.0) * (len(xs) - 1)
+    lo = int(pos)
+    frac = pos - lo
+    return xs[lo] if frac == 0 else xs[lo] + frac * (xs[lo + 1] - xs[lo])
 
 
 def _agg_exprs(aggs: dict[str, tuple[str, str]]) -> list:
@@ -92,9 +124,12 @@ def _agg_exprs(aggs: dict[str, tuple[str, str]]) -> list:
         if fn == "unique":
             continue  # joined from the facet table, not numbers
         col = F.col(field)
-        e = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](col)
-        if fn == "sum":
-            e = e.cast("double")
+        if fn.startswith("percentile:"):
+            e = F.percentile(col, F.lit(_pctl_frac(fn))).cast("double")
+        else:
+            e = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[fn](col)
+            if fn == "sum":
+                e = e.cast("double")
         out.append(e.alias(name))
     return out
 
@@ -242,7 +277,7 @@ def _bucket_rows(
             v = r[aname]
             if fn == "unique":
                 b[aname] = int(v) if v is not None else 0
-            elif fn in ("sum", "avg"):
+            elif fn in ("sum", "avg") or fn.startswith("percentile:"):
                 b[aname] = _round4(v)
             else:
                 b[aname] = None if v is None else (
@@ -398,7 +433,7 @@ def _range_node(m, fspec: dict, nums) -> dict:
         for aname, (fn, _f) in aggs.items():
             if r is None:
                 b[aname] = None
-            elif fn in ("sum", "avg"):
+            elif fn in ("sum", "avg") or fn.startswith("percentile:"):
                 b[aname] = _round4(r[aname])
             else:
                 b[aname] = r[aname]
@@ -444,7 +479,11 @@ def _attach_terms_subfacet(
     for r in sorted(rows, key=lambda r: r["_r"]):
         b = {"val": r["_cv"], "count": int(r["count"])}
         for aname, (fn, _f) in caggs.items():
-            b[aname] = _round4(r[aname]) if fn in ("sum", "avg") else r[aname]
+            b[aname] = (
+                _round4(r[aname])
+                if fn in ("sum", "avg") or fn.startswith("percentile:")
+                else r[aname]
+            )
         per_parent.setdefault(r["_pv"], []).append(b)
     for b in buckets:
         b[sname] = {"buckets": per_parent.get(b["val"], [])}
@@ -502,6 +541,8 @@ def _merge_agg(fn, a, b):
         return a
     if a is None:
         return b
+    if fn.startswith("percentile:"):
+        return sorted(a + b)  # exact partial = value list; see _PCTL_RE
     if fn == "sum":
         return a + b
     if fn == "avg":
@@ -522,6 +563,8 @@ def _agg_partial(fn, xs):
     xs = [x for x in xs if x is not None]
     if not xs:
         return None
+    if fn.startswith("percentile:"):
+        return sorted(float(x) for x in xs)
     if fn == "sum":
         return float(sum(xs))
     if fn == "avg":
@@ -538,6 +581,8 @@ def _finalize_agg(fn, p):
         return len(p) if p is not None else 0
     if p is None:
         return None
+    if fn.startswith("percentile:"):
+        return _round4(exact_percentile(p, _pctl_frac(fn) * 100.0))
     if fn == "sum":
         return _round4(p)
     if fn == "avg":

@@ -705,20 +705,31 @@ class LocalSearcher:
         return [(t, int(tf[t]), int(dfs.get(t, 0))) for t in sorted(tf)]
 
     def stats_field(
-        self, query: str, field: str, mode: str = "or", fq: str | None = None
+        self,
+        query: str,
+        field: str,
+        mode: str = "or",
+        fq: str | None = None,
+        percentiles: list[float] | None = None,
     ) -> dict:
         """Serving-path StatsComponent (twin of
         ``facets.stats_field``): count/min/max/sum/mean/sample-stddev
         of a STORED numeric field over the match set, floats rounded
-        to 4 (the cross-engine discipline)."""
+        to 4 (the cross-engine discipline). ``percentiles`` adds
+        exact ``p<pct>`` keys (quantile_cont semantics, like the
+        distributed twin)."""
         import statistics
 
+        from golr_loader_spark.plans.jsonfacet import exact_percentile
+
+        pkeys = [f"p{p:g}" for p in (percentiles or [])]
         ids = {int(d) for d in self.matching_ids(query, mode)}
         if fq is not None:
             ids &= self._fq_ids_local(fq)
         empty = {
             "n": 0, "min": None, "max": None,
             "sum": None, "mean": None, "stddev": None,
+            **{k: None for k in pkeys},
         }
         if not ids:
             return empty
@@ -737,6 +748,10 @@ class LocalSearcher:
             "sum": round(float(sum(xs)), 4),
             "mean": round(float(sum(xs)) / len(xs), 4),
             "stddev": round(statistics.stdev(xs), 4) if len(xs) > 1 else None,
+            **{
+                k: round(float(exact_percentile(xs, p)), 4)
+                for k, p in zip(pkeys, percentiles or [])
+            },
         }
 
     def search_boosted(

@@ -656,13 +656,24 @@ class ShardedSearcher:
         return out
 
     def stats_field(
-        self, query: str, field: str, mode: str = "or", fq: str | None = None
+        self,
+        query: str,
+        field: str,
+        mode: str = "or",
+        fq: str | None = None,
+        percentiles: list[float] | None = None,
     ) -> dict:
         """Exact merged StatsComponent: gather the raw field values
         from every shard's match set (each shard only holds its own
         docs) and run the identical reduction — per-shard pre-rounded
-        moments would not merge exactly."""
+        moments would not merge exactly. ``percentiles``: exact over
+        the merged values (Solr merges t-digests; the exact analog is
+        the value multiset)."""
         import statistics
+
+        from golr_loader_spark.plans.jsonfacet import exact_percentile
+
+        pkeys = [f"p{p:g}" for p in (percentiles or [])]
 
         def _one(s):
             ids = {int(d) for d in s.matching_ids(query, mode)}
@@ -682,6 +693,7 @@ class ShardedSearcher:
             return {
                 "n": 0, "min": None, "max": None,
                 "sum": None, "mean": None, "stddev": None,
+                **{k: None for k in pkeys},
             }
         return {
             "n": len(xs),
@@ -690,6 +702,10 @@ class ShardedSearcher:
             "sum": round(float(sum(xs)), 4),
             "mean": round(float(sum(xs)) / len(xs), 4),
             "stddev": round(statistics.stdev(xs), 4) if len(xs) > 1 else None,
+            **{
+                k: round(float(exact_percentile(xs, p)), 4)
+                for k, p in zip(pkeys, percentiles or [])
+            },
         }
 
     def suggest(self, text: str, k: int = 5, **kwargs):

@@ -270,6 +270,12 @@ def test_stats_field_matches_python(spark):
     # empty match set -> n=0 row with null stats
     r3 = stats_field(ix, vals, "zzznope", cfg=cfg).collect()
     assert len(r3) == 1 and r3[0]["n"] == 0
+    # stats.percentiles: exact quantile_cont over xs=[10,20,30,40]
+    r4 = stats_field(
+        ix, vals, "data query", cfg=cfg, percentiles=[25, 50, 99.9]
+    ).collect()[0]
+    assert r4["p25"] == 17.5 and r4["p50"] == 25.0
+    assert r4["p99.9"] == round(30 + 10 * (0.999 * 3 - 2), 4)
 
 
 def test_search_boosted_function_query(spark):

@@ -57,6 +57,8 @@ SPEC = {
             "avg_len": "avg(content_len)",
             "min_len": "min(content_len)",
             "max_len": "max(content_len)",
+            "p50_len": "percentile(content_len,50)",
+            "p90_len": "percentile(content_len, 90)",
             "repos": "unique(repo)",
             "by_repo": {"type": "terms", "field": "repo", "limit": 2},
             "with_scan": {"type": "query", "q": "scan"},
@@ -64,9 +66,25 @@ SPEC = {
     },
     "scanners": {
         "type": "query", "q": "scan",
-        "facet": {"avg_len": "avg(content_len)", "repos": "unique(repo)"},
+        "facet": {
+            "avg_len": "avg(content_len)",
+            "p50_len": "percentile(content_len,50)",
+            "repos": "unique(repo)",
+        },
     },
 }
+
+
+def pctl(xs, p):
+    """Exact linear-interpolated percentile (quantile_cont)."""
+    if not xs:
+        return None
+    xs = sorted(xs)
+    pos = (p / 100.0) * (len(xs) - 1)
+    lo = int(pos)
+    frac = pos - lo
+    v = xs[lo] if frac == 0 else xs[lo] + frac * (xs[lo + 1] - xs[lo])
+    return round(float(v), 4)
 
 
 def brute(raw, mids, ix, cfg, scan_ids):
@@ -88,6 +106,8 @@ def brute(raw, mids, ix, cfg, scan_ids):
             "avg_len": round(sum(lens) / len(lens), 4),
             "min_len": min(lens),
             "max_len": max(lens),
+            "p50_len": pctl(lens, 50),
+            "p90_len": pctl(lens, 90),
             "repos": len(by_repo),
             "by_repo": {
                 "buckets": [
@@ -107,6 +127,7 @@ def brute(raw, mids, ix, cfg, scan_ids):
         "scanners": {
             "count": len(both),
             "avg_len": round(sum(lens2) / len(lens2), 4) if lens2 else None,
+            "p50_len": pctl(lens2, 50),
             "repos": len({raw[d][1] for d in both}),
         },
     }
@@ -169,7 +190,7 @@ def test_contract_errors(spark, cfg, setup):
         json_facet(
             ix, Q,
             {"a": {"type": "terms", "field": "lang",
-                   "facet": {"p": "percentile(content_len,50)"}}},
+                   "facet": {"p": "stddev(content_len)"}}},
             fx, cfg=cfg,
         )
 

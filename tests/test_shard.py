@@ -138,6 +138,9 @@ def test_facets_parity(pair):
     assert ss.stats_field(q, "content_len", fq="util") == ls.stats_field(
         q, "content_len", fq="util"
     )
+    assert ss.stats_field(q, "content_len", percentiles=[50, 95]) == (
+        ls.stats_field(q, "content_len", percentiles=[50, 95])
+    )
     assert ss.suggest("retrn", k=5) == ls.suggest("retrn", k=5)
 
 

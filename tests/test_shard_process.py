@@ -87,6 +87,9 @@ def test_facet_stats_parity(pair):
     }
     assert par.json_facet(q, spec) == seq.json_facet(q, spec)
     assert par.stats_field(q, "content_len") == seq.stats_field(q, "content_len")
+    assert par.stats_field(q, "content_len", percentiles=[50, 95]) == (
+        seq.stats_field(q, "content_len", percentiles=[50, 95])
+    )
     assert par.range_facet_counts(q, "content_len", 100.0) == (
         seq.range_facet_counts(q, "content_len", 100.0)
     )

@@ -199,6 +199,15 @@ def test_serving_stats_field(spark, cfg, tmp_path):
     assert got["n"] == dist["n"] and got["min"] == dist["min"]
     assert got["max"] == dist["max"] and got["sum"] == dist["sum"]
     assert got["mean"] == dist["mean"] and got["stddev"] == dist["stddev"]
+    # percentiles parity: distributed F.percentile vs serving exact
+    dist_p = stats_field(
+        ix, docs.selectExpr("doc_id", "nval AS value"), "data query",
+        cfg=cfg, fq="spark", percentiles=[50, 90],
+    ).collect()[0]
+    got_p = ls.stats_field("data query", "nval", fq="spark", percentiles=[50, 90])
+    assert got_p["p50"] == dist_p["p50"] and got_p["p90"] == dist_p["p90"]
+    # empty match set carries the percentile keys as None
+    assert ls.stats_field("zzznope", "nval", percentiles=[50])["p50"] is None
 
 
 def test_serving_search_after_parity(spark, cfg, tmp_path):
