@@ -1468,7 +1468,7 @@ _REGISTRY_PRIORITY = [
     "engine_synonym", "engine_rangefacet", "engine_qfacet", "engine_ifacet",
     "engine_geo", "engine_stream", "engine_stream_join", "engine_ltr",
     "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
-    "engine_nodes", "engine_pctl",
+    "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",

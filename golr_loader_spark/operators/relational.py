@@ -2689,6 +2689,131 @@ FROM g ORDER BY id
 """
 
 
+def q44_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-doc log ratio
+    of target-domain vs raw-corpus n-gram LM likelihood
+    (textstats.dsir_weights) — the published data-selection pattern;
+    target domain here = the English slice of the corpus."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_target")
+    )
+    return ts.dsir_weights(d)
+
+
+# DSIR oracle: identical unigram+bigram features, identical raw/
+# target count tables and smoothing arithmetic, round-to-6 on the
+# summed log ratio.
+SQL_Q44B = """
+WITH base AS (
+  SELECT doc_id, lower(text) AS txt, CAST(lang = 'en' AS INT) AS t
+  FROM documents
+), tokp AS (
+  SELECT doc_id, t, unnest(string_split(txt, ' ')) AS f,
+         generate_subscripts(string_split(txt, ' '), 1) AS pos
+  FROM base
+), bg AS (
+  SELECT a.doc_id, a.t, a.f || ' ' || b.f AS f
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), fx AS (
+  SELECT doc_id, t, f FROM tokp
+  UNION ALL
+  SELECT doc_id, t, f FROM bg
+), doc_c AS (
+  SELECT doc_id AS id, f, count(*) AS cdoc FROM fx GROUP BY 1, 2
+), raw_c AS (
+  SELECT f, count(*) AS cr FROM fx GROUP BY f
+), tgt_c AS (
+  SELECT f, count(*) AS ct FROM fx WHERE t = 1 GROUP BY f
+), dims AS (
+  SELECT (SELECT sum(cr) FROM raw_c) AS nr,
+         (SELECT count(*) FROM raw_c) AS v,
+         (SELECT count(*) FROM fx WHERE t = 1) AS nt
+)
+SELECT id, CAST(sum(cdoc) AS BIGINT) AS n_feats,
+       round(sum(cdoc * (ln((coalesce(ct, 0) + 0.5) / (nt + 0.5 * v))
+                         - ln((cr + 0.5) / (nr + 0.5 * v)))), 6)
+         AS log_weight
+FROM doc_c JOIN raw_c USING (f) LEFT JOIN tgt_c USING (f), dims
+GROUP BY id ORDER BY id
+"""
+
+
+def q45_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): the BM25 lexical top-50 (q24 arm) fused with the exact
+    cosine top-50 around query vector 0 (q20 arm) by
+    similarity.rrf_fuse — the standard lexical+vector combiner;
+    fusion cost is O(k), independent of corpus size."""
+    lex = q24_bm25_topk(spark, sf).select("doc_id", "rank")
+    e = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    vec = sim.cosine_topk(e, [0], k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return sim.rrf_fuse([lex, vec], top=10).select(
+        F.col("id").alias("doc_id"),
+        F.col("r0").alias("lex_rank"),
+        F.col("r1").alias("vec_rank"),
+        "rrf_score",
+    )
+
+
+# RRF oracle: the SQL_Q24 BM25 CTEs + the SQL_Q20 cosine CTEs (query
+# vector 0, k=50 each), full-outer joined; score = sum of 1/(60+rank)
+# per present arm (binary add, same order as the Spark expression);
+# top-10 by unrounded score desc, doc_id asc; round-to-6 on output.
+SQL_Q45B = f"""
+WITH toks AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl
+  FROM dl),
+qt AS (SELECT * FROM toks WHERE term IN ('data','query','spark')),
+idf AS (
+  SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM qt GROUP BY term),
+contribs AS (
+  SELECT qt.doc_id, qt.term,
+         idf.idf * 2.2 * qt.tf / (qt.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats))) AS contrib
+  FROM qt JOIN idf USING (term) JOIN dl USING (doc_id)),
+lscored AS (
+  SELECT doc_id, round(sum(contrib ORDER BY term), 4) AS score
+  FROM contribs GROUP BY doc_id),
+lranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM lscored),
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT e AS qvec FROM emb WHERE vec_id = 0
+), vscored AS (
+  SELECT emb.vec_id AS doc_id,
+         round({_SQL_DOT.format(a='emb.e', b='q.qvec')} /
+               (sqrt({_SQL_DOT.format(a='emb.e', b='emb.e')}) *
+                sqrt({_SQL_DOT.format(a='q.qvec', b='q.qvec')})), 6) AS cos_sim
+  FROM emb CROSS JOIN q WHERE emb.vec_id <> 0
+), vranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rank
+  FROM vscored),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         l.rank AS lex_rank, v.rank AS vec_rank,
+         coalesce(1.0 / (60 + l.rank), 0.0)
+           + coalesce(1.0 / (60 + v.rank), 0.0) AS s
+  FROM (SELECT * FROM lranked WHERE rank <= 50) l
+  FULL OUTER JOIN (SELECT * FROM vranked WHERE rank <= 50) v
+    ON v.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, round(s, 6) AS rrf_score
+FROM fused ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+
 # Solr facet.query oracle (engine twin: facets.facet_query_counts —
 # engine_qfacet in __spark_entry__.py). q = 'data' OR 'query'; three
 # facet queries counted within the match set: a bare term ('spark'),
@@ -2990,4 +3115,6 @@ QUERIES: dict[str, tuple] = {
     "q41_semdedup": (q41_semdedup, SQL_Q41B),
     "q42_bigram_logprob": (q42_bigram_logprob, SQL_Q42B),
     "q43_gopher_rules": (q43_gopher_rules, SQL_Q43B),
+    "q44_dsir_weights": (q44_dsir_weights, SQL_Q44B),
+    "q45_hybrid_rrf": (q45_hybrid_rrf, SQL_Q45B),
 }

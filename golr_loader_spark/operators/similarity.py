@@ -539,3 +539,52 @@ def semdedup(
         )
         .orderBy("vec_id")
     )
+
+
+def rrf_fuse(
+    arms: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: each arm contributes 1/(k + rank) for
+    the ids it ranked, fused score = the sum, missing arms contribute
+    0. Output: (id, r0..rN arm ranks nullable, rrf_score) — the top
+    rows by (unrounded score desc, id asc), score then rounded.
+
+    Plan shape: each arm is already a bounded top-k list, so the
+    fusion is a chain of equi full-outer joins over ≤ Σ k_arm rows —
+    broadcast-sized at any corpus scale (fusion cost is a function of
+    k, not of the corpus) — followed by orderBy + limit (TakeOrdered,
+    no partitionless window)."""
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one ranked arm")
+    named = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(rank_col).cast("long").alias(f"r{i}"),
+        )
+        for i, df in enumerate(arms)
+    ]
+    fused = named[0]
+    for nxt in named[1:]:
+        fused = fused.join(nxt, on="id", how="full_outer")
+    score = None
+    for i in range(len(arms)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("_s", score)
+        .orderBy(F.desc("_s"), F.asc("id"))
+        .limit(top)
+        .select(
+            "id",
+            *[f"r{i}" for i in range(len(arms))],
+            F.round(F.col("_s"), round_to).alias("rrf_score"),
+        )
+    )

@@ -420,6 +420,85 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every document by the log ratio of
+    its likelihood under a TARGET-domain n-gram LM vs the RAW-corpus
+    LM, log w(x) = Σ_f c_x(f)·[ln p_tgt(f) − ln p_raw(f)] — then
+    resample the corpus by weight (the deterministic-hash sampler
+    q39 uses composes downstream). Features are unigrams + bigrams
+    with additive smoothing over the raw vocabulary:
+
+        p(f) = (C(f) + alpha) / (N + alpha · V)
+
+    with V = distinct raw features, N = that corpus's feature total.
+    The paper hashes features into B buckets to bound memory; here
+    the feature space is the corpus n-gram vocabulary itself so the
+    whole pass stays exactly SQL-replayable — at true 100-TB scale
+    swap the feature key for ``xxhash64(f) % B`` (one expression; the
+    plan shape is unchanged and the count tables shrink to B rows).
+
+    Output: (id, n_feats, log_weight), HIGHER = more target-like.
+    Plan shape: bigrams from one zip_with (no self-join); two
+    map-side-combinable count tables (raw, target); scoring is two
+    equi-joins on the feature key + one groupBy(doc) — hash shuffles
+    only, target/raw totals ride a broadcast one-row dimension."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigr = F.zip_with(heads, tails, lambda a, b: F.concat_ws(" ", a, b))
+    feats = F.concat(toks, bigr)
+    fx = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("int").alias("t"),
+        F.explode(feats).alias("f"),
+    )
+    doc_c = fx.groupBy("id", "f").agg(F.count("*").alias("cdoc"))
+    raw_c = fx.groupBy("f").agg(F.count("*").alias("cr"))
+    tgt_c = (
+        fx.filter(F.col("t") == 1).groupBy("f").agg(F.count("*").alias("ct"))
+    )
+    dims = raw_c.agg(
+        F.sum("cr").alias("nr"), F.count("*").alias("v")
+    ).crossJoin(
+        fx.filter(F.col("t") == 1).agg(F.count("*").alias("nt"))
+    )
+    scored = (
+        doc_c.join(raw_c, on="f")
+        .join(tgt_c, on="f", how="left")
+        .crossJoin(F.broadcast(dims))  # one-row dimension
+        .withColumn(
+            "term",
+            F.col("cdoc")
+            * (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("nt") + F.lit(alpha) * F.col("v"))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(alpha))
+                    / (F.col("nr") + F.lit(alpha) * F.col("v"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("cdoc").cast("long").alias("n_feats"),
+            F.round(F.sum("term"), round_to).alias("log_weight"),
+        )
+        .orderBy("id")
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
