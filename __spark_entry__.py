@@ -1382,6 +1382,35 @@ def _engine_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("node")
 
 
+def _engine_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr timeseries() streaming expression (stream_expr): 30
+    one-day buckets over events.ts with count(*) + sum(value) —
+    one map-side-combinable groupBy on the bucket ordinal joined to a
+    request-bounded range grid; empty buckets emitted with count 0.
+    SQL_Q78 is the DuckDB twin (sum post-rounded to 4)."""
+    from golr_loader_spark.plans.stream_expr import (
+        StreamCollection,
+        StreamContext,
+        compile_stream,
+    )
+
+    _tune(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "doc_id", F.col("event_id")
+    )
+    out = compile_stream(
+        'timeseries(events, q="*:*", field="ts",'
+        ' start="2024-01-01T00:00:00Z", end="2024-01-31T00:00:00Z",'
+        ' gap="+1DAY", count(*), sum(value))',
+        StreamContext({"events": StreamCollection(None, ev)}),
+    )
+    return out.select(
+        "dt",
+        F.col("`count(*)`").alias("n_events"),
+        F.round(F.col("`sum(value)`"), 4).alias("sum_value"),
+    )
+
+
 def _engine_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr LTR (plans.ltr): top-15 BM25 block rescored by a
     LinearModel over four stock feature kinds (original score, a
@@ -1469,6 +1498,7 @@ _REGISTRY_PRIORITY = [
     "engine_geo", "engine_stream", "engine_stream_join", "engine_ltr",
     "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
     "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
+    "engine_timeseries",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1545,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_ltr"] = _engine_ltr
     out["engine_nodes"] = _engine_nodes
     out["engine_pctl"] = _engine_pctl
+    out["engine_timeseries"] = _engine_timeseries
     return _apply_registry_order(out)
 
 
@@ -1594,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q74,
         SQL_Q76,
         SQL_Q77,
+        SQL_Q78,
         SQL_Q75,
     )
 
@@ -1646,5 +1678,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_stream_join"] = SQL_Q74
     out["engine_nodes"] = SQL_Q76
     out["engine_pctl"] = SQL_Q77
+    out["engine_timeseries"] = SQL_Q78
     out["engine_ltr"] = SQL_Q75
     return out

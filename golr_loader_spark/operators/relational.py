@@ -3072,6 +3072,31 @@ FROM lt WHERE lr <= 5 ORDER BY lr
 """
 
 
+# Solr timeseries() streaming-expression oracle (engine twin:
+# stream_expr._c_timeseries — engine_timeseries in __spark_entry__
+# .py): 30 one-day buckets over events.ts, count + sum(value); every
+# bucket in range order, empty buckets count 0; epoch arithmetic
+# replayed (1704067200 = 2024-01-01T00:00:00Z), make_timestamp keeps
+# the label formatting timezone-free.
+SQL_Q78 = """
+WITH g AS (
+  SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 29) AS t(i)
+), b AS (
+  SELECT CAST(floor((epoch(ts) - 1704067200) / 86400) AS BIGINT) AS i,
+         value
+  FROM events
+  WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1704067200 + 30 * 86400
+), a AS (
+  SELECT i, count(*) AS n, sum(value) AS sv FROM b GROUP BY i
+)
+SELECT strftime(make_timestamp((1704067200 + g.i * 86400) * 1000000),
+                '%Y-%m-%dT%H:%M:%SZ') AS dt,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+       round(a.sv, 4) AS sum_value
+FROM g LEFT JOIN a ON a.i = g.i ORDER BY g.i
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

@@ -49,6 +49,7 @@ composed expression is ONE lazy plan Catalyst optimizes whole.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -513,6 +514,73 @@ def _c_fetch(e: Expr, ctx: StreamContext) -> DataFrame:
     return df.join(stored, on=stream_key, how="left")
 
 
+_TS_GAP_RE = re.compile(r"^\+(\d+)(SECOND|MINUTE|HOUR|DAY)S?$")
+_GAP_SECS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``timeseries(coll, q=, field=, start=, end=, gap=,
+    metrics…)`` source: fixed-gap date buckets over the match set
+    with per-bucket metrics; EVERY bucket in [start, end) is emitted
+    in range order, empty ones with count 0 / null metrics (the Solr
+    contract). Gap subset: fixed-width ``+N SECOND/MINUTE/HOUR/DAY``
+    date math — calendar-variable MONTH/YEAR gaps are not fixed-width
+    and are rejected. Output: (dt ISO-8601 bucket start, metrics…).
+
+    Plan shape: ONE groupBy on the bucket ordinal (floor((epoch-
+    start)/gap) — map-side combinable), left-joined to a
+    spark.range(n_buckets) grid (bucket count bounded by the REQUEST,
+    never by the data); no collect, no window."""
+    from datetime import datetime
+
+    coll = ctx.collection(e.args[0] if e.args else None)
+    field = e.kwargs.get("field")
+    gap = e.kwargs.get("gap", "")
+    if not field or "start" not in e.kwargs or "end" not in e.kwargs:
+        raise ValueError("timeseries needs field=, start=, end=, gap=")
+    m = _TS_GAP_RE.match(gap.replace(" ", ""))
+    if not m:
+        raise ValueError(
+            f"unsupported gap {gap!r} (+N SECOND/MINUTE/HOUR/DAY)"
+        )
+    secs = int(m.group(1)) * _GAP_SECS[m.group(2)]
+
+    def _epoch(s: str) -> float:
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+
+    start, end = _epoch(e.kwargs["start"]), _epoch(e.kwargs["end"])
+    if end <= start:
+        raise ValueError("timeseries end must be after start")
+    nb = int(-(-(end - start) // secs))
+    metrics = [a for a in e.args[1:] if isinstance(a, Expr)]
+    mexprs = [_metric_col(mtr) for mtr in metrics] or [
+        F.count("*").cast("long").alias("count(*)")
+    ]
+    mfields = sorted(
+        {mtr.args[0] for mtr in metrics if mtr.args and isinstance(mtr.args[0], str)}
+    )
+    ids = _match_ids(coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"))
+    rows = _stored_join(coll, ids, ["doc_id", field, *mfields])
+    ep = F.col(field).cast("timestamp_ltz").cast("double")
+    binned = rows.withColumn(
+        "_i", F.floor((ep - F.lit(start)) / F.lit(float(secs))).cast("long")
+    ).filter((F.col("_i") >= 0) & (F.col("_i") < nb))
+    aggd = binned.groupBy("_i").agg(*mexprs)
+    grid = rows.sparkSession.range(nb).select(F.col("id").alias("_i"))
+    out = grid.join(aggd, on="_i", how="left")
+    # counts are 0 for empty buckets (Solr); other metrics stay null
+    fixed = [
+        F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("long").alias(c)
+        if c.startswith("count(") else F.col(f"`{c}`")
+        for c in out.columns if c != "_i"
+    ]
+    label = F.date_format(
+        (F.lit(start) + F.col("_i") * F.lit(float(secs))).cast("timestamp_ltz"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    return out.orderBy("_i").select(label.alias("dt"), *fixed)
+
+
 def _nodes_depth(e) -> int:
     """Structural traversal level of a nodes() node: 1 + the depth of
     its child stream (Solr assigns level by gatherNodes nesting)."""
@@ -591,6 +659,22 @@ def _c_nodes(e: Expr, ctx: StreamContext) -> DataFrame:
     return branches.unionByName(leaves)
 
 
+def _c_parallel(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``parallel(coll, expr, workers=, sort=)``: route the inner
+    expression to N workers and merge by sort. Spark's answer is the
+    partitioning itself — the compiled child plan already executes
+    data-parallel across executors — so parallel() compiles to its
+    child (plus the merge sort when given): the workers= hint is
+    honored by the cluster scheduler, not re-implemented above it."""
+    child = next((a for a in e.args if isinstance(a, Expr)), None)
+    if child is None:
+        raise ValueError("parallel(collection, <stream>, ...) needs a child")
+    df = compile_stream(child, ctx)
+    if "sort" in e.kwargs:
+        df = df.orderBy(*_sort_cols(df, e.kwargs["sort"]))
+    return df
+
+
 _COMPILERS = {
     "search": _c_search,
     "stats": _c_stats,
@@ -610,6 +694,8 @@ _COMPILERS = {
     "fetch": _c_fetch,
     "nodes": _c_nodes,
     "gatherNodes": _c_nodes,
+    "timeseries": _c_timeseries,
+    "parallel": _c_parallel,
 }
 
 

@@ -194,3 +194,75 @@ def test_unknown_operator_and_collection(ctx):
         compile_stream('bogus(search(docs, q="x"))', ctx)
     with pytest.raises(ValueError):
         compile_stream('search(nope, q="x")', ctx)
+
+
+# -------------------------------------------------- timeseries source
+
+@pytest.fixture(scope="module")
+def tsctx(spark):
+    # days 1,1,2,4 of Jan 2024 → bucket 3 (Jan 3) is empty
+    rows_ = [
+        (0, "2024-01-01 06:00:00", 10.0),
+        (1, "2024-01-01 18:30:00", 20.0),
+        (2, "2024-01-02 00:00:00", 5.0),
+        (3, "2024-01-04 23:59:59", 7.5),
+        (4, "2024-01-05 00:00:00", 99.0),  # == end, excluded
+        (5, "2023-12-31 23:59:59", 99.0),  # < start, excluded
+    ]
+    ev = spark.createDataFrame(rows_, "doc_id long, ts string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    return StreamContext({"events": StreamCollection(None, ev)})
+
+
+def test_timeseries_day_buckets(tsctx):
+    got = rows(compile_stream(
+        'timeseries(events, q="*:*", field="ts",'
+        ' start="2024-01-01T00:00:00Z", end="2024-01-05T00:00:00Z",'
+        ' gap="+1DAY", count(*), sum(value))',
+        tsctx,
+    ))
+    # EVERY bucket in [start,end) in range order; empty day-3 count 0
+    assert [r[0] for r in got] == [
+        "2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z",
+        "2024-01-03T00:00:00Z", "2024-01-04T00:00:00Z",
+    ]
+    assert [r[1] for r in got] == [2, 1, 0, 1]
+    assert got[0][2] == 30.0 and got[2][2] is None and got[3][2] == 7.5
+
+
+def test_timeseries_hour_gap_and_default_metric(tsctx):
+    got = rows(compile_stream(
+        'timeseries(events, q="*:*", field="ts",'
+        ' start="2024-01-01T00:00:00Z", end="2024-01-01T12:00:00Z",'
+        ' gap="+6HOURS")',
+        tsctx,
+    ))
+    assert len(got) == 2
+    # 06:00 lands exactly on bucket-1's start; 18:30 is out of range
+    assert [r[1] for r in got] == [0, 1]
+
+
+def test_timeseries_rejects_bad_args(tsctx):
+    with pytest.raises(ValueError):
+        compile_stream(
+            'timeseries(events, field="ts", start="2024-01-01T00:00:00Z",'
+            ' end="2024-01-02T00:00:00Z", gap="+1MONTH")', tsctx)
+    with pytest.raises(ValueError):
+        compile_stream(
+            'timeseries(events, field="ts", start="2024-01-02T00:00:00Z",'
+            ' end="2024-01-01T00:00:00Z", gap="+1DAY")', tsctx)
+    with pytest.raises(ValueError):
+        compile_stream('timeseries(events, gap="+1DAY")', tsctx)
+
+
+# ----------------------------------------------------- parallel hint
+
+def test_parallel_compiles_to_sorted_child(ctx):
+    got = rows(compile_stream(
+        'parallel(docs, search(docs, q="data", fl="doc_id,lang",'
+        ' sort="doc_id asc"), workers=4, sort="doc_id desc")',
+        ctx,
+    ))
+    assert [r[0] for r in got] == [4, 2, 1, 0]
+    with pytest.raises(ValueError):
+        compile_stream('parallel(docs, workers=4)', ctx)
