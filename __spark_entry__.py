@@ -1411,6 +1411,25 @@ def _engine_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Parallel SQL (/sql — plans.sql_handler): the SQL text is
+    planned as a streaming expression (Solr's Calcite step) and
+    compiled to ONE Catalyst plan: indexed equality pushes into the
+    search q, the numeric predicate becomes a pre-rollup evaluator,
+    GROUP BY is one map-side-combinable rollup, HAVING/aliases/ORDER
+    BY/LIMIT ride having/select/top. SQL_Q79 is the DuckDB twin."""
+    from golr_loader_spark.plans.sql_handler import search_sql
+
+    return search_sql(
+        "SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,"
+        " max(n_chars) AS max_chars FROM documents"
+        " WHERE text = 'data query' AND n_chars > 200"
+        " GROUP BY lang, source HAVING count(*) > 2"
+        " ORDER BY n_docs DESC, lang ASC, source ASC LIMIT 25",
+        _stream_ctx(spark, sf_dir),
+    )
+
+
 def _engine_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr LTR (plans.ltr): top-15 BM25 block rescored by a
     LinearModel over four stock feature kinds (original score, a
@@ -1498,7 +1517,7 @@ _REGISTRY_PRIORITY = [
     "engine_geo", "engine_stream", "engine_stream_join", "engine_ltr",
     "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
     "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
-    "engine_timeseries",
+    "engine_timeseries", "engine_sql",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1576,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_nodes"] = _engine_nodes
     out["engine_pctl"] = _engine_pctl
     out["engine_timeseries"] = _engine_timeseries
+    out["engine_sql"] = _engine_sql
     return _apply_registry_order(out)
 
 
@@ -1626,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q76,
         SQL_Q77,
         SQL_Q78,
+        SQL_Q79,
         SQL_Q75,
     )
 
@@ -1679,5 +1700,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_nodes"] = SQL_Q76
     out["engine_pctl"] = SQL_Q77
     out["engine_timeseries"] = SQL_Q78
+    out["engine_sql"] = SQL_Q79
     out["engine_ltr"] = SQL_Q75
     return out

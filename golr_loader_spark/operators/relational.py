@@ -3097,6 +3097,30 @@ FROM g LEFT JOIN a ON a.i = g.i ORDER BY g.i
 """
 
 
+# Solr Parallel SQL oracle (engine twin: plans.sql_handler /
+# engine_sql in __spark_entry__.py): the handler's SQL replayed
+# directly — WHERE text = 'data query' is the default-OR fielded
+# match (term IN (data, query) after the simple-analyzer lowercase
+# split), the rest is the same relational algebra DuckDB runs native.
+SQL_Q79 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data', 'query')
+), j AS (
+  SELECT d.lang, d.source, d.n_chars
+  FROM documents d JOIN matched USING (doc_id)
+  WHERE d.n_chars > 200
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) AS sum_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM j GROUP BY lang, source HAVING count(*) > 2
+ORDER BY n_docs DESC, lang ASC, source ASC LIMIT 25
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),
