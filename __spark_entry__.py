@@ -1411,6 +1411,45 @@ def _engine_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_spath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr shortestPath() graph traversal (/graph — stream_expr
+    ._c_shortest_path): BFS over a customer→order→part→supplier edge
+    collection (each row one edge), all minimum-length C1→S1 paths.
+    Per level ONE frontier×edges equi-join + ONE visited anti-join;
+    level count bounded by maxDepth. SQL_Q80 is the DuckDB twin (a
+    recursive CTE over the same edge union — all simple paths at the
+    minimum depth are exactly BFS's shortest paths)."""
+    from golr_loader_spark.plans.stream_expr import (
+        StreamCollection,
+        StreamContext,
+        compile_stream,
+    )
+
+    _tune(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        orders.select(
+            F.concat(F.lit("C"), "o_custkey").alias("src"),
+            F.concat(F.lit("O"), "o_orderkey").alias("dst"),
+        )
+        .unionByName(li.select(
+            F.concat(F.lit("O"), "l_orderkey").alias("src"),
+            F.concat(F.lit("P"), "l_partkey").alias("dst"),
+        ))
+        .unionByName(li.select(
+            F.concat(F.lit("P"), "l_partkey").alias("src"),
+            F.concat(F.lit("S"), "l_suppkey").alias("dst"),
+        ))
+    )
+    out = compile_stream(
+        'shortestPath(edges, from="C1", to="S1", edge="src=dst",'
+        ' maxDepth="4")',
+        StreamContext({"edges": StreamCollection(None, edges)}),
+    )
+    return out.select(F.concat_ws("->", "path").alias("path")).orderBy("path")
+
+
 def _engine_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr Parallel SQL (/sql — plans.sql_handler): the SQL text is
     planned as a streaming expression (Solr's Calcite step) and
@@ -1517,7 +1556,7 @@ _REGISTRY_PRIORITY = [
     "engine_geo", "engine_stream", "engine_stream_join", "engine_ltr",
     "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
     "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
-    "engine_timeseries", "engine_sql",
+    "engine_timeseries", "engine_sql", "engine_spath",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1596,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_pctl"] = _engine_pctl
     out["engine_timeseries"] = _engine_timeseries
     out["engine_sql"] = _engine_sql
+    out["engine_spath"] = _engine_spath
     return _apply_registry_order(out)
 
 
@@ -1647,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q77,
         SQL_Q78,
         SQL_Q79,
+        SQL_Q80,
         SQL_Q75,
     )
 
@@ -1701,5 +1742,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_pctl"] = SQL_Q77
     out["engine_timeseries"] = SQL_Q78
     out["engine_sql"] = SQL_Q79
+    out["engine_spath"] = SQL_Q80
     out["engine_ltr"] = SQL_Q75
     return out

@@ -3121,6 +3121,33 @@ ORDER BY n_docs DESC, lang ASC, source ASC LIMIT 25
 """
 
 
+# Solr shortestPath() oracle (engine twin: stream_expr
+# ._c_shortest_path / engine_spath): all simple paths from C1 capped
+# at depth 4 via a recursive CTE over the same edge union, then keep
+# exactly the minimum-depth paths to S1 — identical to BFS shortest
+# paths (a shortest path never revisits a node, so visited-pruning
+# changes nothing at the minimum depth).
+SQL_Q80 = """
+WITH RECURSIVE e AS (
+  SELECT 'C' || o_custkey AS src, 'O' || o_orderkey AS dst FROM orders
+  UNION SELECT 'O' || l_orderkey, 'P' || l_partkey FROM lineitem
+  UNION SELECT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+), walk AS (
+  SELECT 'C1' AS node, 'C1' AS path, 0 AS depth
+  UNION ALL
+  SELECT e.dst, w.path || '->' || e.dst, w.depth + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.depth < 4 AND w.node <> 'S1'
+    AND NOT contains('->' || w.path || '->', '->' || e.dst || '->')
+), hit AS (
+  SELECT path, depth FROM walk WHERE node = 'S1'
+)
+SELECT DISTINCT path FROM hit
+WHERE depth = (SELECT min(depth) FROM hit)
+ORDER BY path
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),

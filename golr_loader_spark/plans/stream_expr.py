@@ -581,6 +581,85 @@ def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
     return out.orderBy("_i").select(label.alias("dt"), *fixed)
 
 
+def _c_cartesian_product(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``cartesianProduct(stream, field, productSort=)``: one
+    output tuple per element of the multivalued ``field`` (the
+    single-field cartesian product) — Catalyst's explode, keeping the
+    exploded value under the same field name. Zero-shuffle unless
+    productSort asks for an order."""
+    df = compile_stream(e.args[0], ctx)
+    fields = [a for a in e.args[1:] if isinstance(a, str)]
+    if len(fields) != 1:
+        raise ValueError("cartesianProduct(stream, field) takes one field")
+    (fname,) = fields
+    others = [c for c in df.columns if c != fname]
+    out = df.select(*others, F.explode(fname).alias(fname)).select(*df.columns)
+    if "productSort" in e.kwargs:
+        out = out.orderBy(*_sort_cols(out, e.kwargs["productSort"]))
+    return out
+
+
+def _c_shortest_path(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``shortestPath(coll, from=, to=, edge="srcField=dstField",
+    maxDepth=)`` (/graph): breadth-first search over the edge
+    collection (every document IS one edge), returning ALL paths of
+    the minimum length from ``from`` to ``to`` as array<string>
+    ``path`` tuples — the Solr contract. ``threads=``/
+    ``partitionSize=`` are accepted and ignored: Spark's partitioning
+    IS the parallel traversal.
+
+    Plan shape: classic iterative frontier BFS — per level ONE
+    equi-join frontier×edges plus ONE anti-join against the visited
+    set, lineage cut with localCheckpoint (the bfs_closure pattern,
+    operators/closures.py). Level count is bounded by the REQUEST's
+    maxDepth, never by the data; visited-set pruning keeps the
+    frontier from re-expanding earlier levels, which is exactly what
+    makes BFS yield shortest paths."""
+    coll = ctx.collection(e.args[0] if e.args else None)
+    src, dst = e.kwargs.get("from"), e.kwargs.get("to")
+    if not src or not dst or "edge" not in e.kwargs:
+        raise ValueError("shortestPath needs from=, to=, edge=")
+    max_depth = int(e.kwargs.get("maxDepth", 4))
+    (pair,) = _on_pairs(e.kwargs["edge"])
+    fr_f, to_f = pair
+    spark = coll.documents.sparkSession
+    if src == dst:
+        return spark.createDataFrame([([src],)], "path array<string>")
+
+    edges = (
+        coll.documents.select(
+            F.col(fr_f).cast("string").alias("_src"),
+            F.col(to_f).cast("string").alias("_dst"),
+        )
+        .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+        .distinct()
+    )
+    frontier = spark.createDataFrame(
+        [(src, [src])], "node string, path array<string>"
+    )
+    visited = frontier.select("node")
+    empty = spark.createDataFrame([], "path array<string>")
+    for _ in range(max_depth):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.concat("path", F.array("_dst")).alias("path"),
+            )
+            .join(visited, on="node", how="left_anti")
+            .distinct()
+            .localCheckpoint()
+        )
+        hits = nxt.filter(F.col("node") == dst)
+        if hits.limit(1).count() > 0:
+            return hits.select("path")
+        if nxt.limit(1).count() == 0:
+            return empty
+        visited = visited.union(nxt.select("node").distinct()).localCheckpoint()
+        frontier = nxt
+    return empty
+
+
 def _nodes_depth(e) -> int:
     """Structural traversal level of a nodes() node: 1 + the depth of
     its child stream (Solr assigns level by gatherNodes nesting)."""
@@ -696,6 +775,8 @@ _COMPILERS = {
     "gatherNodes": _c_nodes,
     "timeseries": _c_timeseries,
     "parallel": _c_parallel,
+    "shortestPath": _c_shortest_path,
+    "cartesianProduct": _c_cartesian_product,
 }
 
 

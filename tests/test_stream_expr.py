@@ -266,3 +266,63 @@ def test_parallel_compiles_to_sorted_child(ctx):
     assert [r[0] for r in got] == [4, 2, 1, 0]
     with pytest.raises(ValueError):
         compile_stream('parallel(docs, workers=4)', ctx)
+
+
+# ------------------------------------------------------ shortestPath
+
+@pytest.fixture(scope="module")
+def spctx(spark):
+    # a->b->d->z (len 3), a->c->z (len 2), a->e (dead end), cycle b->a
+    edge_rows = [
+        ("a", "b"), ("b", "d"), ("d", "z"), ("a", "c"), ("c", "z"),
+        ("a", "e"), ("b", "a"), ("c", "f"), ("f", "z"),
+    ]
+    ev = spark.createDataFrame(edge_rows, "src string, dst string")
+    return StreamContext({"edges": StreamCollection(None, ev)})
+
+
+def test_shortest_path_min_depth_all_paths(spctx):
+    got = rows(compile_stream(
+        'shortestPath(edges, from="a", to="z", edge="src=dst",'
+        ' maxDepth="4", threads="6")',
+        spctx,
+    ))
+    # only the length-2 path survives; a->b->d->z and a->c->f->z are
+    # longer, so BFS never reports them
+    assert sorted(tuple(p[0]) for p in got) == [("a", "c", "z")]
+
+
+def test_shortest_path_unreachable_and_self(spctx):
+    assert rows(compile_stream(
+        'shortestPath(edges, from="z", to="a", edge="src=dst", maxDepth="3")',
+        spctx,
+    )) == []
+    got = rows(compile_stream(
+        'shortestPath(edges, from="a", to="a", edge="src=dst", maxDepth="3")',
+        spctx,
+    ))
+    assert [tuple(p[0]) for p in got] == [("a",)]
+    with pytest.raises(ValueError):
+        compile_stream('shortestPath(edges, from="a", to="z")', spctx)
+
+
+def test_shortest_path_depth_cap(spctx):
+    # maxDepth=1 cannot reach z
+    assert rows(compile_stream(
+        'shortestPath(edges, from="a", to="z", edge="src=dst", maxDepth="1")',
+        spctx,
+    )) == []
+
+
+# -------------------------------------------------- cartesianProduct
+
+def test_cartesian_product_explodes(spark):
+    mv = spark.createDataFrame(
+        [(0, ["x", "y"]), (1, ["z"])], "doc_id long, tags array<string>"
+    )
+    got = rows(compile_stream(
+        'cartesianProduct(search(mvsrc, q="*:*", fl="doc_id,tags"),'
+        ' tags, productSort="tags desc")',
+        StreamContext({"mvsrc": StreamCollection(None, mv)}),
+    ))
+    assert got == [(1, "z"), (0, "y"), (0, "x")]
