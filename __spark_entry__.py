@@ -1557,6 +1557,7 @@ _REGISTRY_PRIORITY = [
     "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
     "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
     "engine_timeseries", "engine_sql", "engine_spath",
+    "q46_ccnet_buckets",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",

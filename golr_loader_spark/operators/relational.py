@@ -3148,6 +3148,53 @@ ORDER BY path
 """
 
 
+def q46_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): exact
+    per-language quality thirds via ONE groupBy(lang, quality) count
+    + a cumulative window over the tiny distinct-value table +
+    broadcast map-side assignment (textstats.ccnet_buckets) — never a
+    per-document window, integer rank cutoffs instead of float
+    percentile interpolation."""
+    d = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    return ts.ccnet_buckets(d, "doc_id", "text", "lang").orderBy("id")
+
+
+
+# CCNet bucketing oracle (engine twin: textstats.ccnet_buckets /
+# q46_ccnet_buckets): same quality formula as SQL_Q21, same integer
+# rank arithmetic — a distinct score value's first document rank vs
+# floor(n/3) / floor(2n/3) decides the whole tie group's bucket.
+SQL_Q46 = f"""
+WITH base AS (
+  SELECT doc_id AS id, text, lang, string_split(lower(text), ' ') AS toks
+  FROM documents
+), feat AS (
+  SELECT id, lang,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(toks) AS sr,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS ar,
+         CASE WHEN length(text) >= 100 AND length(text) <= 4000 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM base
+), q AS (
+  SELECT id, lang, round(0.5 * sr + 0.3 * ar + 0.2 * len_ok, 6) AS quality FROM feat
+), v AS (
+  SELECT lang, quality, count(*) AS cnt FROM q GROUP BY lang, quality
+), r AS (
+  SELECT lang, quality,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY quality) - cnt AS start,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM v
+), b AS (
+  SELECT lang, quality,
+         CASE WHEN start < floor(n / 3) THEN 'tail'
+              WHEN start < floor(2 * n / 3) THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM r
+)
+SELECT q.id, q.lang, q.quality, b.bucket
+FROM q JOIN b USING (lang, quality) ORDER BY q.id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),
@@ -3193,4 +3240,5 @@ QUERIES: dict[str, tuple] = {
     "q43_gopher_rules": (q43_gopher_rules, SQL_Q43B),
     "q44_dsir_weights": (q44_dsir_weights, SQL_Q44B),
     "q45_hybrid_rrf": (q45_hybrid_rrf, SQL_Q45B),
+    "q46_ccnet_buckets": (q46_ccnet_buckets, SQL_Q46),
 }

@@ -564,3 +564,55 @@ def bigram_logprob(
         )
         .orderBy("id")
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020):
+    rank documents by the heuristic quality score WITHIN each
+    language and split the per-language distribution into thirds —
+     'head' is the best-scoring third, 'tail' the worst. CCNet does
+    this with per-language perplexity-percentile cutoffs; the engine
+    uses the same structure over ``quality_score``.
+
+    100-TB plan shape — an EXACT distributed percentile with no
+    per-document window: (1) ONE map-side-combinable
+    groupBy(lang, quality) count — the heavy pass touches each doc
+    once; (2) a cumulative window over the tiny DISTINCT-value table
+    (|langs| × |distinct 6-dp scores|, thousands of rows at any
+    corpus size, never O(docs)); (3) bucket cutoffs derive from
+    integer rank arithmetic (a value's first document's 0-based rank
+    vs floor(n/3), floor(2n/3) — all ties land in one bucket, the
+    CCNet value-cutoff behavior, and nothing depends on float
+    interpolation); (4) the per-value bucket table joins back
+    broadcast, so assignment is map-side. Deterministic and
+    SQL-replayable end to end.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(df, id_col, text_col).select(
+        "id", "quality"
+    ).join(
+        df.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang")),
+        on="id",
+    )
+    by_val = q.groupBy("lang", "quality").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("quality")
+    ranked = by_val.withColumn(
+        "start", F.sum("cnt").over(w) - F.col("cnt")
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("lang")))
+    buckets = ranked.select(
+        "lang",
+        "quality",
+        F.when(F.col("start") < F.floor(F.col("n") / 3), F.lit("tail"))
+        .when(F.col("start") < F.floor(2 * F.col("n") / 3), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+    return q.join(F.broadcast(buckets), on=["lang", "quality"]).select(
+        "id", "lang", "quality", "bucket"
+    )

@@ -161,3 +161,54 @@ def test_significant_terms_lift_model(spark):
     got2 = {r["term"] for r in significant_terms(
         df, fg, "doc_id", "text", min_fg=2, exclude=["alpha"]).collect()}
     assert "alpha" not in got2 and "beta" in got2
+
+
+def test_ccnet_buckets_thirds_and_tie_groups(spark):
+    from golr_loader_spark.operators.textstats import ccnet_buckets
+
+    # 9 docs in one language with 3 distinct quality levels (text
+    # length drives alpha/stopword ratios identically within a group)
+    rows = []
+    for i in range(3):
+        rows.append((i, "the and of to in is it for on", "en"))        # high stopword
+    for i in range(3, 6):
+        rows.append((i, "xyzzy qwerty plugh foobar barbaz", "en"))     # no stopwords
+    for i in range(6, 9):
+        rows.append((i, "the 123 456 789 000 111 222 333", "en"))      # mixed
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["id"]: r for r in ccnet_buckets(df, "doc_id", "text", "lang").collect()}
+    assert len(got) == 9
+    # each distinct quality value is a tie group → lands in ONE bucket
+    by_q = {}
+    for r in got.values():
+        by_q.setdefault(r["quality"], set()).add(r["bucket"])
+    assert all(len(b) == 1 for b in by_q.values())
+    # thirds: with 3 values × 3 docs, each value is its own bucket,
+    # ordered worst→tail, best→head
+    qs = sorted(by_q)
+    assert by_q[qs[0]] == {"tail"}
+    assert by_q[qs[1]] == {"middle"}
+    assert by_q[qs[2]] == {"head"}
+
+
+def test_ccnet_buckets_per_language_independence(spark):
+    from golr_loader_spark.operators.textstats import ccnet_buckets
+
+    # same quality value can be head in one language, tail in another
+    rows = [
+        (0, "the and of to in", "en"),          # best in en
+        (1, "xx yy zz ww vv", "en"),
+        (2, "aa bb cc dd ee", "en"),
+        (3, "the and of to in", "fr"),          # worst tie? no — best in fr too
+        (4, "the the the the the and and of to in", "fr"),
+        (5, "the and of to in is it for on with", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(df, "doc_id", "text", "lang").collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {"en", "fr"}
+    # every language gets a full partitioning of its docs
+    for lang in langs:
+        docs = [r for r in out if r["lang"] == lang]
+        assert len(docs) == 3
+        assert {r["bucket"] for r in docs} <= {"head", "middle", "tail"}
