@@ -1450,6 +1450,38 @@ def _engine_spath(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.concat_ws("->", "path").alias("path")).orderBy("path")
 
 
+def _engine_mathx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Math Expressions (stream_expr regress/corr): OLS of
+    l_extendedprice on l_quantity over lineitem — ONE map-side-
+    combinable moment aggregate (covar_pop/var_pop/avg/corr), no
+    stream materialization. Outputs re-rounded to 4 dp (float-sum
+    order differs between engines). SQL_Q81 is the DuckDB twin
+    (regr_slope/regr_intercept/corr)."""
+    from golr_loader_spark.plans.stream_expr import (
+        StreamCollection,
+        StreamContext,
+        compile_stream,
+    )
+
+    _tune(spark)
+    # doc_id must be unique per stream document: TPC-H linenumber is
+    # 1..7 within an order, so orderkey*10+linenumber is injective
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "doc_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    out = compile_stream(
+        'regress(search(li, q="*:*", fl="doc_id,l_quantity,l_extendedprice"),'
+        ' x="l_quantity", y="l_extendedprice")',
+        StreamContext({"li": StreamCollection(None, li)}),
+    )
+    return out.select(
+        "n",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("RSquared", 4).alias("r2"),
+    )
+
+
 def _engine_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr Parallel SQL (/sql — plans.sql_handler): the SQL text is
     planned as a streaming expression (Solr's Calcite step) and
@@ -1557,7 +1589,7 @@ _REGISTRY_PRIORITY = [
     "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
     "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
     "engine_timeseries", "engine_sql", "engine_spath",
-    "q46_ccnet_buckets",
+    "q46_ccnet_buckets", "engine_mathx",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1637,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_timeseries"] = _engine_timeseries
     out["engine_sql"] = _engine_sql
     out["engine_spath"] = _engine_spath
+    out["engine_mathx"] = _engine_mathx
     return _apply_registry_order(out)
 
 
@@ -1689,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q78,
         SQL_Q79,
         SQL_Q80,
+        SQL_Q81,
         SQL_Q75,
     )
 
@@ -1744,5 +1778,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_timeseries"] = SQL_Q78
     out["engine_sql"] = SQL_Q79
     out["engine_spath"] = SQL_Q80
+    out["engine_mathx"] = SQL_Q81
     out["engine_ltr"] = SQL_Q75
     return out

@@ -3121,6 +3121,19 @@ ORDER BY n_docs DESC, lang ASC, source ASC LIMIT 25
 """
 
 
+# Solr Math Expressions oracle (engine twin: stream_expr._c_regress /
+# engine_mathx): OLS of extendedprice on quantity; n counts the rows
+# the regression sees. Both engines round to 4 dp because parallel
+# float-sum order differs.
+SQL_Q81 = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(corr(l_extendedprice, l_quantity) ^ 2, 4) AS r2
+FROM lineitem
+"""
+
+
 # Solr shortestPath() oracle (engine twin: stream_expr
 # ._c_shortest_path / engine_spath): all simple paths from C1 capped
 # at depth 4 via a recursive CTE over the same edge union, then keep

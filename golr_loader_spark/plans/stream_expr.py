@@ -332,6 +332,20 @@ def _stored_join(coll: StreamCollection, ids: DataFrame, cols: list[str]) -> Dat
     return withb.join(bucketed, on=["bucket", "doc_id"]).select(*cols)
 
 
+def _export_rows(
+    coll: StreamCollection, q: str, fq: str | None, cols: list[str]
+) -> DataFrame:
+    """Match set + stored-field retrieval for an /export-style source.
+    Index-less collections at q='*:*' short-circuit to the stored
+    frame directly: the id round-trip would be a pure self-join —
+    one wasted shuffle, and a row multiplier if the caller's doc_ids
+    are not unique."""
+    if coll.index is None and q.strip() == "*:*" and fq is None:
+        return coll.documents.select(*cols)
+    ids = _match_ids(coll, q, fq)
+    return _stored_join(coll, ids, cols)
+
+
 # -------------------------------------------------------- compilers
 
 
@@ -339,8 +353,9 @@ def _c_search(e: Expr, ctx: StreamContext) -> DataFrame:
     coll = ctx.collection(e.args[0] if e.args else None)
     q = e.kwargs.get("q", "*:*")
     fl = _csv(e.kwargs.get("fl", "doc_id"))
-    ids = _match_ids(coll, q, e.kwargs.get("fq"))
-    out = _stored_join(coll, ids, fl if "doc_id" in fl else ["doc_id"] + fl)
+    out = _export_rows(
+        coll, q, e.kwargs.get("fq"), fl if "doc_id" in fl else ["doc_id"] + fl
+    )
     if "doc_id" not in fl:
         out = out.select(*fl)
     if "sort" in e.kwargs:
@@ -355,9 +370,10 @@ def _c_stats(e: Expr, ctx: StreamContext) -> DataFrame:
     metrics = [a for a in e.args[1:] if isinstance(a, Expr) and a.name in _METRICS]
     if not metrics:
         raise ValueError("stats() needs at least one metric")
-    ids = _match_ids(coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"))
     need = sorted({m.args[0] for m in metrics if m.name != "count"})
-    base = _stored_join(coll, ids, ["doc_id"] + need)
+    base = _export_rows(
+        coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"), ["doc_id"] + need
+    )
     return base.agg(*[_metric_col(m) for m in metrics])
 
 
@@ -367,11 +383,12 @@ def _c_facet(e: Expr, ctx: StreamContext) -> DataFrame:
     if not metrics:
         metrics = [Expr("count", ["*"])]
     buckets = _csv(e.kwargs["buckets"])
-    ids = _match_ids(coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"))
     need = sorted(
         set(buckets) | {m.args[0] for m in metrics if m.name != "count"}
     )
-    base = _stored_join(coll, ids, ["doc_id"] + need)
+    base = _export_rows(
+        coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"), ["doc_id"] + need
+    )
     out = base.groupBy(*buckets).agg(*[_metric_col(m) for m in metrics])
     sort_spec = e.kwargs.get(
         "bucketSorts", ", ".join(f"{b} asc" for b in buckets)
@@ -559,8 +576,10 @@ def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
     mfields = sorted(
         {mtr.args[0] for mtr in metrics if mtr.args and isinstance(mtr.args[0], str)}
     )
-    ids = _match_ids(coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"))
-    rows = _stored_join(coll, ids, ["doc_id", field, *mfields])
+    rows = _export_rows(
+        coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"),
+        ["doc_id", field, *mfields],
+    )
     ep = F.col(field).cast("timestamp_ltz").cast("double")
     binned = rows.withColumn(
         "_i", F.floor((ep - F.lit(start)) / F.lit(float(secs))).cast("long")
@@ -579,6 +598,99 @@ def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
         "yyyy-MM-dd'T'HH:mm:ss'Z'",
     )
     return out.orderBy("_i").select(label.alias("dt"), *fixed)
+
+
+def _c_describe(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr Math Expressions ``describe()``: distribution summary of a
+    numeric field. Solr's math expressions materialize streams into
+    node memory via let()/col(); the engine keeps the same statistics
+    but computes them as ONE lazy columnar aggregation — no
+    materialization, map-side combinable at any scale."""
+    df = compile_stream(e.args[0], ctx)
+    fname = e.kwargs.get("field")
+    if not fname:
+        raise ValueError("describe needs field=")
+    c = F.col(fname)
+    return df.agg(
+        F.count(c).cast("long").alias("n"),
+        F.round(F.avg(c), 6).alias("mean"),
+        F.round(F.stddev_samp(c), 6).alias("stddev"),
+        F.min(c).cast("double").alias("min"),
+        F.max(c).cast("double").alias("max"),
+        F.round(F.sum(c), 6).alias("sum"),
+    )
+
+
+def _c_corr(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Math Expressions ``corr()``: Pearson correlation of two numeric
+    fields over the stream — one map-side-combinable aggregate."""
+    df = compile_stream(e.args[0], ctx)
+    fx, fy = e.kwargs.get("fieldA"), e.kwargs.get("fieldB")
+    if not fx or not fy:
+        raise ValueError("corr needs fieldA=, fieldB=")
+    return df.agg(F.round(F.corr(fx, fy), 6).alias("corr"))
+
+
+def _c_regress(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Math Expressions ``regress()``: simple OLS of y on x. slope =
+    covar_pop/var_pop, intercept = ȳ − slope·x̄, RSquared = corr² —
+    all population moments from ONE aggregate pass."""
+    df = compile_stream(e.args[0], ctx)
+    fx, fy = e.kwargs.get("x"), e.kwargs.get("y")
+    if not fx or not fy:
+        raise ValueError("regress needs x=, y=")
+    m = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.covar_pop(fx, fy).alias("_cov"),
+        F.var_pop(fx).alias("_varx"),
+        F.avg(fx).alias("_mx"),
+        F.avg(fy).alias("_my"),
+        F.corr(fx, fy).alias("_r"),
+    )
+    slope = F.col("_cov") / F.col("_varx")
+    return m.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("intercept"),
+        F.round(F.col("_r") * F.col("_r"), 6).alias("RSquared"),
+    )
+
+
+def _c_hist(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Math Expressions ``hist()``: equal-width histogram of a numeric
+    field. Two bounded passes: ONE min/max aggregate (a single driver
+    row) fixes the bin geometry, then ONE map-side-combinable groupBy
+    on the bin ordinal, left-joined to a request-bounded bin grid so
+    empty bins appear with count 0."""
+    df = compile_stream(e.args[0], ctx)
+    fname = e.kwargs.get("field")
+    bins = int(e.kwargs.get("bins", 10))
+    if not fname or bins < 1:
+        raise ValueError("hist needs field= and bins>=1")
+    c = F.col(fname).cast("double")
+    lo, hi = df.agg(F.min(c), F.max(c)).collect()[0]
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin long, lo double, hi double, count long"
+        )
+    width = (hi - lo) / bins if hi > lo else 1.0
+    ordinal = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(bins - 1)
+    )
+    counts = df.select(ordinal.alias("bin")).groupBy("bin").agg(
+        F.count("*").cast("long").alias("count")
+    )
+    grid = df.sparkSession.range(bins).select(F.col("id").alias("bin"))
+    return (
+        grid.join(counts, on="bin", how="left")
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("hi"),
+            F.coalesce("count", F.lit(0)).cast("long").alias("count"),
+        )
+        .orderBy("bin")
+    )
 
 
 def _c_cartesian_product(e: Expr, ctx: StreamContext) -> DataFrame:
@@ -777,6 +889,10 @@ _COMPILERS = {
     "parallel": _c_parallel,
     "shortestPath": _c_shortest_path,
     "cartesianProduct": _c_cartesian_product,
+    "describe": _c_describe,
+    "corr": _c_corr,
+    "regress": _c_regress,
+    "hist": _c_hist,
 }
 
 

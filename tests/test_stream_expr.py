@@ -326,3 +326,42 @@ def test_cartesian_product_explodes(spark):
         StreamContext({"mvsrc": StreamCollection(None, mv)}),
     ))
     assert got == [(1, "z"), (0, "y"), (0, "x")]
+
+
+# ------------------------------------------------- math expressions
+
+@pytest.fixture(scope="module")
+def mctx(spark):
+    # y = 2x + 1 exactly → slope 2, intercept 1, r² = 1
+    pts = [(i, float(i), 2.0 * i + 1.0) for i in range(1, 6)]
+    df = spark.createDataFrame(pts, "doc_id long, x double, y double")
+    return StreamContext({"pts": StreamCollection(None, df)})
+
+
+def test_describe(mctx):
+    got = rows(compile_stream(
+        'describe(search(pts, q="*:*", fl="doc_id,x"), field="x")', mctx
+    ))
+    n, mean, stddev, lo, hi, total = got[0]
+    assert (n, mean, lo, hi, total) == (5, 3.0, 1.0, 5.0, 15.0)
+    assert abs(stddev - 1.581139) < 1e-6
+
+
+def test_corr_and_regress(mctx):
+    base = 'search(pts, q="*:*", fl="doc_id,x,y")'
+    assert rows(compile_stream(
+        f'corr({base}, fieldA="x", fieldB="y")', mctx
+    )) == [(1.0,)]
+    got = rows(compile_stream(f'regress({base}, x="x", y="y")', mctx))
+    assert got == [(5, 2.0, 1.0, 1.0)]
+    with pytest.raises(ValueError):
+        compile_stream(f'regress({base}, x="x")', mctx)
+
+
+def test_hist_bins_and_empties(mctx):
+    got = rows(compile_stream(
+        'hist(search(pts, q="*:*", fl="doc_id,x"), field="x", bins=4)', mctx
+    ))
+    # x ∈ {1..5}, width 1: bins [1,2)[2,3)[3,4)[4,5]; max lands in last
+    assert [(r[0], r[3]) for r in got] == [(0, 1), (1, 1), (2, 1), (3, 2)]
+    assert got[0][1] == 1.0 and got[3][2] == 5.0
