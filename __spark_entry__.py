@@ -1450,6 +1450,29 @@ def _engine_spath(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.concat_ws("->", "path").alias("path")).orderBy("path")
 
 
+def _engine_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr highlighting, hl.fragsize=0 semantics (serve
+    .highlight_field_col): whole-field content with every matching
+    token wrapped in <em></em>, computed as ONE Catalyst transform
+    over the index-driven AND match set — no Python in the hot path.
+    SQL_Q82 replays the match + markup with list_transform."""
+    from golr_loader_spark.plans.serve import highlight_field_col
+    from golr_loader_spark.plans.stream_expr import compile_stream
+
+    out = compile_stream(
+        'search(documents, q="text:data AND text:query", fl="doc_id,text")',
+        _stream_ctx(spark, sf_dir),
+    )
+    return (
+        out.select(
+            "doc_id",
+            highlight_field_col("text", ["data", "query"]).alias("snippet"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
 def _engine_mathx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr Math Expressions (stream_expr regress/corr): OLS of
     l_extendedprice on l_quantity over lineitem — ONE map-side-
@@ -1589,7 +1612,7 @@ _REGISTRY_PRIORITY = [
     "q41_semdedup", "q42_bigram_logprob", "q43_gopher_rules",
     "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
     "engine_timeseries", "engine_sql", "engine_spath",
-    "q46_ccnet_buckets", "engine_mathx",
+    "q46_ccnet_buckets", "engine_mathx", "engine_highlight",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1670,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_sql"] = _engine_sql
     out["engine_spath"] = _engine_spath
     out["engine_mathx"] = _engine_mathx
+    out["engine_highlight"] = _engine_highlight
     return _apply_registry_order(out)
 
 
@@ -1723,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q79,
         SQL_Q80,
         SQL_Q81,
+        SQL_Q82,
         SQL_Q75,
     )
 
@@ -1779,5 +1804,6 @@ def oracle_sql() -> dict[str, str]:
     out["engine_sql"] = SQL_Q79
     out["engine_spath"] = SQL_Q80
     out["engine_mathx"] = SQL_Q81
+    out["engine_highlight"] = SQL_Q82
     out["engine_ltr"] = SQL_Q75
     return out

@@ -3121,6 +3121,30 @@ ORDER BY n_docs DESC, lang ASC, source ASC LIMIT 25
 """
 
 
+# Solr highlighting oracle (engine twin: serve.highlight_field_col /
+# engine_highlight): AND match of both terms (each term must appear
+# as a whole lowercased token), whole-field markup — every matching
+# token wrapped in <em></em> — replayed with list_transform.
+SQL_Q82 = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT doc_id FROM toks WHERE term IN ('data', 'query')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+SELECT d.doc_id,
+       array_to_string(
+         list_transform(
+           string_split(d.text, ' '),
+           w -> CASE WHEN lower(w) IN ('data', 'query')
+                     THEN '<em>' || w || '</em>' ELSE w END
+         ), ' ') AS snippet
+FROM documents d JOIN matched USING (doc_id)
+ORDER BY d.doc_id LIMIT 20
+"""
+
+
 # Solr Math Expressions oracle (engine twin: stream_expr._c_regress /
 # engine_mathx): OLS of extendedprice on quantity; n counts the rows
 # the regression sees. Both engines round to 4 dp because parallel

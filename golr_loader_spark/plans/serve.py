@@ -2554,6 +2554,35 @@ class LocalSearcher:
         return out
 
 
+def highlight_field_col(
+    text_col: str,
+    terms: list[str],
+    pre: str = "<em>",
+    post: str = "</em>",
+):
+    """Distributed whole-field highlighting (Solr ``hl.fragsize=0``:
+    the entire field content with every matching token marked) as ONE
+    Catalyst expression — transform over the token split, token-exact
+    lowercased match like the simple analyzer, zero Python in the hot
+    path. Use this to highlight a full match SET; the driver-side
+    ``highlight``/``highlight_snippets`` fragmenters below serve the
+    bounded top-k path. (Import is local: this module otherwise stays
+    JVM-free for forked shard workers.)"""
+    from pyspark.sql import functions as F
+
+    tarr = F.array(*[F.lit(t) for t in terms])
+    return F.array_join(
+        F.transform(
+            F.split(F.col(text_col), " "),
+            lambda t: F.when(
+                F.array_contains(tarr, F.lower(t)),
+                F.concat(F.lit(pre), t, F.lit(post)),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+
+
 def highlight(text: str, terms: list[str], frag_size: int = 80, pre: str = "<em>", post: str = "</em>") -> str:
     """Solr-style highlighter for whitespace-token text: the best
     fragment of ~frag_size chars centered on the densest run of query

@@ -302,3 +302,21 @@ def test_search_fetch_multi_snippets(spark, root):
     for r in rows:
         if "highlights" in r:
             assert r["highlights"][0] == r["highlight"]
+
+
+def test_highlight_field_col_whole_field(spark):
+    from golr_loader_spark.plans.serve import highlight_field_col
+
+    df = spark.createDataFrame(
+        [(0, "Data flows to the query engine"), (1, "no match here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", highlight_field_col("text", ["data", "query"]).alias("s")
+        ).collect()
+    }
+    # hl.fragsize=0: whole field, case-preserving markup, token-exact
+    assert got[0] == "<em>Data</em> flows to the <em>query</em> engine"
+    assert got[1] == "no match here"
