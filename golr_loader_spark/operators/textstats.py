@@ -602,9 +602,12 @@ def ccnet_buckets(
     )
     by_val = q.groupBy("lang", "quality").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("lang").orderBy("quality")
+    # per-lang totals as a broadcast join, not a no-order window —
+    # keeps every Window in the plan explicitly partitioned+ordered
+    totals = by_val.groupBy("lang").agg(F.sum("cnt").alias("n"))
     ranked = by_val.withColumn(
         "start", F.sum("cnt").over(w) - F.col("cnt")
-    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("lang")))
+    ).join(F.broadcast(totals), on="lang")
     buckets = ranked.select(
         "lang",
         "quality",

@@ -191,6 +191,7 @@ class StreamCollection:
     index: InvertedIndex | None
     documents: DataFrame
     cfg: IndexConfig | None = None
+    root: str | None = None        # persisted index root (update() dest)
 
     @property
     def config(self) -> IndexConfig:
@@ -772,6 +773,47 @@ def _c_shortest_path(e: Expr, ctx: StreamContext) -> DataFrame:
     return empty
 
 
+
+def _c_update(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``update(destCollection, stream, batchSize=)``: push the
+    child stream's tuples into the destination collection as
+    add/overwrite updates. The engine routes this to the Lucene-style
+    fast upsert (``maintenance.upsert_docs_fast`` — O(batch) segment
+    append + segment-scoped liveDocs, never O(index)); ``batchSize``
+    is accepted and ignored (Spark's partitioning IS the batching).
+    The destination must be a collection opened with a persisted
+    ``root``. EAGER by contract: Solr's update stream indexes as it is
+    read, so compiling one executes the write and returns the one-row
+    result stream ({batchIndexed, updated, added} — Solr's per-batch
+    result tuple shape)."""
+    from golr_loader_spark.plans.maintenance import upsert_docs_fast
+
+    coll = ctx.collection(e.args[0] if e.args else None)
+    if coll.root is None:
+        raise ValueError("update() destination collection has no root=")
+    child = next((a for a in e.args if isinstance(a, Expr)), None)
+    if child is None:
+        raise ValueError("update(collection, <stream>) needs a child stream")
+    df = compile_stream(child, ctx)
+    res = upsert_docs_fast(df.sparkSession, coll.root, df, coll.config)
+    return df.sparkSession.createDataFrame(
+        [(int(res["updated"]) + int(res["added"]),
+          int(res["updated"]), int(res["added"]))],
+        "batchIndexed long, updated long, added long",
+    )
+
+
+def _c_commit(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``commit(destCollection, stream)``: wraps an update stream
+    and forces a commit per batch. The engine's upserts are durably
+    visible at write time (parquet segment append + atomic stats
+    swap), so commit() compiles to its child unchanged."""
+    child = next((a for a in e.args if isinstance(a, Expr)), None)
+    if child is None:
+        raise ValueError("commit(collection, <stream>) needs a child stream")
+    return compile_stream(child, ctx)
+
+
 def _nodes_depth(e) -> int:
     """Structural traversal level of a nodes() node: 1 + the depth of
     its child stream (Solr assigns level by gatherNodes nesting)."""
@@ -889,6 +931,8 @@ _COMPILERS = {
     "parallel": _c_parallel,
     "shortestPath": _c_shortest_path,
     "cartesianProduct": _c_cartesian_product,
+    "update": _c_update,
+    "commit": _c_commit,
     "describe": _c_describe,
     "corr": _c_corr,
     "regress": _c_regress,

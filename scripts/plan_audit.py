@@ -37,6 +37,8 @@ BOUNDED_NLJ = {
     "q18_minhash",
     "q17_ngram_jaccard",
     "q42_bigram_logprob",     # ONE-ROW vocab-size dimension (countDistinct agg)
+    "q44_dsir_weights",       # ONE-ROW target/raw totals dimensions (two aggs)
+    "q45_hybrid_rrf",         # single broadcast query vector (k=50 lists)
 }
 
 

@@ -365,3 +365,48 @@ def test_hist_bins_and_empties(mctx):
     # x ∈ {1..5}, width 1: bins [1,2)[2,3)[3,4)[4,5]; max lands in last
     assert [(r[0], r[3]) for r in got] == [(0, 1), (1, 1), (2, 1), (3, 2)]
     assert got[0][1] == 1.0 and got[3][2] == 5.0
+
+
+# ------------------------------------------------- update() / commit()
+
+def test_update_stream_upserts_into_root(spark, tmp_path, ctx):
+    from golr_loader_spark.plans.build_index import (
+        build_index,
+        read_index,
+        write_index,
+    )
+    from golr_loader_spark.plans.bm25 import search
+
+    root = str(tmp_path / "dest")
+    docs = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "beta gamma")], "doc_id long, text string"
+    )
+    cfg = IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=0,
+                      id_space_bits=8)
+    write_index(build_index(docs, cfg), root, documents=docs)
+
+    dest = StreamCollection(None, docs, cfg, root=root)
+    got = rows(compile_stream(
+        'commit(dest, update(dest, search(docs, q="data",'
+        ' fl="doc_id,text"), batchSize=100))',
+        StreamContext({"dest": dest, "docs": ctx.collections["docs"]}),
+    ))
+    # q="data" matches docs 0,1,2,4 of the source collection — all new
+    assert got == [(4, 0, 4)]
+    ix = read_index(spark, root, cfg=cfg)
+    hits = {r["doc_id"] for r in search(ix, "data", k=10, cfg=cfg).collect()}
+    assert hits == {0, 1, 2, 4}
+
+    # second identical update: now all 4 are overwrites
+    got2 = rows(compile_stream(
+        'update(dest, search(docs, q="data", fl="doc_id,text"))',
+        StreamContext({"dest": dest, "docs": ctx.collections["docs"]}),
+    ))
+    assert got2 == [(4, 4, 0)]
+
+
+def test_update_requires_root_and_child(ctx):
+    with pytest.raises(ValueError):
+        compile_stream('update(docs, search(docs, q="data", fl="doc_id,text"))', ctx)
+    with pytest.raises(ValueError):
+        compile_stream('commit(docs)', ctx)
