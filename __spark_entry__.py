@@ -1613,6 +1613,7 @@ _REGISTRY_PRIORITY = [
     "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
     "engine_timeseries", "engine_sql", "engine_spath",
     "q46_ccnet_buckets", "engine_mathx", "engine_highlight",
+    "q47_oov_rate",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",

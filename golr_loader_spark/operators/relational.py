@@ -3232,6 +3232,38 @@ FROM q JOIN b USING (lang, quality) ORDER BY q.id
 """
 
 
+def q47_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate vs the corpus top-100 TF
+    vocabulary (textstats.oov_rate): one explode+groupBy(term) count,
+    vocabulary rank-and-cut in the plan (request-bounded), broadcast
+    join back, one groupBy(doc)."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return ts.oov_rate(d, "doc_id", "text", vocab_size=100).orderBy("id")
+
+
+
+# OOV-rate oracle (engine twin: textstats.oov_rate / q47_oov_rate):
+# top-100 corpus vocabulary by (tf desc, term asc) — the same
+# deterministic tie-break — then per-doc miss counting.
+SQL_Q47 = """
+WITH toks AS (
+  SELECT doc_id AS id, t.term AS tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+    ORDER BY tf DESC, tok ASC LIMIT 100
+  )
+)
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (tok)
+GROUP BY id ORDER BY id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_orders_per_customer": (q02_top_orders_per_customer, SQL_Q02),
@@ -3278,4 +3310,5 @@ QUERIES: dict[str, tuple] = {
     "q44_dsir_weights": (q44_dsir_weights, SQL_Q44B),
     "q45_hybrid_rrf": (q45_hybrid_rrf, SQL_Q45B),
     "q46_ccnet_buckets": (q46_ccnet_buckets, SQL_Q46),
+    "q47_oov_rate": (q47_oov_rate, SQL_Q47),
 }

@@ -619,3 +619,48 @@ def ccnet_buckets(
     return q.join(F.broadcast(buckets), on=["lang", "quality"]).select(
         "id", "lang", "quality", "bucket"
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 100,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` term-frequency vocabulary — the standard
+    tokenizer-fit / garbage-document signal in training-data prep
+    (docs whose tokens mostly miss the vocabulary are noise, OCR
+    breakage, or the wrong language).
+
+    Plan shape at 100 TB: ONE explode + map-side-combinable
+    groupBy(term) count builds the frequency table; the vocabulary is
+    rank-and-cut IN THE PLAN (orderBy count desc, term asc → limit V,
+    V bounded by the REQUEST) and broadcasts; per-doc counting is the
+    same exploded pass left-joined to the broadcast vocabulary + ONE
+    groupBy(doc). Ties at the rank-V boundary break on the term
+    string, so the vocabulary is deterministic.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), on="tok", how="left")
+    return joined.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )

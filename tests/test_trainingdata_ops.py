@@ -212,3 +212,24 @@ def test_ccnet_buckets_per_language_independence(spark):
         docs = [r for r in out if r["lang"] == lang]
         assert len(docs) == 3
         assert {r["bucket"] for r in docs} <= {"head", "middle", "tail"}
+
+
+def test_oov_rate_vocab_and_ties(spark):
+    from golr_loader_spark.operators.textstats import oov_rate
+
+    df = spark.createDataFrame(
+        [
+            (0, "aa aa aa bb"),     # aa tf=3, bb tf=2 (w/ doc 1)
+            (1, "bb cc dd"),        # cc tf=1, dd tf=1, ee tf=1
+            (2, "aa ee ee zz"),     # ee tf=2... recount below
+        ],
+        "doc_id long, text string",
+    )
+    # corpus tf: aa=4, ee=2, bb=2, cc=1, dd=1, zz=1
+    # vocab_size=2 → top2 by (tf desc, term asc): aa(4), bb(2) — bb
+    # beats ee on the term tie-break at tf=2
+    got = {r["id"]: r for r in oov_rate(df, "doc_id", "text", 2).collect()}
+    assert (got[0]["n_tokens"], got[0]["n_oov"]) == (4, 0)
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (3, 2)   # cc dd
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (4, 3)   # ee ee zz
+    assert got[2]["oov_rate"] == 0.75
