@@ -349,6 +349,19 @@ def _split_where(where, indexed: set[str]):
     return q, residue
 
 
+def _metric_refs(node) -> set[str]:
+    """Aggregate-call references (``count(*)``, ``sum(col)``) inside a
+    boolean tree — the metrics a HAVING clause needs computed."""
+    if node is None:
+        return set()
+    if isinstance(node, Comparison):
+        return {node.field} if "(" in node.field else set()
+    out: set[str] = set()
+    for ch in node.children:
+        out |= _metric_refs(ch)
+    return out
+
+
 def _referenced_fields(node) -> set[str]:
     if node is None:
         return set()
@@ -397,6 +410,10 @@ def sql_to_stream(sql: str, ctx: StreamContext) -> str:
     need = set(st.group_by) | _referenced_fields(residue)
     need |= {i.arg for i in aggs if i.arg != "*"}
     need |= {i.arg for i in plain}
+    for m in _metric_refs(st.having):
+        arg = m[m.index("(") + 1 : -1]
+        if arg != "*":
+            need.add(arg)
     fl = ["doc_id"] + sorted(c for c in need if c != "doc_id")
 
     if aggs and not st.group_by:
@@ -414,7 +431,13 @@ def sql_to_stream(sql: str, ctx: StreamContext) -> str:
         if residue is not None:
             expr = f"having({expr}, {_to_evaluator(residue)})"
         if st.group_by:
-            metrics = ", ".join(i.expr_name for i in aggs) or "count(*)"
+            # HAVING may reference aggregates not in SELECT — compute
+            # them in the rollup too; the projection drops them after
+            mset = [i.expr_name for i in aggs]
+            for m in sorted(_metric_refs(st.having)):
+                if m not in mset:
+                    mset.append(m)
+            metrics = ", ".join(mset) or "count(*)"
             expr = (
                 f"rollup({expr}, over={_quote(','.join(st.group_by))}, {metrics})"
             )
