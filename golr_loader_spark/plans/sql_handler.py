@@ -84,6 +84,7 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
 _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "BY", "HAVING",
     "ORDER", "LIMIT", "AND", "OR", "NOT", "AS", "ASC", "DESC", "IN",
+    "BETWEEN",
 }
 
 
@@ -259,7 +260,7 @@ class _Parser:
             return node
         return self.comparison()
 
-    def comparison(self) -> Comparison:
+    def comparison(self):
         field = self.expect("id")
         if field.lower() in _AGGS and self.accept("punct", "("):
             if self.accept("punct", "*"):
@@ -268,7 +269,29 @@ class _Parser:
                 inner = self.expect("id")
             self.expect("punct", ")")
             field = f"{field.lower()}({inner})"
+        negate = self.accept("kw", "NOT")
+        if self.accept("kw", "IN"):
+            # IN (v, ...) desugars to an OR tree of equalities
+            self.expect("punct", "(")
+            alts = [self._literal_cmp(field, "=")]
+            while self.accept("punct", ","):
+                alts.append(self._literal_cmp(field, "="))
+            self.expect("punct", ")")
+            node = alts[0] if len(alts) == 1 else BoolNode("or", alts)
+            return BoolNode("not", [node]) if negate else node
+        if self.accept("kw", "BETWEEN"):
+            # BETWEEN a AND b desugars to (>= a AND <= b)
+            lo = self._literal_cmp(field, ">=")
+            self.expect("kw", "AND")
+            hi = self._literal_cmp(field, "<=")
+            node = BoolNode("and", [lo, hi])
+            return BoolNode("not", [node]) if negate else node
+        if negate:
+            raise ValueError(f"expected IN or BETWEEN after {field} NOT")
         op = self.expect("op")
+        return self._literal_cmp(field, op)
+
+    def _literal_cmp(self, field: str, op: str) -> Comparison:
         k, v = self.next()
         if k == "str":
             return Comparison(field, op, v[1:-1].replace("''", "'"), True)

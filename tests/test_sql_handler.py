@@ -146,3 +146,19 @@ def test_unsupported_shapes(ctx):
         search_sql("SELECT lang, count(*) FROM docs", ctx)
     with pytest.raises(ValueError):
         search_sql("SELECT count(*) AS n FROM docs HAVING count(*) > 1", ctx)
+
+
+def test_in_and_between(ctx):
+    got = rows(search_sql(
+        "SELECT doc_id FROM docs WHERE lang IN ('en', 'fr') "
+        "AND n_chars BETWEEN 15 AND 50 ORDER BY doc_id",
+        ctx,
+    ))
+    assert [r[0] for r in got] == [1, 4]
+    got2 = rows(search_sql(
+        "SELECT doc_id FROM docs WHERE lang NOT IN ('en') ORDER BY doc_id",
+        ctx,
+    ))
+    assert [r[0] for r in got2] == [2, 3, 4]
+    with pytest.raises(ValueError):
+        search_sql("SELECT doc_id FROM docs WHERE lang NOT 'en'", ctx)

@@ -59,10 +59,17 @@ def _pred(rng, depth=0):
         return f"({_pred(rng, depth + 1)} {op} {_pred(rng, depth + 1)})"
     if rng.random() < 0.15:
         return f"NOT {_pred(rng, depth + 1)}"
-    kind = rng.choice(["num", "lang", "source"])
+    kind = rng.choice(["num", "lang", "source", "in", "between"])
     if kind == "num":
         op = rng.choice(["=", "<>", "<", ">", "<=", ">="])
         return f"n_chars {op} {rng.randint(0, 99)}"
+    if kind == "in":
+        vals = ", ".join(f"'{v}'" for v in rng.sample(LANGS, rng.randint(1, 2)))
+        neg = "NOT " if rng.random() < 0.3 else ""
+        return f"lang {neg}IN ({vals})"
+    if kind == "between":
+        a = rng.randint(0, 60)
+        return f"n_chars BETWEEN {a} AND {a + rng.randint(0, 40)}"
     col, vals = ("lang", LANGS) if kind == "lang" else ("source", SOURCES)
     op = rng.choice(["=", "<>"])
     return f"{col} {op} '{rng.choice(vals)}'"
