@@ -3201,7 +3201,7 @@ def q46_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
 # q46_ccnet_buckets): same quality formula as SQL_Q21, same integer
 # rank arithmetic — a distinct score value's first document rank vs
 # floor(n/3) / floor(2n/3) decides the whole tie group's bucket.
-SQL_Q46 = f"""
+SQL_Q46B = f"""
 WITH base AS (
   SELECT doc_id AS id, text, lang, string_split(lower(text), ' ') AS toks
   FROM documents
@@ -3245,7 +3245,7 @@ def q47_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
 # OOV-rate oracle (engine twin: textstats.oov_rate / q47_oov_rate):
 # top-100 corpus vocabulary by (tf desc, term asc) — the same
 # deterministic tie-break — then per-doc miss counting.
-SQL_Q47 = """
+SQL_Q47B = """
 WITH toks AS (
   SELECT doc_id AS id, t.term AS tok
   FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
@@ -3309,6 +3309,6 @@ QUERIES: dict[str, tuple] = {
     "q43_gopher_rules": (q43_gopher_rules, SQL_Q43B),
     "q44_dsir_weights": (q44_dsir_weights, SQL_Q44B),
     "q45_hybrid_rrf": (q45_hybrid_rrf, SQL_Q45B),
-    "q46_ccnet_buckets": (q46_ccnet_buckets, SQL_Q46),
-    "q47_oov_rate": (q47_oov_rate, SQL_Q47),
+    "q46_ccnet_buckets": (q46_ccnet_buckets, SQL_Q46B),
+    "q47_oov_rate": (q47_oov_rate, SQL_Q47B),
 }

@@ -59,3 +59,15 @@ def test_every_registry_row_has_oracle_or_documented_exception():
     o = set(entrymod.oracle_sql().keys())
     assert o <= q, f"oracle rows without a queries() entry: {o - q}"
     assert q == o, f"registry rows missing oracle SQL: {q - o}"
+
+
+def test_no_duplicate_oracle_sql_definitions():
+    """A later `SQL_QXX = ...` with an already-used name silently
+    shadows the earlier oracle (this clobbered engine_dismax/
+    engine_drilldown once) — forbid duplicate definitions."""
+    import re
+
+    src = (REPO / "golr_loader_spark" / "operators" / "relational.py").read_text()
+    names = re.findall(r"^(SQL_Q\w+) = ", src, re.M)
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"duplicate oracle SQL definitions: {dupes}"
