@@ -1450,6 +1450,33 @@ def _engine_spath(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.concat_ws("->", "path").alias("path")).orderBy("path")
 
 
+def _engine_sigterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr significantTerms() streaming expression (stream_expr →
+    textstats.significant_terms kernel): terms overrepresented in the
+    q="data query" (OR) match set vs the whole collection, min fg-df
+    3, top 15 by lift. SQL_Q83 is the DuckDB twin."""
+    from golr_loader_spark.plans.stream_expr import compile_stream
+
+    return compile_stream(
+        'significantTerms(documents, q="data query", field="text",'
+        ' limit=15, minDocFreq=3)',
+        _stream_ctx(spark, sf_dir),
+    )
+
+
+def _engine_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr random() streaming expression, deterministic variant
+    (stream_expr._c_random): Knuth-hash-ranked sample of the q="data"
+    match set, seed 7, 30 rows — rank-and-cut in the plan.
+    SQL_Q84 replays the hash ordering."""
+    from golr_loader_spark.plans.stream_expr import compile_stream
+
+    return compile_stream(
+        'random(documents, q="data", fl="doc_id,lang", rows=30, seed=7)',
+        _stream_ctx(spark, sf_dir),
+    )
+
+
 def _engine_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr highlighting, hl.fragsize=0 semantics (serve
     .highlight_field_col): whole-field content with every matching
@@ -1613,7 +1640,7 @@ _REGISTRY_PRIORITY = [
     "q44_dsir_weights", "q45_hybrid_rrf", "engine_nodes", "engine_pctl",
     "engine_timeseries", "engine_sql", "engine_spath",
     "q46_ccnet_buckets", "engine_mathx", "engine_highlight",
-    "q47_oov_rate",
+    "q47_oov_rate", "engine_sigterms", "engine_random",
     # -- 1 driver record --
     "q37_exact_substring", "q38_pii_scrub", "q39_weighted_sample",
     "q40_significant_terms", "engine_wildcard", "engine_rerank",
@@ -1695,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_spath"] = _engine_spath
     out["engine_mathx"] = _engine_mathx
     out["engine_highlight"] = _engine_highlight
+    out["engine_sigterms"] = _engine_sigterms
+    out["engine_random"] = _engine_random
     return _apply_registry_order(out)
 
 
@@ -1749,6 +1778,8 @@ def oracle_sql() -> dict[str, str]:
         SQL_Q80,
         SQL_Q81,
         SQL_Q82,
+        SQL_Q83,
+        SQL_Q84,
         SQL_Q75,
     )
 
@@ -1806,5 +1837,7 @@ def oracle_sql() -> dict[str, str]:
     out["engine_spath"] = SQL_Q80
     out["engine_mathx"] = SQL_Q81
     out["engine_highlight"] = SQL_Q82
+    out["engine_sigterms"] = SQL_Q83
+    out["engine_random"] = SQL_Q84
     out["engine_ltr"] = SQL_Q75
     return out

@@ -3121,6 +3121,55 @@ ORDER BY n_docs DESC, lang ASC, source ASC LIMIT 25
 """
 
 
+# significantTerms() stream oracle (engine twin: stream_expr
+# ._c_significant_terms / engine_sigterms): foreground = OR match of
+# (data, query); lift = (fg_df/fg_n)/(bg_df/n_docs), min fg_df 3, no
+# query-term exclusion (the stream keeps them; q40's operator form
+# excludes them).
+SQL_Q83 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)),
+fg AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('data','query')),
+n AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT count(*) FROM fg) AS DOUBLE) AS fg_n),
+bg AS (SELECT term, count(*) AS bg_df FROM toks GROUP BY term),
+fgc AS (
+  SELECT term, count(*) AS fg_df
+  FROM toks JOIN fg USING (doc_id) GROUP BY term),
+scored AS (
+  SELECT f.term, CAST(f.fg_df AS BIGINT) AS fg_df,
+         CAST(b.bg_df AS BIGINT) AS bg_df,
+         round((f.fg_df / (SELECT fg_n FROM n))
+               / (b.bg_df / (SELECT n_docs FROM n)), 4) AS lift
+  FROM fgc f JOIN bg b USING (term)
+  WHERE f.fg_df >= 3)
+SELECT term, fg_df, bg_df, lift FROM scored
+ORDER BY lift DESC, fg_df DESC, term ASC
+LIMIT 15
+"""
+
+
+# random() stream oracle (engine twin: stream_expr._c_random /
+# engine_random): deterministic Knuth multiplicative hash of
+# (doc_id + seed) ranks the q="data" match set; integer arithmetic
+# replays exactly (values fit in BIGINT at these id magnitudes).
+SQL_Q84 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+), matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'data'
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN matched USING (doc_id)
+ORDER BY ((d.doc_id + 7) * 2654435761) % 4294967296 ASC, d.doc_id ASC
+LIMIT 30
+"""
+
+
 # Solr highlighting oracle (engine twin: serve.highlight_field_col /
 # engine_highlight): AND match of both terms (each term must appear
 # as a whole lowercased token), whole-field markup — every matching

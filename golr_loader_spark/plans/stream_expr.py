@@ -774,6 +774,50 @@ def _c_shortest_path(e: Expr, ctx: StreamContext) -> DataFrame:
 
 
 
+def _c_significant_terms(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``significantTerms(coll, q=, field=, limit=,
+    minDocFreq=)``: terms overrepresented in the q match set vs the
+    whole collection. Rides the engine's significant-terms kernel
+    (operators.textstats.significant_terms — one explode+distinct
+    feeding two map-side-combinable doc-frequency aggregations,
+    foreground broadcast when small); output (term, fg_df, bg_df,
+    lift) ranked lift desc / fg_df desc / term asc, limit-bounded."""
+    from golr_loader_spark.operators.textstats import significant_terms
+
+    coll = ctx.collection(e.args[0] if e.args else None)
+    fname = e.kwargs.get("field")
+    if not fname:
+        raise ValueError("significantTerms needs field=")
+    fg = _match_ids(coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"))
+    return significant_terms(
+        coll.documents,
+        fg,
+        "doc_id",
+        fname,
+        k=int(e.kwargs.get("limit", 10)),
+        min_fg=int(e.kwargs.get("minDocFreq", 2)),
+    )
+
+
+def _c_random(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``random(coll, q=, fl=, rows=, seed=)``: a pseudo-random
+    sample of the match set. Deterministic variant (documented
+    deviation — Solr reseeds per request unless seeded): rank by a
+    Knuth multiplicative hash of (doc_id + seed) — reproducible
+    across runs, engines, and partitionings, SQL-replayable — and cut
+    at rows IN THE PLAN (TakeOrdered, no full sort materialization)."""
+    coll = ctx.collection(e.args[0] if e.args else None)
+    fl = _csv(e.kwargs.get("fl", "doc_id"))
+    rows_n = int(e.kwargs.get("rows", 10))
+    seed = int(e.kwargs.get("seed", 0))
+    out = _export_rows(
+        coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"),
+        fl if "doc_id" in fl else ["doc_id"] + fl,
+    )
+    u = F.pmod((F.col("doc_id") + F.lit(seed)) * F.lit(2654435761), F.lit(4294967296))
+    return out.orderBy(u.asc(), F.col("doc_id").asc()).limit(rows_n).select(*fl)
+
+
 def _c_update(e: Expr, ctx: StreamContext) -> DataFrame:
     """Solr ``update(destCollection, stream, batchSize=)``: push the
     child stream's tuples into the destination collection as
@@ -933,6 +977,8 @@ _COMPILERS = {
     "cartesianProduct": _c_cartesian_product,
     "update": _c_update,
     "commit": _c_commit,
+    "significantTerms": _c_significant_terms,
+    "random": _c_random,
     "describe": _c_describe,
     "corr": _c_corr,
     "regress": _c_regress,

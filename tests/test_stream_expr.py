@@ -410,3 +410,33 @@ def test_update_requires_root_and_child(ctx):
         compile_stream('update(docs, search(docs, q="data", fl="doc_id,text"))', ctx)
     with pytest.raises(ValueError):
         compile_stream('commit(docs)', ctx)
+
+
+# --------------------------------- significantTerms() and random()
+
+def test_significant_terms_stream(ctx):
+    got = rows(compile_stream(
+        'significantTerms(docs, q="data", field="text", limit=5,'
+        ' minDocFreq=2)',
+        ctx,
+    ))
+    # fg = docs 0,1,2,4 (the 'data' matches). 'data' itself: fg 4/4
+    # vs bg 4/5 → lift 1.25; 'query' fg 3/4 vs bg 3/5 → 1.25 — tie
+    # broken by fg_df desc then term asc
+    assert got[0][0] == "data" and got[0][3] == 1.25
+    terms = [r[0] for r in got]
+    assert "query" in terms
+    with pytest.raises(ValueError):
+        compile_stream('significantTerms(docs, q="data")', ctx)
+
+
+def test_random_stream_deterministic(ctx):
+    expr = 'random(docs, q="data", fl="doc_id", rows=2, seed=7)'
+    a = rows(compile_stream(expr, ctx))
+    b = rows(compile_stream(expr, ctx))
+    assert a == b and len(a) == 2
+    # different seed → (very likely) different order; same match set
+    c = rows(compile_stream(
+        'random(docs, q="data", fl="doc_id", rows=4, seed=8)', ctx
+    ))
+    assert sorted(r[0] for r in c) == [0, 1, 2, 4]
