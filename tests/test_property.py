@@ -83,3 +83,69 @@ def test_analyze_query_covers_every_identifier(idents):
         subs = re.findall(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+", ident)
         if subs:
             assert any(s.lower() in terms for s in subs), ident
+
+
+# ---------------------------------------------- stream-expression parser
+
+def _render(e) -> str:
+    """Serialize an Expr back to expression text (quoting all string
+    values — always legal in the grammar)."""
+    from golr_loader_spark.plans.stream_expr import Expr
+
+    parts = []
+    for a in e.args:
+        parts.append(_render(a) if isinstance(a, Expr) else _q(a))
+    for k, v in e.kwargs.items():
+        parts.append(f"{k}={_render(v) if isinstance(v, Expr) else _q(v)}")
+    return f"{e.name}({', '.join(parts)})"
+
+
+def _q(s: str) -> str:
+    return '"' + str(s).replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+_name = st.from_regex(r"[a-zA-Z][a-zA-Z0-9_]{0,8}", fullmatch=True)
+_sval = st.text(
+    st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=12,
+)
+
+
+def _expr_strategy():
+    from golr_loader_spark.plans.stream_expr import Expr
+
+    def build(children):
+        return st.builds(
+            lambda n, args, kwargs: Expr(n, list(args), dict(kwargs)),
+            _name,
+            st.lists(st.one_of(_sval, children), max_size=3),
+            st.dictionaries(_name, st.one_of(_sval, children), max_size=3),
+        )
+
+    return st.recursive(build(st.nothing()), build, max_leaves=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_expr_strategy())
+def test_stream_expr_print_parse_roundtrip(e):
+    """parse(render(tree)) reproduces the tree exactly — the parser
+    and the quoting/escaping rules are mutual inverses for every
+    value, including quotes, backslashes, commas, parens, unicode."""
+    from golr_loader_spark.plans.stream_expr import parse_expr
+
+    def eq(a, b):
+        from golr_loader_spark.plans.stream_expr import Expr
+
+        if isinstance(a, Expr) != isinstance(b, Expr):
+            return False
+        if not isinstance(a, Expr):
+            return a == b
+        return (
+            a.name == b.name
+            and len(a.args) == len(b.args)
+            and all(eq(x, y) for x, y in zip(a.args, b.args))
+            and set(a.kwargs) == set(b.kwargs)
+            and all(eq(a.kwargs[k], b.kwargs[k]) for k in a.kwargs)
+        )
+
+    assert eq(parse_expr(_render(e)), e)
