@@ -774,6 +774,84 @@ def _c_shortest_path(e: Expr, ctx: StreamContext) -> DataFrame:
 
 
 
+def _c_topic(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``topic(checkpoints, coll, q=, id=, fl=,
+    initialCheckpoint=)``: checkpointed pub-sub — each read returns
+    the documents ADDED OR UPDATED since the last read for this topic
+    id, then advances the checkpoint. Solr checkpoints _version_ per
+    shard into a checkpoint collection; the engine checkpoints the
+    segment high-water mark of the destination root (segments are the
+    engine's version axis: every upsert batch appends one), storing it
+    under ``{root}/topics/{id}.json``.
+
+    Default start is Solr's: the CURRENT high-water mark (first read
+    returns nothing, later reads return what arrived after
+    subscription); ``initialCheckpoint=0`` replays from the beginning.
+    A doc updated twice between reads is emitted once, in its newest
+    copy (max-segment join, distributed). EAGER like update(): the
+    returned rows are localCheckpoint-materialized (bounded by the
+    new-segment batch size) before the watermark advances, so a crash
+    before materialization never skips documents."""
+    import json
+    import os
+
+    # Solr's form is topic(checkpointCollection, collection, ...);
+    # the engine keeps checkpoints inside the data collection's root,
+    # so a leading checkpoint-collection name is accepted and unused —
+    # the DATA collection is the last positional name.
+    names = [a for a in e.args if isinstance(a, str)]
+    coll = ctx.collection(names[-1] if names else None)
+    if coll.root is None:
+        raise ValueError("topic() collection has no root=")
+    topic_id = e.kwargs.get("id")
+    if not topic_id or not topic_id.replace("_", "").isalnum():
+        raise ValueError("topic() needs an alphanumeric id=")
+    if e.kwargs.get("q", "*:*").strip() != "*:*":
+        raise ValueError("topic() supports q='*:*' (match-all consumption)")
+    if not os.path.isdir(f"{coll.root}/stored"):
+        raise ValueError(
+            "topic() reads stored documents — the collection root has "
+            "no stored-fields table (write_index(store_fields=[...]))"
+        )
+    fl = _csv(e.kwargs.get("fl", "doc_id"))
+
+    spark = coll.documents.sparkSession
+    docs = spark.read.option("mergeSchema", "true").parquet(
+        f"{coll.root}/stored"
+    )
+    seg = (
+        F.coalesce(F.col("_seg"), F.lit(0)) if "_seg" in docs.columns
+        else F.lit(0)
+    )
+    docs = docs.withColumn("_seg", seg.cast("long"))
+    row = docs.agg(F.max("_seg")).collect()[0]
+    cur_max = int(row[0]) if row[0] is not None else 0
+
+    ckpt_path = os.path.join(coll.root, "topics", f"{topic_id}.json")
+    if os.path.exists(ckpt_path):
+        start = int(json.load(open(ckpt_path))["seg"])
+    elif "initialCheckpoint" in e.kwargs:
+        start = int(e.kwargs["initialCheckpoint"]) - 1
+    else:
+        start = cur_max  # Solr default: subscribe at the current end
+
+    # emit the NEWEST stored copy of each doc added/updated since the
+    # checkpoint, plus _version (the segment — Solr topics emit
+    # _version_): max-segment resolution, same rule as serve.fetch
+    fresh = docs.filter(F.col("_seg") > start)
+    latest = fresh.groupBy("doc_id").agg(F.max("_seg").alias("_seg"))
+    cols = fl if "doc_id" in fl else ["doc_id"] + fl
+    out = (
+        fresh.join(latest, on=["doc_id", "_seg"])
+        .select(*cols, F.col("_seg").alias("_version"))
+        .localCheckpoint()
+    )
+    os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
+    with open(ckpt_path, "w") as f:
+        json.dump({"seg": cur_max}, f)
+    return out
+
+
 def _c_significant_terms(e: Expr, ctx: StreamContext) -> DataFrame:
     """Solr ``significantTerms(coll, q=, field=, limit=,
     minDocFreq=)``: terms overrepresented in the q match set vs the
@@ -979,6 +1057,7 @@ _COMPILERS = {
     "commit": _c_commit,
     "significantTerms": _c_significant_terms,
     "random": _c_random,
+    "topic": _c_topic,
     "describe": _c_describe,
     "corr": _c_corr,
     "regress": _c_regress,

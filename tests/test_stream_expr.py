@@ -440,3 +440,44 @@ def test_random_stream_deterministic(ctx):
         'random(docs, q="data", fl="doc_id", rows=4, seed=8)', ctx
     ))
     assert sorted(r[0] for r in c) == [0, 1, 2, 4]
+
+
+# ------------------------------------------------------------ topic()
+
+def test_topic_checkpointed_consumption(spark, tmp_path):
+    from golr_loader_spark.plans.build_index import build_index, write_index
+    from golr_loader_spark.plans.maintenance import upsert_docs_fast
+
+    root = str(tmp_path / "troot")
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    cfg = IndexConfig(fields={"text": ("simple", 1.0)}, bucket_bits=0,
+                      id_space_bits=8)
+    write_index(build_index(base, cfg), root, documents=base,
+                store_fields=["text"])
+    c = StreamContext({"dest": StreamCollection(None, base, cfg, root=root)})
+
+    # default subscription starts at the current end -> empty
+    assert rows(compile_stream('topic(dest, q="*:*", id="t1")', c)) == []
+    # two upserts land in new segments (1 then 2)
+    upsert_docs_fast(spark, root, spark.createDataFrame(
+        [(3, "zeta eta")], "doc_id long, text string"), cfg)
+    upsert_docs_fast(spark, root, spark.createDataFrame(
+        [(3, "zeta theta"), (4, "iota kappa")], "doc_id long, text string"), cfg)
+    got = rows(compile_stream(
+        'topic(dest, q="*:*", id="t1", fl="doc_id,text")', c))
+    # doc 3 updated twice since the checkpoint -> emitted ONCE, in its
+    # NEWEST stored copy, at version (segment) 2
+    assert sorted(got) == [(3, "zeta theta", 2), (4, "iota kappa", 2)]
+    # consumed -> next read is empty
+    assert rows(compile_stream('topic(dest, q="*:*", id="t1")', c)) == []
+    # replay-from-zero on a fresh topic id sees everything
+    all_rows = rows(compile_stream(
+        'topic(ckpts, dest, q="*:*", id="t2", initialCheckpoint=0)',
+        StreamContext({"ckpts": c.collections["dest"],
+                       "dest": c.collections["dest"]})))
+    assert sorted((r[0], r[1]) for r in all_rows) == [
+        (1, 0), (2, 0), (3, 2), (4, 2)]
+    with pytest.raises(ValueError):
+        compile_stream('topic(dest, q="zeta", id="t3")', c)
