@@ -143,6 +143,19 @@ class _P:
                 self._ws()
                 if self._peek() == "(":
                     e.args.append(self._call(w))
+                    # optional `as <name>` after a nested call —
+                    # select()'s computed-field alias syntax; any
+                    # other bare word here is a syntax error anyway
+                    save = self.i
+                    self._ws()
+                    if self._peek() in _BARE_CHARS:
+                        w2 = self._bare()
+                        if w2 == "as":
+                            self._ws()
+                            e.args.append("as")
+                            e.args.append(self._bare())
+                        else:
+                            self.i = save
                 elif self._peek() == "=":
                     self.i += 1
                     e.kwargs[w] = self._value()
@@ -400,15 +413,62 @@ def _c_facet(e: Expr, ctx: StreamContext) -> DataFrame:
     return out
 
 
+_ARITH = {"add", "sub", "mult", "div"}
+
+
+def _eval_col(df: DataFrame, x) -> Column:
+    """Solr stream-evaluator → Column: field names, numeric literals,
+    arithmetic add/sub/mult/div (variadic like Solr's), and
+    if(boolOp, then, else) — all compiled to Catalyst expressions."""
+    if not isinstance(x, Expr):
+        v = _lit_value(x)
+        return F.lit(v) if isinstance(v, (int, float)) else df[x]
+    if x.name in _ARITH:
+        cols = [_eval_col(df, a) for a in x.args]
+        if len(cols) < 2:
+            raise ValueError(f"{x.name}() needs at least two operands")
+        out = cols[0]
+        for c in cols[1:]:
+            if x.name == "add":
+                out = out + c
+            elif x.name == "sub":
+                out = out - c
+            elif x.name == "mult":
+                out = out * c
+            else:
+                out = out / c
+        return out
+    if x.name == "if":
+        cond, then, els = x.args
+        return F.when(_bool_cond(df, cond), _eval_col(df, then)).otherwise(
+            _eval_col(df, els)
+        )
+    raise ValueError(f"unknown select evaluator {x.name!r}")
+
+
 def _c_select(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Solr ``select(stream, "a", "b as c", evaluator(...) as d)``:
+    projection, renames, and computed fields. Evaluator args parse as
+    nested Expr nodes followed by the bare tokens ``as``/``name`` —
+    reassembled here; everything compiles to one Catalyst select."""
     df = compile_stream(e.args[0], ctx)
-    cols = []
-    for spec in e.args[1:]:
+    cols: list[Column] = []
+    rest = list(e.args[1:])
+    i = 0
+    while i < len(rest):
+        spec = rest[i]
+        if isinstance(spec, Expr):
+            if i + 2 < len(rest) and rest[i + 1] == "as":
+                cols.append(_eval_col(df, spec).alias(str(rest[i + 2])))
+                i += 3
+                continue
+            raise ValueError(f"evaluator {spec.name}(...) needs 'as <name>'")
         parts = spec.split(" as ")
         if len(parts) == 2:
             cols.append(df[parts[0].strip()].alias(parts[1].strip()))
         else:
             cols.append(df[spec.strip()])
+        i += 1
     return df.select(*cols)
 
 

@@ -481,3 +481,27 @@ def test_topic_checkpointed_consumption(spark, tmp_path):
         (1, 0), (2, 0), (3, 2), (4, 2)]
     with pytest.raises(ValueError):
         compile_stream('topic(dest, q="zeta", id="t3")', c)
+
+
+# ------------------------------------------- select() evaluators
+
+def test_select_arithmetic_and_if_evaluators(ctx):
+    got = rows(compile_stream(
+        'sort(select(search(docs, q="data", fl="doc_id,n_chars"),'
+        ' "doc_id", add(n_chars, 5) as plus,'
+        ' mult(n_chars, 2, 10) as big,'
+        ' if(gt(n_chars, 25), 1, 0) as is_big), by="doc_id asc")',
+        ctx,
+    ))
+    # docs 0,1,2,4 with n_chars 10,20,30,50
+    assert got == [
+        (0, 15, 200, 0), (1, 25, 400, 0), (2, 35, 600, 1), (4, 55, 1000, 1),
+    ]
+    with pytest.raises(ValueError):
+        compile_stream(
+            'select(search(docs, q="data", fl="doc_id,n_chars"),'
+            ' add(n_chars, 5))', ctx)
+    with pytest.raises(ValueError):
+        compile_stream(
+            'select(search(docs, q="data", fl="doc_id,n_chars"),'
+            ' bogus(n_chars) as x)', ctx)
