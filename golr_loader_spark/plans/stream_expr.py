@@ -592,7 +592,7 @@ def _c_fetch(e: Expr, ctx: StreamContext) -> DataFrame:
     return df.join(stored, on=stream_key, how="left")
 
 
-_TS_GAP_RE = re.compile(r"^\+(\d+)(SECOND|MINUTE|HOUR|DAY)S?$")
+_TS_GAP_RE = re.compile(r"^\+(\d+)(SECOND|MINUTE|HOUR|DAY|MONTH|YEAR)S?$")
 _GAP_SECS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
 
@@ -601,9 +601,12 @@ def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
     metrics…)`` source: fixed-gap date buckets over the match set
     with per-bucket metrics; EVERY bucket in [start, end) is emitted
     in range order, empty ones with count 0 / null metrics (the Solr
-    contract). Gap subset: fixed-width ``+N SECOND/MINUTE/HOUR/DAY``
-    date math — calendar-variable MONTH/YEAR gaps are not fixed-width
-    and are rejected. Output: (dt ISO-8601 bucket start, metrics…).
+    contract). Gaps: fixed-width ``+N SECOND/MINUTE/HOUR/DAY`` date
+    math via epoch arithmetic, and calendar ``+N MONTH/YEAR`` gaps via
+    month-ordinal arithmetic (start/end must sit on month boundaries —
+    the Solr date-math rounding ``/MONTH`` produces; arbitrary-day
+    month anchoring is rejected rather than silently mis-bucketed).
+    Output: (dt ISO-8601 bucket start, metrics…).
 
     Plan shape: ONE groupBy on the bucket ordinal (floor((epoch-
     start)/gap) — map-side combinable), left-joined to a
@@ -619,17 +622,31 @@ def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
     m = _TS_GAP_RE.match(gap.replace(" ", ""))
     if not m:
         raise ValueError(
-            f"unsupported gap {gap!r} (+N SECOND/MINUTE/HOUR/DAY)"
+            f"unsupported gap {gap!r} (+N SECOND/MINUTE/HOUR/DAY/MONTH/YEAR)"
         )
-    secs = int(m.group(1)) * _GAP_SECS[m.group(2)]
+    unit = m.group(2)
 
-    def _epoch(s: str) -> float:
-        return datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+    def _dt(s: str) -> datetime:
+        return datetime.fromisoformat(s.replace("Z", "+00:00"))
 
-    start, end = _epoch(e.kwargs["start"]), _epoch(e.kwargs["end"])
-    if end <= start:
+    sdt, edt = _dt(e.kwargs["start"]), _dt(e.kwargs["end"])
+    if edt <= sdt:
         raise ValueError("timeseries end must be after start")
-    nb = int(-(-(end - start) // secs))
+    calendar = unit in ("MONTH", "YEAR")
+    if calendar:
+        months = int(m.group(1)) * (12 if unit == "YEAR" else 1)
+        for d, name in ((sdt, "start"), (edt, "end")):
+            if (d.day, d.hour, d.minute, d.second) != (1, 0, 0, 0):
+                raise ValueError(
+                    f"calendar gaps need {name} on a month boundary"
+                )
+        base = sdt.year * 12 + sdt.month - 1
+        end_mo = edt.year * 12 + edt.month - 1
+        nb = -(-(end_mo - base) // months)
+    else:
+        secs = int(m.group(1)) * _GAP_SECS[unit]
+        start, end = sdt.timestamp(), edt.timestamp()
+        nb = int(-(-(end - start) // secs))
     metrics = [a for a in e.args[1:] if isinstance(a, Expr)]
     mexprs = [_metric_col(mtr) for mtr in metrics] or [
         F.count("*").cast("long").alias("count(*)")
@@ -641,10 +658,22 @@ def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
         coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"),
         ["doc_id", field, *mfields],
     )
-    ep = F.col(field).cast("timestamp_ltz").cast("double")
-    binned = rows.withColumn(
-        "_i", F.floor((ep - F.lit(start)) / F.lit(float(secs))).cast("long")
-    ).filter((F.col("_i") >= 0) & (F.col("_i") < nb))
+    if calendar:
+        ts = F.col(field).cast("timestamp_ltz")
+        mo = F.year(ts) * 12 + F.month(ts) - 1
+        ordinal = F.floor((mo - F.lit(base)) / F.lit(months)).cast("long")
+        # the last bucket may extend past end in ordinal space —
+        # exclude the end month itself (end is a month boundary)
+        in_range = (mo >= F.lit(base)) & (mo < F.lit(end_mo))
+    else:
+        ep = F.col(field).cast("timestamp_ltz").cast("double")
+        ordinal = F.floor((ep - F.lit(start)) / F.lit(float(secs))).cast("long")
+        in_range = None
+    binned = rows.withColumn("_i", ordinal).filter(
+        (F.col("_i") >= 0) & (F.col("_i") < nb)
+    )
+    if in_range is not None:
+        binned = binned.filter(in_range)
     aggd = binned.groupBy("_i").agg(*mexprs)
     grid = rows.sparkSession.range(nb).select(F.col("id").alias("_i"))
     out = grid.join(aggd, on="_i", how="left")
@@ -654,10 +683,22 @@ def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
         if c.startswith("count(") else F.col(f"`{c}`")
         for c in out.columns if c != "_i"
     ]
-    label = F.date_format(
-        (F.lit(start) + F.col("_i") * F.lit(float(secs))).cast("timestamp_ltz"),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'",
-    )
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    if calendar:
+        label = F.date_format(
+            F.add_months(
+                F.lit(sdt.strftime("%Y-%m-%d")).cast("date"),
+                F.col("_i").cast("int") * months,
+            ).cast("timestamp_ltz"),
+            fmt,
+        )
+    else:
+        label = F.date_format(
+            (F.lit(start) + F.col("_i") * F.lit(float(secs))).cast(
+                "timestamp_ltz"
+            ),
+            fmt,
+        )
     return out.orderBy("_i").select(label.alias("dt"), *fixed)
 
 

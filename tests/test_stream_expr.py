@@ -505,3 +505,40 @@ def test_select_arithmetic_and_if_evaluators(ctx):
         compile_stream(
             'select(search(docs, q="data", fl="doc_id,n_chars"),'
             ' bogus(n_chars) as x)', ctx)
+
+
+def test_timeseries_month_and_year_gaps(tsctx, spark):
+    rows_ = [
+        (0, "2024-01-15 00:00:00", 1.0),
+        (1, "2024-02-01 00:00:00", 2.0),
+        (2, "2024-02-29 12:00:00", 3.0),
+        (3, "2024-05-31 23:59:59", 4.0),
+        (4, "2024-06-01 00:00:00", 9.0),   # == end, excluded
+    ]
+    ev = spark.createDataFrame(rows_, "doc_id long, ts string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    c = StreamContext({"ev": StreamCollection(None, ev)})
+    got = rows(compile_stream(
+        'timeseries(ev, q="*:*", field="ts", start="2024-01-01T00:00:00Z",'
+        ' end="2024-06-01T00:00:00Z", gap="+2MONTHS", count(*), sum(value))',
+        c,
+    ))
+    # buckets: [Jan,Mar) [Mar,May) [May,Jul→end) — leap Feb 29 in b0
+    assert [r[0] for r in got] == [
+        "2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z", "2024-05-01T00:00:00Z",
+    ]
+    assert [r[1] for r in got] == [3, 0, 1]
+    assert got[0][2] == 6.0 and got[1][2] is None and got[2][2] == 4.0
+    # YEAR gap = 12 months
+    got2 = rows(compile_stream(
+        'timeseries(ev, q="*:*", field="ts", start="2024-01-01T00:00:00Z",'
+        ' end="2025-01-01T00:00:00Z", gap="+1YEAR")',
+        c,
+    ))
+    assert got2 == [("2024-01-01T00:00:00Z", 5)]  # every doc is in 2024
+    # non-boundary start rejected, not mis-bucketed
+    with pytest.raises(ValueError):
+        compile_stream(
+            'timeseries(ev, q="*:*", field="ts",'
+            ' start="2024-01-15T00:00:00Z", end="2024-06-01T00:00:00Z",'
+            ' gap="+1MONTH")', c)
