@@ -795,6 +795,50 @@ def _c_hist(e: Expr, ctx: StreamContext) -> DataFrame:
     )
 
 
+def _c_moving_avg(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Math Expressions ``movingAvg()`` adapted to streams: a trailing
+    ``window=N`` average of ``field`` over the child stream in
+    ``sort=`` order, null until the window fills (Solr's array form
+    emits len-N+1 points; the stream form keeps row alignment).
+    The window is UNPARTITIONED by design — the child is a bucketed
+    series whose length is bounded by the REQUEST (timeseries/facet
+    output), never by the corpus."""
+    from pyspark.sql import Window
+
+    df = compile_stream(e.args[0], ctx)
+    fname = e.kwargs.get("field")
+    n = int(e.kwargs.get("window", 3))
+    if not fname or n < 1 or "sort" not in e.kwargs:
+        raise ValueError("movingAvg needs field=, window>=1, sort=")
+    w = (
+        Window.orderBy(*_sort_cols(df, e.kwargs["sort"]))
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    full = F.count(fname).over(w) >= n
+    return df.withColumn(
+        f"movingAvg({fname})",
+        F.when(full, F.round(F.avg(fname).over(w), 6)),
+    )
+
+
+def _c_diff(e: Expr, ctx: StreamContext) -> DataFrame:
+    """Math Expressions ``diff()`` adapted to streams: first-order
+    difference of ``field`` in ``sort=`` order (null first row).
+    Unpartitioned window over a request-bounded series, like
+    movingAvg."""
+    from pyspark.sql import Window
+
+    df = compile_stream(e.args[0], ctx)
+    fname = e.kwargs.get("field")
+    if not fname or "sort" not in e.kwargs:
+        raise ValueError("diff needs field=, sort=")
+    w = Window.orderBy(*_sort_cols(df, e.kwargs["sort"]))
+    return df.withColumn(
+        f"diff({fname})",
+        F.round(F.col(fname) - F.lag(fname).over(w), 6),
+    )
+
+
 def _c_cartesian_product(e: Expr, ctx: StreamContext) -> DataFrame:
     """Solr ``cartesianProduct(stream, field, productSort=)``: one
     output tuple per element of the multivalued ``field`` (the
@@ -1160,6 +1204,8 @@ _COMPILERS = {
     "random": _c_random,
     "topic": _c_topic,
     "describe": _c_describe,
+    "movingAvg": _c_moving_avg,
+    "diff": _c_diff,
     "corr": _c_corr,
     "regress": _c_regress,
     "hist": _c_hist,

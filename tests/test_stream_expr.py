@@ -542,3 +542,23 @@ def test_timeseries_month_and_year_gaps(tsctx, spark):
             'timeseries(ev, q="*:*", field="ts",'
             ' start="2024-01-15T00:00:00Z", end="2024-06-01T00:00:00Z",'
             ' gap="+1MONTH")', c)
+
+
+def test_moving_avg_and_diff_over_timeseries(tsctx):
+    base = (
+        'timeseries(events, q="*:*", field="ts",'
+        ' start="2024-01-01T00:00:00Z", end="2024-01-05T00:00:00Z",'
+        ' gap="+1DAY", count(*), sum(value))'
+    )
+    got = rows(compile_stream(
+        f'movingAvg({base}, field="count(*)", window=2, sort="dt asc")',
+        tsctx,
+    ))
+    # counts 2,1,0,1 → trailing-2 avgs: null, 1.5, 0.5, 0.5
+    assert [r[-1] for r in got] == [None, 1.5, 0.5, 0.5]
+    got2 = rows(compile_stream(
+        f'diff({base}, field="count(*)", sort="dt asc")', tsctx
+    ))
+    assert [r[-1] for r in got2] == [None, -1, -1, 1]
+    with pytest.raises(ValueError):
+        compile_stream(f'movingAvg({base}, field="count(*)")', tsctx)
