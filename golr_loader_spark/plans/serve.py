@@ -2490,6 +2490,47 @@ class LocalSearcher:
             int(r["doc_id"]): {c: r[c] for c in want} for r in rows
         }
 
+    def vector_topk(
+        self, qvec, k: int = 10, exclude_id: int | None = None
+    ) -> list[tuple[int, int, float]]:
+        """Serving-path exact cosine top-k over the root's persisted
+        vectors table (``plans.vectors.write_vectors``) →
+        [(vec_id, rank, cos_sim)]; the serving twin of
+        ``similarity.cosine_topk`` (same round-before-rank + id
+        tie-break discipline). Lazy-loads the vector matrix once per
+        searcher lifetime."""
+        if getattr(self, "_vectors", None) is None:
+            from golr_loader_spark.plans.vectors import VectorReader
+
+            self._vectors = VectorReader(self._root)
+        return self._vectors.topk(qvec, k, exclude_id=exclude_id)
+
+    def hybrid_rrf(
+        self,
+        q: str,
+        qvec,
+        k_arms: int = 50,
+        top: int = 10,
+        k_rrf: int = 60,
+        exclude_id: int | None = None,
+    ) -> list[tuple]:
+        """Hybrid lexical+vector retrieval on the serving path: the
+        BM25 top-``k_arms`` for ``q`` fused with the cosine
+        top-``k_arms`` around ``qvec`` by Reciprocal Rank Fusion —
+        the serving twin of q45's distributed kernel
+        (``similarity.rrf_fuse``): score = Σ 1/(k_rrf+rank) over the
+        arms that ranked the id, top by (score desc, id asc).
+        Returns [(doc_id, lex_rank, vec_rank, rrf_score)]."""
+        from golr_loader_spark.plans.vectors import rrf_fuse_lists
+
+        lex = [d for d, _s in self.search(q, k=k_arms)]
+        vec = [
+            i for i, _r, _c in self.vector_topk(
+                qvec, k=k_arms, exclude_id=exclude_id
+            )
+        ]
+        return rrf_fuse_lists([lex, vec], k=k_rrf, top=top)
+
     def get(self, doc_id: int, fields: list[str] | None = None):
         """Solr real-time get (/get): one doc's stored fields by id, or
         None when the doc is deleted (tombstone-masked — a plain fetch

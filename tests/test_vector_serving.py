@@ -1,0 +1,108 @@
+"""Serving-path vector search + hybrid RRF: exact parity with the
+distributed kernels (similarity.cosine_topk / rrf_fuse) on the same
+data — the q45 story served JVM-free."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from golr_loader_spark.config import IndexConfig
+from golr_loader_spark.operators import similarity as sim
+from golr_loader_spark.plans.build_index import build_index, write_index
+from golr_loader_spark.plans.serve import LocalSearcher
+from golr_loader_spark.plans.vectors import (
+    VectorReader,
+    rrf_fuse_lists,
+    write_vectors,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vecroot") / "ix")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cfg = IndexConfig(
+        fields={"text": ("simple", 1.0)},
+        id_space_bits=max(
+            int(docs.agg(F.max("doc_id")).collect()[0][0]).bit_length(), 1
+        ),
+    )
+    write_index(build_index(docs.select("doc_id", "text"), cfg), root,
+                documents=docs)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = write_vectors(emb, root)
+    assert n == emb.count()
+    return root, cfg
+
+
+def test_vector_topk_matches_distributed(spark, root):
+    r, cfg = root
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    want = [
+        (row["neighbor_id"], row["rank"], row["cos_sim"])
+        for row in sim.cosine_topk(emb, [0], k=15).orderBy("rank").collect()
+    ]
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = VectorReader(r).topk(qvec, k=15, exclude_id=0)
+    assert [(i, rk) for i, rk, _ in got] == [(i, rk) for i, rk, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 2e-6  # both rounded to 6 dp
+
+
+def test_hybrid_rrf_matches_distributed(spark, root):
+    r, cfg = root
+    ls = LocalSearcher(r, cfg)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+
+    # distributed arms with the same parameters
+    from golr_loader_spark.plans.bm25 import search
+    from golr_loader_spark.plans.build_index import read_index
+
+    ix = read_index(spark, r, cfg=cfg)
+    lex_rows = search(ix, "data query spark", k=25, cfg=cfg).collect()
+    lex = spark.createDataFrame(
+        [(row["doc_id"], i + 1) for i, row in enumerate(lex_rows)],
+        "doc_id long, rank long",
+    )
+    vec = sim.cosine_topk(emb, [0], k=25).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    want = [
+        (row["id"], row["r0"], row["r1"], row["rrf_score"])
+        for row in sim.rrf_fuse([lex, vec], top=10).collect()
+    ]
+
+    got = ls.hybrid_rrf(
+        "data query spark", qvec, k_arms=25, top=10, exclude_id=0
+    )
+    assert [(g[0], g[1], g[2]) for g in got] == [
+        (w[0], w[1], w[2]) for w in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g[3] - w[3]) < 1e-9
+
+
+def test_rrf_fuse_lists_semantics():
+    # id 3 in both arms dominates; singles ordered by rank then id
+    got = rrf_fuse_lists([[3, 1], [3, 5]], k=60, top=4)
+    assert got[0][0] == 3 and got[0][1] == 1 and got[0][2] == 1
+    assert {g[0] for g in got} == {3, 1, 5}
+    # missing arm contributes 0, ties break on id asc
+    a, b = rrf_fuse_lists([[7], [9]], k=60, top=2)
+    assert (a[0], b[0]) == (7, 9)
+
+
+def test_vector_reader_edge_cases(root):
+    r, _ = root
+    vr = VectorReader(r)
+    assert vr.topk([0.0] * vr.mat.shape[1], k=5) == []  # zero vector
+    out = vr.topk(vr.mat[0], k=3)
+    assert len(out) == 3 and out[0][1] == 1
