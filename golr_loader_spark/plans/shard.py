@@ -207,6 +207,20 @@ def shard_index(
             shutil.copytree(
                 f"{root}/tombstones", f"{sroot}/tombstones", dirs_exist_ok=True
             )
+        if os.path.isdir(f"{root}/vectors"):
+            vdf = spark.read.parquet(f"{root}/vectors")
+            (
+                vdf.filter(
+                    F.pmod(
+                        F.shiftright(F.col("vec_id"), shift), F.lit(n_shards)
+                    )
+                    == s
+                )
+                .repartitionByRange(max(1, term_partitions // 2), "vec_id")
+                .sortWithinPartitions("vec_id")
+                .write.mode("overwrite")
+                .parquet(f"{sroot}/vectors")
+            )
         for tbl in ("stored", "facets", "docs"):
             if not os.path.isdir(f"{root}/{tbl}"):
                 continue
@@ -707,6 +721,49 @@ class ShardedSearcher:
                 for k, p in zip(pkeys, percentiles or [])
             },
         }
+
+    def vector_topk(
+        self, qvec, k: int = 10, exclude_id: int | None = None
+    ) -> list[tuple[int, int, float]]:
+        """Scatter-gather cosine top-k: each shard answers over its
+        own vectors partition; cosine is an absolute (query, doc)
+        score, so concatenating per-shard top-k lists and re-ranking
+        by (cos desc, id asc) is EXACT — same merge argument as the
+        BM25 scatter."""
+        parts = self._fanout(
+            [
+                (lambda s=s: s.vector_topk(qvec, k, exclude_id=exclude_id))
+                for s in self.shards
+            ]
+        )
+        flat = [t for p in parts for t in p]
+        flat.sort(key=lambda t: (-t[2], t[0]))
+        return [
+            (int(i), r + 1, float(c))
+            for r, (i, _rk, c) in enumerate(flat[:k])
+        ]
+
+    def hybrid_rrf(
+        self,
+        q: str,
+        qvec,
+        k_arms: int = 50,
+        top: int = 10,
+        k_rrf: int = 60,
+        exclude_id: int | None = None,
+    ) -> list[tuple]:
+        """Hybrid lexical+vector RRF over the shard set: both arms are
+        exact global top-k merges, so the fusion is identical to the
+        unsharded LocalSearcher.hybrid_rrf."""
+        from golr_loader_spark.plans.vectors import rrf_fuse_lists
+
+        lex = [d for d, _s in self.search(q, k=k_arms)]
+        vec = [
+            i for i, _r, _c in self.vector_topk(
+                qvec, k=k_arms, exclude_id=exclude_id
+            )
+        ]
+        return rrf_fuse_lists([lex, vec], k=k_rrf, top=top)
 
     def suggest(self, text: str, k: int = 5, **kwargs):
         # the term dictionary is global metadata copied to every shard

@@ -106,3 +106,28 @@ def test_vector_reader_edge_cases(root):
     assert vr.topk([0.0] * vr.mat.shape[1], k=5) == []  # zero vector
     out = vr.topk(vr.mat[0], k=3)
     assert len(out) == 3 and out[0][1] == 1
+
+
+def test_sharded_vector_and_hybrid_parity(spark, root):
+    from golr_loader_spark.plans.shard import ShardedSearcher, shard_index
+
+    r, cfg = root
+    import tempfile
+
+    out = tempfile.mkdtemp() + "/shards"
+    roots = shard_index(spark, r, out, n_shards=2, cfg=cfg)
+    ls = LocalSearcher(r, cfg)
+    emb_row = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") == 0
+    ).collect()[0]
+    qvec = [float(x) for x in emb_row["embedding"]]
+
+    want_vec = ls.vector_topk(qvec, k=12, exclude_id=0)
+    want_hyb = ls.hybrid_rrf("data query spark", qvec, k_arms=20, top=8,
+                             exclude_id=0)
+    for parallel in (False, True):
+        with ShardedSearcher(roots, cfg, parallel=parallel) as ss:
+            assert ss.vector_topk(qvec, k=12, exclude_id=0) == want_vec
+            assert ss.hybrid_rrf(
+                "data query spark", qvec, k_arms=20, top=8, exclude_id=0
+            ) == want_hyb
