@@ -199,6 +199,43 @@ def main() -> None:
             extras[f"serve_p95_ms_{n_sh}shard"] = round(min(seq_reps), 1)
             extras[f"serve_p95_ms_{n_sh}shard_par"] = round(min(par_reps), 1)
 
+        # vector + hybrid serving (plans.vectors): exact cosine top-k
+        # and BM25⊕vector RRF over the sf embeddings table persisted
+        # into the same root; min-of-3 p95 like the lexical arm
+        from golr_loader_spark.plans.vectors import write_vectors
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        write_vectors(emb, td)
+        ls._vectors = None  # (re)load after write
+        qvecs = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.limit(20).collect()
+        ]
+        ls.vector_topk(qvecs[0], k=10)  # warm: load + normalize matrix
+
+        def _p95(fn):
+            import time as _t
+
+            walls = []
+            for v in qvecs:
+                t = _t.perf_counter()
+                fn(v)
+                walls.append((_t.perf_counter() - t) * 1000)
+            walls.sort()
+            return walls[max(0, int(len(walls) * 0.95) - 1)]
+
+        extras["vector_topk_p95_ms"] = round(
+            min(_p95(lambda v: ls.vector_topk(v, k=10)) for _ in range(3)), 2
+        )
+        hq = list(queries.values())[0]
+        extras["hybrid_rrf_p95_ms"] = round(
+            min(
+                _p95(lambda v: ls.hybrid_rrf(hq, v, k_arms=50, top=10))
+                for _ in range(3)
+            ),
+            2,
+        )
+
     # ---- engine arm: positional index + phrase queries ------------------
     # one positional build (IndexConfig(positions=True)) over the SAME
     # corpus: reports the position-list cost (build overhead + bytes/
