@@ -26,10 +26,20 @@ import numpy as np
 
 
 def write_vectors(
-    embeddings, root: str, id_col: str = "vec_id", vec_col: str = "embedding"
+    embeddings,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ivf_cells: int | None = None,
+    ivf_iters: int = 2,
 ) -> int:
     """Persist an embeddings DataFrame under ``{root}/vectors`` for
-    serving. Returns the row count."""
+    serving. With ``ivf_cells`` set, also trains the IVF coarse
+    quantizer (``similarity.train_ivf_centroids`` — Lloyd iterations
+    as pure DataFrame jobs) and persists the centroids under
+    ``{root}/vectors_centroids``; the reader then serves the FAISS
+    IVF-flat shape (probe the nearest n_probe cells only). Returns
+    the row count."""
     from pyspark.sql import functions as F
 
     out = embeddings.select(
@@ -37,6 +47,17 @@ def write_vectors(
         F.col(vec_col).cast("array<double>").alias("embedding"),
     )
     out.write.mode("overwrite").parquet(f"{root}/vectors")
+    if ivf_cells:
+        from golr_loader_spark.operators.similarity import train_ivf_centroids
+
+        cents = train_ivf_centroids(
+            embeddings, n_cells=ivf_cells, n_iters=ivf_iters,
+            id_col=id_col, vec_col=vec_col,
+        ).select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("cvec").cast("array<double>").alias("cvec"),
+        )
+        cents.write.mode("overwrite").parquet(f"{root}/vectors_centroids")
     return out.count()
 
 
@@ -64,19 +85,80 @@ class VectorReader:
         norms = np.linalg.norm(self.mat, axis=1)
         norms[norms == 0] = 1.0
         self._unit = self.mat / norms[:, None]
+        # IVF coarse quantizer (optional): centroids persisted by
+        # write_vectors(ivf_cells=...); cell assignment is computed
+        # once at load (one matmul) with the module's round-6 +
+        # lowest-cell-id tie discipline
+        self._cells = None
+        cfiles = sorted(glob.glob(f"{root}/vectors_centroids/*.parquet"))
+        if cfiles:
+            import pyarrow.parquet as pq2
+
+            cids, cvecs = [], []
+            for f in cfiles:
+                t = pq2.read_table(f, columns=["cell", "cvec"])
+                cids.append(t.column("cell").to_numpy())
+                flat = t.column("cvec").combine_chunks().flatten().to_numpy()
+                n = len(t)
+                cvecs.append(flat.reshape(n, -1) if n else flat.reshape(0, 0))
+            cell_ids = np.concatenate(cids)
+            cmat = np.ascontiguousarray(np.vstack(cvecs), dtype=np.float64)
+            cn = np.linalg.norm(cmat, axis=1)
+            cn[cn == 0] = 1.0
+            cunit = cmat / cn[:, None]
+            # order centroids by cell id so argmax ties resolve to the
+            # LOWEST cell id (the distributed op's lexicographic min)
+            order = np.argsort(cell_ids, kind="stable")
+            self._cell_ids = cell_ids[order]
+            self._cunit = cunit[order]
+            sims = np.round(self._unit @ self._cunit.T, 6)
+            assign = np.argmax(sims, axis=1)  # first max = lowest cell
+            # bucket rows by assigned cell for contiguous probe slices
+            self._cell_order = np.argsort(assign, kind="stable")
+            sorted_assign = assign[self._cell_order]
+            self._cell_bounds = np.searchsorted(
+                sorted_assign, np.arange(len(self._cell_ids) + 1)
+            )
+            self._cells = len(self._cell_ids)
 
     def topk(
-        self, qvec, k: int = 10, exclude_id: int | None = None
+        self,
+        qvec,
+        k: int = 10,
+        exclude_id: int | None = None,
+        n_probe: int | None = None,
     ) -> list[tuple[int, int, float]]:
-        """Exact cosine top-k → [(vec_id, rank, cos_sim)] with the
+        """Cosine top-k → [(vec_id, rank, cos_sim)] with the
         distributed module's ranking discipline: round to 6 dp first,
-        then (cos desc, id asc)."""
+        then (cos desc, id asc). Exact by default; with ``n_probe``
+        (and a trained quantizer on disk) only the nearest n_probe
+        IVF cells are scored — the FAISS IVF-flat serving shape, exact
+        again at ``n_probe >= n_cells``."""
         q = np.asarray(qvec, dtype=np.float64)
         qn = np.linalg.norm(q)
         if qn == 0:
             return []
-        sims = np.round(self._unit @ (q / qn), 6)
-        ids = self.ids
+        qu = q / qn
+        if n_probe is not None and self._cells:
+            csims = np.round(self._cunit @ qu, 6)
+            probe = np.lexsort((self._cell_ids, -csims))[
+                : min(n_probe, self._cells)
+            ]
+            rows = np.concatenate(
+                [
+                    self._cell_order[
+                        self._cell_bounds[c] : self._cell_bounds[c + 1]
+                    ]
+                    for c in probe
+                ]
+            ) if len(probe) else np.array([], dtype=np.int64)
+            if rows.size == 0:
+                return []
+            sims = np.round(self._unit[rows] @ qu, 6)
+            ids = self.ids[rows]
+        else:
+            sims = np.round(self._unit @ qu, 6)
+            ids = self.ids
         if exclude_id is not None:
             mask = ids != exclude_id
             sims, ids = sims[mask], ids[mask]

@@ -131,3 +131,54 @@ def test_sharded_vector_and_hybrid_parity(spark, root):
             assert ss.hybrid_rrf(
                 "data query spark", qvec, k_arms=20, top=8, exclude_id=0
             ) == want_hyb
+
+
+@pytest.fixture(scope="module")
+def ivf_root(spark, tmp_path_factory):
+    r = str(tmp_path_factory.mktemp("ivfroot") / "ix")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    write_vectors(emb, r, ivf_cells=16, ivf_iters=2)
+    return r
+
+
+def test_ivf_serving_exact_at_full_probe(ivf_root):
+    vr = VectorReader(ivf_root)
+    assert vr._cells == 16
+    q = vr.mat[3]
+    exact = vr.topk(q, k=10, exclude_id=int(vr.ids[3]))
+    full = vr.topk(q, k=10, exclude_id=int(vr.ids[3]), n_probe=16)
+    assert full == exact
+
+
+def test_ivf_serving_recall_gate(ivf_root):
+    """Recall on the near-random test embeddings is probe-ratio-bound
+    (no multi-table amplification): the distributed op's documented
+    curve is 0.49 @ 4/16 untrained. The serving reader probes TRAINED
+    cells (2 Lloyd iterations), which must beat the untrained ratio —
+    gate ≥ 0.55 @ 4/16 and ≥ 0.75 @ 8/16 (measured: 0.63 / 0.8+).
+    Clustered real corpora concentrate neighbors in the query's cell
+    and clear far higher recall at the same probe ratio."""
+    vr = VectorReader(ivf_root)
+
+    def recall(n_probe):
+        hits = total = 0
+        for qi in range(0, 40, 4):
+            q = vr.mat[qi]
+            ex = {i for i, _, _ in vr.topk(q, k=10, exclude_id=int(vr.ids[qi]))}
+            ap = {
+                i for i, _, _ in vr.topk(
+                    q, k=10, exclude_id=int(vr.ids[qi]), n_probe=n_probe
+                )
+            }
+            hits += len(ex & ap)
+            total += len(ex)
+        return hits / total
+
+    assert recall(4) >= 0.55
+    assert recall(8) >= 0.75
+    # probed results must carry EXACT cosines (same rounded dot)
+    q = vr.mat[8]
+    ex = {i: c for i, _, c in vr.topk(q, k=10, exclude_id=int(vr.ids[8]))}
+    for i, _, c in vr.topk(q, k=10, exclude_id=int(vr.ids[8]), n_probe=4):
+        if i in ex:
+            assert c == ex[i]
