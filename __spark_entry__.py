@@ -1520,15 +1520,18 @@ def _engine_mathx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
     )
     out = compile_stream(
+        # roundTo=4 INSIDE regress: the engine rounds exactly once to
+        # 4 dp, matching SQL_Q81's single round — a 6-then-4 double
+        # round can flip values near a 4-dp halfway boundary
         'regress(search(li, q="*:*", fl="doc_id,l_quantity,l_extendedprice"),'
-        ' x="l_quantity", y="l_extendedprice")',
+        ' x="l_quantity", y="l_extendedprice", roundTo="4")',
         StreamContext({"li": StreamCollection(None, li)}),
     )
     return out.select(
         "n",
-        F.round("slope", 4).alias("slope"),
-        F.round("intercept", 4).alias("intercept"),
-        F.round("RSquared", 4).alias("r2"),
+        "slope",
+        "intercept",
+        F.col("RSquared").alias("r2"),
     )
 
 

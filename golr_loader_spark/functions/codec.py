@@ -32,9 +32,14 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray
     n = len(v)
     if n == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
-    # bytes needed per value: 1 + floor(bit_length-1 / 7)
+    # bytes needed per value: 1 + floor(bit_length-1 / 7). Bound the
+    # pass count by the array MAX up front: posting deltas/tfs are
+    # overwhelmingly 1-2 bytes, so this turns 9 full passes into 1-2.
+    vmax = int(v.max())
     nb = np.ones(n, dtype=np.int64)
     for k in range(1, _MAXB):
+        if vmax < 1 << (7 * k):
+            break
         nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(nb)])
     out = np.zeros(offsets[-1], dtype=np.uint8)

@@ -59,7 +59,11 @@ def word_shingles(
     contract) the output is already distinct, so no post-explode
     distinct — that would be a full extra shuffle of the largest
     intermediate in the dedup family."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    # materialize the token split ONCE per row in its own projection:
+    # inlining split(lower(text)) into the transform lambda makes
+    # codegen re-evaluate the split per gram — O(tokens²) string work
+    # per doc (measured 2.6× slower on the shingling stage at sf0.1)
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -67,8 +71,12 @@ def word_shingles(
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+        )
+        .select(F.col("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 
@@ -86,32 +94,46 @@ def ngram_jaccard_pairs(
     the skew guard that keeps the join linear at corpus scale)."""
     sh = word_shingles(df, id_col, text_col, n)
     # per-shingle df via groupBy (map-side partial agg keeps hot
-    # stop-shingles cheap). The filtering joins deliberately run
-    # against the SMALL derived sets only — `hot` (df > cap) and
-    # `shared` (2 ≤ df ≤ cap) — which AQE broadcasts when they fit;
-    # joining sh against the full cold vocabulary (df ≤ cap includes
-    # the df=1 majority) would force a sort-merge join that sorts the
-    # largest intermediate (measured 6.5× slower at sf0.1). No
-    # broadcast HINT: both sets are data-dependent in size.
-    counts = sh.groupBy("shingle").count().cache()
+    # stop-shingles cheap). The hot filter joins against the SMALL
+    # derived set only — `hot` (df > cap) — which AQE broadcasts when
+    # it fits. No broadcast HINT: hot is data-dependent in size
+    # (could be millions of shingles at corpus scale).
+    counts = sh.groupBy("shingle").count()
     hot = counts.filter(F.col("count") > max_shingle_df)
-    # hot is data-dependent (could be millions of shingles at corpus
-    # scale) — let AQE pick broadcast when it fits, never force it
-    sh = sh.join(hot.select("shingle"), "shingle", "left_anti").cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    # only shingles shared by ≥2 docs can produce a pair — dropping
-    # df=1 shingles (the vast majority) shrinks the self-join input
-    # by ~10× with identical results (sizes above keep ALL cold
-    # shingles, so Jaccard denominators are unchanged)
-    shared = counts.filter(
-        (F.col("count") >= 2) & (F.col("count") <= max_shingle_df)
-    ).select("shingle")
-    sh_j = sh.join(shared, "shingle", "left_semi")  # AQE broadcasts if small
-    a, b = sh_j.alias("a"), sh_j.alias("b")
+    sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    # ONE groupBy(shingle) gathers each cold shingle's doc list —
+    # bounded by max_shingle_df (the hot filter ran first), so no
+    # giant-row risk — and every downstream quantity derives from it:
+    #   * sizes — per-doc cold-shingle counts (re-explode + groupBy,
+    #     ALL cold shingles incl. df=1, so Jaccard denominators are
+    #     unchanged);
+    #   * pairs — a JVM higher-order-function expansion of the sorted
+    #     list into its C(df,2) ordered pairs (≤ C(cap,2) per
+    #     shingle), replacing the former shingle self-join. The old
+    #     plan shuffled the cold shingle set THREE times (sizes agg +
+    #     both join sides); this plan shuffles it twice (the list
+    #     groupBy + the sizes re-explode) and the pair explosion is a
+    #     map-side transform — measured ~2× faster at sf0.1 with
+    #     bit-identical output.
+    g = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids")).persist()
+    sizes = g.select(F.explode("ids").alias("id")).groupBy("id").agg(
+        F.count("*").alias("sz")
+    )
+    sids = F.col("sids")
+    pair_structs = F.flatten(
+        F.transform(
+            sids,
+            lambda x, i: F.transform(
+                F.slice(sids, i + 2, F.size(sids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        g.filter(F.size("ids") >= 2)
+        .select(F.sort_array("ids").alias("sids"))
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     return (

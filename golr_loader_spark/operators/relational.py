@@ -666,13 +666,18 @@ def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     (scores rounded to 4, ranked by the rounded value)."""
     d = load(spark, sf, "documents")
     terms = ["data", "query", "spark"]
+    # toks is read by THREE consumers (corpus stats, qt, dl) across
+    # two jobs — persist it so the corpus is exploded + aggregated
+    # once, not once per job (guide §5: reuse > recompute here; the
+    # table is (doc, distinct term) — far smaller than the raw
+    # explode). Unpersisted after the top-k collect below.
     toks = (
         d.select(
             F.col("doc_id"), F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
         )
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-    )
+    ).persist()
     dl = toks.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # one scalar-agg job for both corpus stats (every doc yields ≥1
     # token, so count over dl == count over documents)
@@ -717,6 +722,7 @@ def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     # WindowExec — every scored doc stayed in its partition); rank then
     # attaches to the ≤50 surviving rows driver-side.
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50).collect()
+    toks.unpersist()
     return spark.createDataFrame(
         [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
         "rank int, doc_id long, score double",

@@ -502,16 +502,28 @@ def semdedup(
                 .collect()  # bounded: K rows
             )
         ]
-    v = F.col(vec_col)
+    # per-row vector norm computed ONCE and carried alongside the
+    # vector: the centroid cosines AND the pairwise stage below reuse
+    # it (the old plan re-folded both norms for EVERY candidate pair —
+    # O(pairs·dim) array aggregates instead of O(rows·dim)) — same
+    # float ops, bit-identical cosines
+    vv = F.col("_vec")
     cos_cols = []
     for _cid, cvec in sorted(centroids):
         c = F.array(*[F.lit(float(x)) for x in cvec])
         cnorm = float(np.sqrt(sum(float(x) * float(x) for x in cvec)))
-        cos_cols.append(F.round(_dot(v, c) / (_norm(v) * F.lit(cnorm)), round_to))
+        cos_cols.append(
+            F.round(_dot(vv, c) / (F.col("_nrm") * F.lit(cnorm)), round_to)
+        )
     arr = F.array(*cos_cols)
     assigned = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        v.alias("_vec"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    ).select(
+        "vec_id",
+        "_vec",
+        "_nrm",
         (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("cluster"),
     )
     l, r = assigned.alias("l"), assigned.alias("r")
@@ -522,7 +534,7 @@ def semdedup(
             "cos_sim",
             F.round(
                 _dot(F.col("l._vec"), F.col("r._vec"))
-                / (_norm(F.col("l._vec")) * _norm(F.col("r._vec"))),
+                / (F.col("l._nrm") * F.col("r._nrm")),
                 round_to,
             ),
         )

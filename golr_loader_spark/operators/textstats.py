@@ -528,19 +528,30 @@ def bigram_logprob(
     pass is two equi-joins on term keys (AQE-broadcast when the
     vocabulary is small) + one final groupBy(doc). Everything is a
     hash shuffle on (term) or (doc) — no skewed cross products."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    # materialize the token split once per row (same codegen trap as
+    # dedup.word_shingles: inlining split() into the slice/zip
+    # expressions re-evaluates it several times per row)
+    toks = F.col("_toks")
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
     )
+    split_df = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+    )
     bg = (
-        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        split_df.select("id", F.explode(pairs).alias("p"))
         .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     bigram_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    first_c = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # C(w1 ·) = Σ_w2 C(w1 w2): derive the first-element counts from
+    # the (far smaller) bigram-count table instead of a second full
+    # pass + shuffle over the exploded bigrams — integer arithmetic,
+    # bit-identical result
+    first_c = bigram_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
-        df.select(F.explode(toks).alias("w")).agg(
+        split_df.select(F.explode(toks).alias("w")).agg(
             F.countDistinct("w").alias("v")
         )
     )

@@ -196,14 +196,23 @@ def _encode_groups(
 def _encode_batches(cfg: IndexConfig) -> "callable":
     """Streaming flat-row block encoder for mapInArrow.
 
-    Input batches are FLAT posting rows (term, field, bucket, doc_id,
-    tf, dl), hash-partitioned by (term, field, bucket) and sorted by
-    (term, field, bucket, doc_id) within the partition. Group
-    boundaries are detected vectorized; the (possibly incomplete)
-    trailing group of each batch is carried over and prepended to the
-    next, so NO posting list is ever materialized as a single row —
-    the giant-row / executor-OOM failure mode of collect_list on a
-    hot term simply cannot occur, at any scale."""
+    Input batches are FLAT posting rows (term, fcode, doc_id, tf,
+    dl), hash-partitioned by (term, fcode, bucket-of(doc_id)) and
+    sorted by (term, fcode, doc_id) within the partition — ``fcode``
+    is the field's integer position in ``cfg.fields`` and the bucket
+    is NOT shipped: it is a monotone function of doc_id, so the
+    (term, fcode, doc_id) sort already yields contiguous
+    (term, field, bucket) runs, and the encoder re-derives it with
+    one vectorized shift (guide §2.3: shuffle keys, not derivable
+    metadata — dropping the field string + bucket int cut the wide
+    shuffle's row width by ~25%). Group boundaries are detected
+    vectorized; the (possibly incomplete) trailing group of each
+    batch is carried over and prepended to the next, so NO posting
+    list is ever materialized as a single row — the giant-row /
+    executor-OOM failure mode of collect_list on a hot term simply
+    cannot occur, at any scale."""
+    field_names = list(cfg.fields)
+    shift = np.int64(max(0, cfg.id_space_bits - cfg.bucket_bits))
 
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pend: dict | None = None
@@ -211,15 +220,19 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
             if rb.num_rows == 0:
                 continue
             terms = rb.column(0)
-            fields = rb.column(1)
-            buckets = rb.column(2).to_numpy(zero_copy_only=False)
-            ids = rb.column(3).to_numpy(zero_copy_only=False)
-            tfs = rb.column(4).to_numpy(zero_copy_only=False)
-            dls = rb.column(5).to_numpy(zero_copy_only=False)
-            if rb.num_columns > 6:
+            fcodes = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = rb.column(2).to_numpy(zero_copy_only=False)
+            tfs = rb.column(3).to_numpy(zero_copy_only=False)
+            dls = rb.column(4).to_numpy(zero_copy_only=False)
+            # bucket re-derived from doc_id: same arithmetic shift as
+            # bucket_of (monotone, sign-preserving)
+            buckets = np.right_shift(ids.astype(np.int64), shift).astype(
+                np.int32
+            )
+            if rb.num_columns > 5:
                 # positional: flat byte stream + per-row sizes straight
                 # from the Arrow binary buffers (no per-row objects)
-                pcol = rb.column(6)
+                pcol = rb.column(5)
                 pbufs = pcol.buffers()
                 poffs = np.frombuffer(pbufs[1], dtype=np.int32)[
                     pcol.offset : pcol.offset + len(pcol) + 1
@@ -233,18 +246,16 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
             else:
                 poffs = pdata = psizes = None
 
-            # group keys without string compares: dictionary-encode.
-            # Codes are appearance-ordered (not sort-ordered) — fine,
-            # we only need equal-key runs, and input is grouped.
+            # group keys without string compares: dictionary-encode
+            # terms (codes are appearance-ordered, fine — we only need
+            # equal-key runs and input is grouped); fcodes arrive as
+            # ints already.
             tcodes = pa.compute.dictionary_encode(terms).indices.to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            fcodes = pa.compute.dictionary_encode(fields).indices.to_numpy(
                 zero_copy_only=False
             ).astype(np.int64)
             bmin = np.int64(buckets.min())
             brange = np.int64(buckets.max()) - bmin + 1
-            key = (tcodes * (fcodes.max() + 1) + fcodes) * brange + (
+            key = (tcodes * len(field_names) + fcodes) * brange + (
                 buckets.astype(np.int64) - bmin
             )
 
@@ -253,7 +264,7 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
                 # key fingerprint (same term/field/bucket values)
                 cont = (
                     pend["term"] == terms[0].as_py()
-                    and pend["field"] == fields[0].as_py()
+                    and pend["fcode"] == int(fcodes[0])
                     and pend["bucket"] == int(buckets[0])
                 )
                 if cont:
@@ -270,7 +281,7 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
                             [pend["psizes"], psizes[:head_len]]
                         )
                         poffs, psizes = poffs[head_len:], psizes[head_len:]
-                    terms, fields = terms[head_len:], fields[head_len:]
+                    terms, fcodes = terms[head_len:], fcodes[head_len:]
                     buckets, ids = buckets[head_len:], ids[head_len:]
                     tfs, dls, key = tfs[head_len:], dls[head_len:], key[head_len:]
                     if len(ids) == 0:
@@ -287,7 +298,8 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
             last_lo = int(offs[-2])
             pend = {
                 "term": terms[last_lo].as_py(),
-                "field": fields[last_lo].as_py(),
+                "fcode": int(fcodes[last_lo]),
+                "field": field_names[int(fcodes[last_lo])],
                 "bucket": int(buckets[last_lo]),
                 "ids": ids[last_lo:].copy(),
                 "tfs": tfs[last_lo:].copy(),
@@ -300,7 +312,10 @@ def _encode_batches(cfg: IndexConfig) -> "callable":
                 g_starts = offs[:-2].astype(np.int64)
                 yield _encode_groups(
                     terms.take(pa.array(g_starts)),
-                    fields.take(pa.array(g_starts)),
+                    pa.compute.take(
+                        pa.array(field_names, type=pa.string()),
+                        pa.array(fcodes[g_starts], type=pa.int64()),
+                    ),
                     buckets[g_starts],
                     offs[:-1] - 0,
                     ids[:last_lo],
@@ -346,42 +361,77 @@ def build_postings(
     """tokens(doc_id, field, term, tf, dl) → compressed block-max
     postings.
 
-    Plan: hash-repartition flat token rows on (term, field, bucket),
-    Tungsten radix-sort within partitions on (term, field, bucket,
-    doc_id), then stream them through the Arrow-native block encoder.
-    This is the engine's only wide shuffle, it moves flat columnar
-    rows (never materialized lists — a collect_list of a hot term
-    would be a single giant JVM row, the classic skew OOM), and the
-    bucket key bounds per-group work to ≤ n_docs / 2**bucket_bits
-    postings regardless of term hotness. The encoder needs no corpus
-    statistic, so the lineage tokenize → shuffle → encode is one
-    unbroken job — no stats barrier in the middle.
+    Plan: hash-repartition flat token rows on (term, fcode,
+    bucket-of(doc_id)) — the bucket is hashed as an inline expression
+    and the field travels as an int code, so the exchange rows are
+    (term, fcode, doc_id, tf, dl[, positions]) only — then Tungsten-
+    sort within partitions on (term, fcode, doc_id) (bucket is
+    monotone in doc_id, so this equals the (term, field, bucket,
+    doc_id) order the encoder needs), and stream through the
+    Arrow-native block encoder, which re-derives buckets with one
+    vectorized shift. This is the engine's only wide shuffle, it
+    moves flat columnar rows (never materialized lists — a
+    collect_list of a hot term would be a single giant JVM row, the
+    classic skew OOM), and the bucket key bounds per-group work to
+    ≤ n_docs / 2**bucket_bits postings regardless of term hotness.
+    The encoder needs no corpus statistic, so the lineage tokenize →
+    shuffle → encode is one unbroken job — no stats barrier in the
+    middle.
 
-    Shuffle sizing: size ``spark.sql.shuffle.partitions`` to 2-4×
-    the total core count (multi-wave). With exactly one task per core
-    a stage's wall is the max over concurrent tasks, so reduce-key
-    imbalance and node slowdowns amplify with cluster width; a few
-    waves per core lets fast cores absorb stragglers (measured −11%
-    build wall at 4 cores) and keeps per-task sorts in executor
-    memory. AQE's partition coalescing handles the too-many-tiny-
-    partitions direction automatically.
+    Shuffle sizing: the exchange uses an EXPLICIT partition count of
+    ``spark.golr_loader.build.waves`` (default 4) × the session's
+    defaultParallelism, floored by ``spark.sql.shuffle.partitions`` —
+    multi-wave, scale-adaptive, never a local constant. With exactly
+    one task per core a stage's wall is the max over concurrent
+    tasks, so reduce-key imbalance and node slowdowns amplify with
+    cluster width; a few waves per core lets fast cores absorb
+    stragglers and keeps per-task sorts in executor memory (measured
+    at 240k docs / local[32]: 1 wave 32.6s base / 46.0s positional,
+    4 waves 21.3 / 24.9).
     """
     cfg = cfg or IndexConfig()
 
     tk = tokens
     if "dl" not in tk.columns:
         tk = tk.join(doc_lengths(tokens), on=["doc_id", "field"])
-    if "bucket" not in tk.columns:
-        tk = tk.withColumn("bucket", bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits))
 
-    cols = ["term", "field", "bucket", "doc_id", "tf", "dl"]
     positional = cfg.positions and "positions" in tk.columns
+    # Shuffle-row diet (guide §2.3): the exchange carries (term,
+    # fcode:int, doc_id, tf, dl[, positions]) — the field STRING is
+    # replaced by its integer position in cfg.fields and the bucket
+    # is not shipped at all (it is a monotone function of doc_id; the
+    # partitioner hashes the inline expression and the encoder
+    # re-derives it with one vectorized shift). Because bucket is
+    # monotone in doc_id, sorting by (term, fcode, doc_id) yields the
+    # exact same contiguous (term, field, bucket, doc_id-ascending)
+    # runs the encoder needs.
+    field_names = list(cfg.fields)
+    fcode = F.lit(None).cast("int")
+    for i in range(len(field_names) - 1, -1, -1):
+        fcode = F.when(F.col("field") == field_names[i], F.lit(i)).otherwise(fcode)
+    cols = [F.col("term"), fcode.alias("_fc"), F.col("doc_id"),
+            F.col("tf"), F.col("dl")]
     if positional:
-        cols.append("positions")
+        cols.append(F.col("positions"))
+    spark = tk.sparkSession
+    # Multi-wave reduce sizing, scale-adaptive: a few waves per core
+    # lets fast cores absorb stragglers (see docstring); derived from
+    # the session's parallelism/shuffle config, never a constant.
+    # measured at 240k docs / local[32]: 1 wave 32.6s base / 46.0s
+    # positional, 2 waves 22.1/32.7, 4 waves 21.3/24.9, 8 waves
+    # 20.7/25.4 — 4 is the knee (stragglers absorbed, per-task sorts
+    # smaller) and stays sane at cluster scale (reduce partitions =
+    # 4× total cores, with shuffle.partitions as the floor)
+    waves = int(spark.conf.get("spark.golr_loader.build.waves", "4"))
+    n_red = max(
+        spark.sparkContext.defaultParallelism * waves,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    bucket_expr = bucket_of(F.col("doc_id"), cfg.bucket_bits, cfg.id_space_bits)
     flat = (
         tk.select(*cols)
-        .repartition("term", "field", "bucket")
-        .sortWithinPartitions("term", "field", "bucket", "doc_id")
+        .repartition(n_red, F.col("term"), F.col("_fc"), bucket_expr)
+        .sortWithinPartitions("term", "_fc", "doc_id")
     )
     spark_schema = (
         "term string, field string, bucket int, block_id int, n int, "

@@ -77,7 +77,11 @@ def flatten_documents(corpus: DataFrame) -> DataFrame:
     )
 
 
-def assign_dense_ids(documents: DataFrame, range_buckets: int = 1024) -> DataFrame:
+def assign_dense_ids(
+    documents: DataFrame,
+    range_buckets: int = 1024,
+    broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
     """Replace hash doc_ids with DENSE deterministic ids 0..N-1.
 
     Dense ids make posting deltas small (1-2 varint bytes instead of
@@ -97,15 +101,27 @@ def assign_dense_ids(documents: DataFrame, range_buckets: int = 1024) -> DataFra
     ``doc_hash`` (join key back to external systems). Pair with
     ``IndexConfig(id_space_bits=ceil(log2 N))`` so doc-range
     bucketing splits the dense space evenly.
+
+    **Plan shape** (optimization guide §8: decide with small rows,
+    move big rows once): the row_number window runs over a NARROW
+    projection (doc_id, repo, path, commit) — never over ``content``
+    — and the resulting (keys → dense_id) mapping is broadcast-joined
+    back, so the document payload is NOT shuffled at all. The step-2
+    count pass already tells the driver N exactly, so the broadcast
+    decision costs nothing; above ``broadcast_threshold`` rows the
+    mapping would strain driver/executor memory and the code falls
+    back to the window-over-full-rows plan (one payload shuffle —
+    the same cost a doc_id-keyed merge join would pay anyway).
     """
     from pyspark.sql import Window
 
     bits = max(1, (range_buckets - 1).bit_length())
     rb = F.shiftrightunsigned(F.col("doc_id"), 64 - bits)
-    with_rb = documents.withColumn("_rb", rb)
+    keys = ["doc_id", "repo", "path", "commit"]
+    narrow = documents.select(*keys).withColumn("_rb", rb)
     counts = {
         int(r["_rb"]): int(r["n"])
-        for r in with_rb.groupBy("_rb").agg(F.count("*").alias("n")).collect()
+        for r in narrow.groupBy("_rb").agg(F.count("*").alias("n")).collect()
     }
     offsets, acc = {}, 0
     for b in sorted(counts):
@@ -115,6 +131,39 @@ def assign_dense_ids(documents: DataFrame, range_buckets: int = 1024) -> DataFra
         *[F.lit(x) for b, o in sorted(offsets.items()) for x in (b, o)]
     )
     w = Window.partitionBy("_rb").orderBy("doc_id", "repo", "path", "commit")
+    n_total = acc
+    if n_total <= broadcast_threshold:
+        dense = (F.element_at(omap, F.col("_rb")) + F.col("_rn") - 1).cast("long")
+        mapping = (
+            narrow.withColumn("_rn", F.row_number().over(w))
+            .select(
+                F.col("doc_id").alias("_m_hash"),
+                F.col("repo").alias("_m_repo"),
+                F.col("path").alias("_m_path"),
+                F.col("commit").alias("_m_commit"),
+                dense.alias("_m_dense"),
+            )
+        )
+        # 4-key equi-join (not doc_id alone): under a hash collision
+        # two docs share doc_id but get DISTINCT dense ids — the full
+        # key keeps the attach exact, matching the window tie-break
+        joined = documents.join(
+            F.broadcast(mapping),
+            (F.col("doc_id") == F.col("_m_hash"))
+            & (F.col("repo") == F.col("_m_repo"))
+            & (F.col("path") == F.col("_m_path"))
+            & (F.col("commit") == F.col("_m_commit")),
+        )
+        return joined.select(
+            *[
+                F.col("_m_dense").alias("doc_id") if c == "doc_id" else F.col(c)
+                for c in documents.columns
+            ],
+            F.col("_m_hash").alias("doc_hash"),
+        )
+    # fallback at mapping sizes past broadcastability: the original
+    # window-over-full-rows plan (payload shuffled once, by _rb)
+    with_rb = documents.withColumn("_rb", rb)
     return (
         with_rb.withColumn("_rn", F.row_number().over(w))
         .withColumn("doc_hash", F.col("doc_id"))

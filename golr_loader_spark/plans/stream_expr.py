@@ -652,7 +652,14 @@ def _c_timeseries(e: Expr, ctx: StreamContext) -> DataFrame:
         F.count("*").cast("long").alias("count(*)")
     ]
     mfields = sorted(
-        {mtr.args[0] for mtr in metrics if mtr.args and isinstance(mtr.args[0], str)}
+        {
+            mtr.args[0]
+            for mtr in metrics
+            # count(*)'s "*" is not a field — letting it through would
+            # select("doc_id", field, "*") and drag every stored column
+            # through the pre-aggregation join
+            if mtr.args and isinstance(mtr.args[0], str) and mtr.args[0] != "*"
+        }
     )
     rows = _export_rows(
         coll, e.kwargs.get("q", "*:*"), e.kwargs.get("fq"),
@@ -736,11 +743,16 @@ def _c_corr(e: Expr, ctx: StreamContext) -> DataFrame:
 def _c_regress(e: Expr, ctx: StreamContext) -> DataFrame:
     """Math Expressions ``regress()``: simple OLS of y on x. slope =
     covar_pop/var_pop, intercept = ȳ − slope·x̄, RSquared = corr² —
-    all population moments from ONE aggregate pass."""
+    all population moments from ONE aggregate pass. ``roundTo=`` sets
+    the single output rounding (default 6): callers that re-round to a
+    coarser precision must pass it here instead — double rounding
+    (6 then 4) can disagree with a single round-to-4 oracle on values
+    near a 4-dp halfway boundary."""
     df = compile_stream(e.args[0], ctx)
     fx, fy = e.kwargs.get("x"), e.kwargs.get("y")
     if not fx or not fy:
         raise ValueError("regress needs x=, y=")
+    round_to = int(e.kwargs.get("roundTo", 6))
     m = df.agg(
         F.count("*").cast("long").alias("n"),
         F.covar_pop(fx, fy).alias("_cov"),
@@ -752,9 +764,9 @@ def _c_regress(e: Expr, ctx: StreamContext) -> DataFrame:
     slope = F.col("_cov") / F.col("_varx")
     return m.select(
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("intercept"),
-        F.round(F.col("_r") * F.col("_r"), 6).alias("RSquared"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), round_to).alias("intercept"),
+        F.round(F.col("_r") * F.col("_r"), round_to).alias("RSquared"),
     )
 
 
@@ -992,8 +1004,13 @@ def _c_topic(e: Expr, ctx: StreamContext) -> DataFrame:
         .localCheckpoint()
     )
     os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
-    with open(ckpt_path, "w") as f:
+    # atomic checkpoint advance: write-then-rename so a crash mid-write
+    # can never leave a truncated/corrupt topics/{id}.json behind (the
+    # materialize-before-advance crash-safety contract)
+    tmp_path = ckpt_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump({"seg": cur_max}, f)
+    os.replace(tmp_path, ckpt_path)
     return out
 
 

@@ -75,13 +75,23 @@ class VectorReader:
         ids, mats = [], []
         for f in files:
             t = pq.read_table(f, columns=["vec_id", "embedding"])
+            n = len(t)
+            if n == 0:
+                # Spark routinely writes empty part files (and
+                # shard_index's repartitionByRange makes them near-
+                # certain): a (0, 0) reshape would break the vstack
+                # below, so zero-row files are skipped outright
+                continue
             ids.append(t.column("vec_id").to_numpy())
             emb = t.column("embedding")
             flat = emb.combine_chunks().flatten().to_numpy()
-            n = len(t)
-            mats.append(flat.reshape(n, -1) if n else flat.reshape(0, 0))
-        self.ids = np.concatenate(ids)
-        self.mat = np.ascontiguousarray(np.vstack(mats), dtype=np.float64)
+            mats.append(flat.reshape(n, -1))
+        if not mats:
+            self.ids = np.empty(0, dtype=np.int64)
+            self.mat = np.empty((0, 0), dtype=np.float64)
+        else:
+            self.ids = np.concatenate(ids)
+            self.mat = np.ascontiguousarray(np.vstack(mats), dtype=np.float64)
         norms = np.linalg.norm(self.mat, axis=1)
         norms[norms == 0] = 1.0
         self._unit = self.mat / norms[:, None]
@@ -97,10 +107,14 @@ class VectorReader:
             cids, cvecs = [], []
             for f in cfiles:
                 t = pq2.read_table(f, columns=["cell", "cvec"])
+                n = len(t)
+                if n == 0:  # same zero-row-part guard as the vectors loop
+                    continue
                 cids.append(t.column("cell").to_numpy())
                 flat = t.column("cvec").combine_chunks().flatten().to_numpy()
-                n = len(t)
-                cvecs.append(flat.reshape(n, -1) if n else flat.reshape(0, 0))
+                cvecs.append(flat.reshape(n, -1))
+            if not cvecs or not len(self.ids):
+                return  # all-empty centroid parts / empty shard: no quantizer
             cell_ids = np.concatenate(cids)
             cmat = np.ascontiguousarray(np.vstack(cvecs), dtype=np.float64)
             cn = np.linalg.norm(cmat, axis=1)
@@ -134,6 +148,8 @@ class VectorReader:
         (and a trained quantizer on disk) only the nearest n_probe
         IVF cells are scored — the FAISS IVF-flat serving shape, exact
         again at ``n_probe >= n_cells``."""
+        if not len(self.ids):  # empty shard (all part files zero-row)
+            return []
         q = np.asarray(qvec, dtype=np.float64)
         qn = np.linalg.norm(q)
         if qn == 0:
