@@ -232,7 +232,28 @@ def _sort_blocks(rows: pd.DataFrame) -> pd.DataFrame:
     return rows.sort_values(cols, kind="stable")
 
 
-def _grouped_arrays(pdf: pd.DataFrame):
+def _block_cols(pdf) -> dict:
+    """Normalize a bucket group to a dict of bare numpy arrays.
+    Accepts either a pandas DataFrame (the applyInPandas distributed
+    path) or an already-converted dict (the serving path, which
+    slices numpy views per bucket and never touches pandas — see
+    serve.LocalSearcher._score; profiling put pandas frame
+    construction/slicing at ~45% of serve query wall)."""
+    if isinstance(pdf, dict):
+        return pdf
+    cols = {
+        c: pdf[c].to_numpy()
+        for c in ("term", "field", "block_id", "n", "doc_id_first",
+                  "max_tf", "min_dl", "doc_ids", "tfs", "dls")
+    }
+    if "segment" in pdf.columns:
+        cols["segment"] = pdf["segment"].to_numpy()
+    if "bucket" in pdf.columns:
+        cols["bucket"] = pdf["bucket"].to_numpy()
+    return cols
+
+
+def _grouped_arrays(pdf):
     """One numpy lexsort replaces the kernel's per-group pandas work:
     factorize (term, field) via np.unique, sort the whole bucket by
     (term, field, segment, block_id) — so every (term, field) list is
@@ -240,27 +261,29 @@ def _grouped_arrays(pdf: pd.DataFrame):
     decode order — and hand back bare numpy/object arrays. Profiling
     (240k docs, 20-query serve batch) showed pandas groupby +
     sort_values + column access at >60% of query wall; this path does
-    the same grouping in two np.unique calls and one lexsort."""
-    terms = pdf["term"].to_numpy()
-    fields = pdf["field"].to_numpy()
-    n_rows = len(pdf)
+    the same grouping in two np.unique calls and one lexsort.
+    Accepts a DataFrame or a dict of numpy arrays (``_block_cols``)."""
+    cols = _block_cols(pdf)
+    terms = cols["term"]
+    fields = cols["field"]
+    n_rows = len(terms)
     seg = (
-        pdf["segment"].to_numpy(np.int64)
-        if "segment" in pdf.columns
+        cols["segment"].astype(np.int64)
+        if "segment" in cols
         else np.zeros(n_rows, dtype=np.int64)
     )
-    blk = pdf["block_id"].to_numpy(np.int64)
+    blk = cols["block_id"].astype(np.int64)
     t_uniq, t_codes = np.unique(terms, return_inverse=True)
     f_uniq, f_codes = np.unique(fields, return_inverse=True)
     order = np.lexsort((blk, seg, f_codes, t_codes))
     ga = {
-        "n": pdf["n"].to_numpy(np.int64)[order],
-        "first": pdf["doc_id_first"].to_numpy(np.int64)[order],
-        "max_tf": pdf["max_tf"].to_numpy(np.float64)[order],
-        "min_dl": pdf["min_dl"].to_numpy(np.float64)[order],
-        "doc_ids": pdf["doc_ids"].to_numpy()[order],
-        "tfs": pdf["tfs"].to_numpy()[order],
-        "dls": pdf["dls"].to_numpy()[order],
+        "n": cols["n"].astype(np.int64)[order],
+        "first": cols["doc_id_first"].astype(np.int64)[order],
+        "max_tf": cols["max_tf"].astype(np.float64)[order],
+        "min_dl": cols["min_dl"].astype(np.float64)[order],
+        "doc_ids": cols["doc_ids"][order],
+        "tfs": cols["tfs"][order],
+        "dls": cols["dls"][order],
         "seg": seg[order],
     }
     tc = t_codes[order]
@@ -405,11 +428,15 @@ def _score_bucket_factory(
             list_cache.put(key, hit)
         return hit
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        def empty() -> pd.DataFrame:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": np.int64, "score": np.float64}
-            )
+    _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+    def score_arrays(cols) -> tuple[np.ndarray, np.ndarray]:
+        """Array-core scorer: dict-of-numpy (or DataFrame) in,
+        (doc_ids, scores) out — the serving path's pandas-free entry
+        (see _block_cols)."""
+
+        def empty() -> tuple[np.ndarray, np.ndarray]:
+            return _EMPTY
 
         # MUST constraints as any-of groups: plain required_terms are
         # singleton groups; required_groups (Lucene's SCORING_BOOLEAN
@@ -420,9 +447,10 @@ def _score_bucket_factory(
             *(required_groups or []),
         ]
         required = bool(groups)
-        ga, bucket_groups = _grouped_arrays(pdf)
-        bucket_id = int(pdf["bucket"].iat[0]) if (
-            list_cache is not None and "bucket" in pdf.columns and len(pdf)
+        cols = _block_cols(cols)
+        ga, bucket_groups = _grouped_arrays(cols)
+        bucket_id = int(cols["bucket"][0]) if (
+            list_cache is not None and "bucket" in cols and len(cols["bucket"])
         ) else -1
         neg_sets: list[np.ndarray] = []
         lists = []  # [(field, term, (s, e), wt, avgdl, ubs)]
@@ -537,8 +565,13 @@ def _score_bucket_factory(
         if k < len(uniq):
             order = np.lexsort((uniq, -scores))[:k]
             uniq, scores = uniq[order], scores[order]
+        return uniq, scores
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        uniq, scores = score_arrays(pdf)
         return pd.DataFrame({"doc_id": uniq, "score": scores})
 
+    score_group.arrays = score_arrays
     return score_group
 
 

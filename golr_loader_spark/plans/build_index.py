@@ -558,57 +558,86 @@ def write_index(
     ``documents`` (optional): also persist a ``{root}/docs`` manifest
     (doc_id, content_sha256) — doc-level membership for upsert
     accounting (plans.maintenance.upsert_docs) and the per-row
-    sha256 invariant surfaced at the index root."""
-    (
-        index.postings.repartitionByRange(term_partitions, "term")
-        .sortWithinPartitions("term", "field", "bucket", "block_id")
-        .write.mode("overwrite")
-        # small row groups: with term-sorted files, per-row-group
-        # min/max stats then prune single-term lookups to a few groups
-        # instead of whole files (both for Catalyst PushedFilters and
-        # the pyarrow LocalSearcher path)
-        .option("parquet.block.size", str(4 << 20))
-        .parquet(f"{root}/postings")
-    )
-    (
-        index.term_stats.repartitionByRange(max(2, term_partitions // 4), "term")
-        .sortWithinPartitions("term", "field")
-        .write.mode("overwrite")
-        .parquet(f"{root}/term_stats")
-    )
-    index.stats.coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
-    _write_config(index.cfg, root)
+    sha256 invariant surfaced at the index root.
+
+    The per-table writes target disjoint directories and share no
+    lineage barrier, so they run as CONCURRENT jobs from a small
+    driver thread pool (guide §2.6): each write's straggler tail is
+    back-filled by the next table's tasks instead of idling the
+    cluster between sequential jobs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _postings() -> None:
+        (
+            index.postings.repartitionByRange(term_partitions, "term")
+            .sortWithinPartitions("term", "field", "bucket", "block_id")
+            .write.mode("overwrite")
+            # small row groups: with term-sorted files, per-row-group
+            # min/max stats then prune single-term lookups to a few
+            # groups instead of whole files (both for Catalyst
+            # PushedFilters and the pyarrow LocalSearcher path)
+            .option("parquet.block.size", str(4 << 20))
+            .parquet(f"{root}/postings")
+        )
+
+    def _term_stats() -> None:
+        (
+            index.term_stats.repartitionByRange(max(2, term_partitions // 4), "term")
+            .sortWithinPartitions("term", "field")
+            .write.mode("overwrite")
+            .parquet(f"{root}/term_stats")
+        )
+
+    def _stats() -> None:
+        index.stats.coalesce(1).write.mode("overwrite").parquet(f"{root}/stats")
+
+    jobs = [_postings, _term_stats, _stats]
     if documents is not None:
         sha = (
             F.col("content_sha256")
             if "content_sha256" in documents.columns
             else F.lit(None).cast("string")
         )
-        documents.select("doc_id", sha.alias("content_sha256")).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/docs")
+
+        def _docs() -> None:
+            documents.select("doc_id", sha.alias("content_sha256")).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/docs")
+
+        jobs.append(_docs)
     if facets is not None:
         # (doc_id, bucket, facet, value) from plans.facets.build_facets
         # — doc_id-sorted within files so the serving path can
         # searchsorted-join matched ids without a per-query sort
-        (
-            facets.repartitionByRange(max(2, term_partitions // 2), "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(f"{root}/facets")
-        )
+        def _facets() -> None:
+            (
+                facets.repartitionByRange(max(2, term_partitions // 2), "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{root}/facets")
+            )
+
+        jobs.append(_facets)
     if documents is not None and store_fields:
         # stored fields (Solr stored="true"): doc_id-range-partitioned
         # + in-file doc_id sort, so fetching a hit page is a few
         # row-group-pruned point reads, never a table scan
-        (
-            documents.select("doc_id", *store_fields)
-            .repartitionByRange(max(2, term_partitions // 2), "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .option("parquet.block.size", str(4 << 20))
-            .parquet(f"{root}/stored")
-        )
+        def _stored() -> None:
+            (
+                documents.select("doc_id", *store_fields)
+                .repartitionByRange(max(2, term_partitions // 2), "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .option("parquet.block.size", str(4 << 20))
+                .parquet(f"{root}/stored")
+            )
+
+        jobs.append(_stored)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(j) for j in jobs]
+        for f in futs:
+            f.result()  # propagate the first failure
+    _write_config(index.cfg, root)
 
 
 def read_index(

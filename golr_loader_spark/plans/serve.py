@@ -105,11 +105,18 @@ class _RowGroupIndex:
                 self._lo.append(st.min)
                 self._hi.append(st.max)
 
-    def read(self, terms: list[str]) -> pa.Table | None:
+    def read(
+        self, terms: list[str], columns: list[str] | None = None
+    ) -> pa.Table | None:
         """All row groups whose [min,max] may contain any query term,
-        read grouped per file. None ⇒ stats were unusable, fall back."""
+        read grouped per file. None ⇒ stats were unusable, fall back.
+        ``columns`` prunes the read (e.g. BM25 scoring never needs the
+        positional ``poss`` blobs or ``tf_sum``)."""
         if not self.complete:
             return None
+        if columns is not None:
+            avail = set(self.files[0].schema_arrow.names) if self.files else set()
+            columns = [c for c in columns if c in avail]
         hits: dict[int, list[int]] = {}
         for fi, rg, lo, hi in zip(self._fi, self._rg, self._lo, self._hi):
             for t in terms:
@@ -117,9 +124,12 @@ class _RowGroupIndex:
                     hits.setdefault(fi, []).append(rg)
                     break
         if not hits:
-            return None if not self.files else self.files[0].schema_arrow.empty_table()
+            if not self.files:
+                return None
+            empty = self.files[0].schema_arrow.empty_table()
+            return empty.select(columns) if columns is not None else empty
         parts = [
-            self.files[fi].read_row_groups(sorted(rgs))
+            self.files[fi].read_row_groups(sorted(rgs), columns=columns)
             for fi, rgs in hits.items()
         ]
         return pa.concat_tables(parts)
@@ -166,6 +176,11 @@ class LocalSearcher:
         from golr_loader_spark.plans.bm25 import DecodedListCache
 
         self._list_cache = DecodedListCache()
+        # raw-block LRU keyed by TERM (all of a term's block rows as
+        # numpy arrays): repeated query terms skip the parquet
+        # row-group read entirely — the terms-dictionary analog one
+        # level below DecodedListCache. Rebuilt by refresh().
+        self._term_blocks = DecodedListCache(max_entries=4096)
         self.postings = pads.dataset(f"{root}/postings", format="parquet")
         self._rgix = _RowGroupIndex(f"{root}/postings")
         self.term_stats = pads.dataset(f"{root}/term_stats", format="parquet")
@@ -261,6 +276,71 @@ class LocalSearcher:
             & pc.field("field").isin(list(self.cfg.fields)),
         ).to_pandas()
 
+    # BM25 scoring reads exactly these block columns — never the
+    # positional ``poss`` blobs or ``tf_sum`` (pruned at the parquet
+    # read, guide §6: ReadSchema should list only what is used)
+    _SCORE_COLS = [
+        "term", "field", "bucket", "block_id", "n", "doc_id_first",
+        "doc_ids", "tfs", "dls", "max_tf", "min_dl", "segment",
+    ]
+
+    def _read_score_cols(self, terms: list[str]) -> dict | None:
+        """Per-term RAW block cache + pandas-free read for the BM25
+        scoring path: returns {column: numpy array} over all of
+        ``terms``'s blocks (cfg fields only), serving repeated terms
+        from ``_term_blocks`` (the Lucene terms-dictionary-to-blocks
+        analog of DecodedListCache, one level rawer; entries are
+        immutable between refresh() calls, which rebuild the cache).
+        None when a dataset-scan fallback is needed."""
+        import numpy as _np
+
+        cache = self._term_blocks
+        have: dict[str, dict | bool] = {}
+        missing = []
+        for t in terms:
+            v = cache.get(t)
+            if v is None:
+                missing.append(t)
+            else:
+                have[t] = v
+        if missing:
+            raw = self._rgix.read(missing, columns=self._SCORE_COLS)
+            if raw is None:
+                return None
+            mask = pc.and_(
+                pc.is_in(raw["term"], value_set=pa.array(missing)),
+                pc.is_in(raw["field"], value_set=pa.array(list(self.cfg.fields))),
+            )
+            tbl = raw.filter(mask)
+            cols = {
+                name: tbl[name].to_numpy(zero_copy_only=False)
+                for name in tbl.column_names
+            }
+            tarr = cols["term"]
+            order = _np.argsort(tarr, kind="stable")
+            sorted_cols = {k: v[order] for k, v in cols.items()}
+            st = sorted_cols["term"]
+            bounds = _np.flatnonzero(st[1:] != st[:-1]) + 1
+            starts = _np.concatenate(([0], bounds)) if len(st) else []
+            ends = _np.concatenate((bounds, [len(st)])) if len(st) else []
+            present: dict[str, dict] = {}
+            for s, e in zip(starts, ends):
+                present[st[s]] = {k: v[s:e] for k, v in sorted_cols.items()}
+            for t in missing:
+                # False marks a term with NO blocks (distinct from a
+                # cache miss, which reads as None)
+                p = present.get(t, False)
+                have[t] = p
+                cache.put(t, p)
+        parts = [p for p in (have[t] for t in terms) if p]
+        if not parts:
+            return {}
+        if len(parts) == 1:
+            return parts[0]
+        return {
+            k: _np.concatenate([p[k] for p in parts]) for k in parts[0]
+        }
+
     def _weights_of(self, ts: list[dict]) -> dict[tuple[str, str], float]:
         return {
             (r["term"], r["field"]): (
@@ -282,9 +362,25 @@ class LocalSearcher:
     ) -> list[tuple[int, float]]:
         """Shared scoring core: read blocks for ``read_terms``
         (scoring ∪ prohibited), run the SAME bucket scorer as the
-        distributed path per bucket group, merge top-k."""
-        blocks = self._read_blocks(read_terms)
-        if not len(blocks):
+        distributed path per bucket group, merge top-k. The whole
+        path is numpy-only (``score_group.arrays`` + ``_block_cols``):
+        profiling showed pandas frame construction/slicing at ~45% of
+        query wall, so the serving path slices numpy views per bucket
+        and never builds a DataFrame."""
+        import numpy as _np
+
+        cols = self._read_score_cols(read_terms)
+        if cols is None:
+            # missing footer stats → per-query dataset scan fallback
+            blocks = self._read_blocks(read_terms)
+            if not len(blocks):
+                return []
+            cols = {
+                c: blocks[c].to_numpy()
+                for c in blocks.columns
+                if c in self._SCORE_COLS
+            }
+        if not cols or not len(cols["term"]):
             return []
         score_group = _score_bucket_factory(
             weights, self.avgdl, self.cfg, k,
@@ -292,16 +388,26 @@ class LocalSearcher:
             prohibited_terms=prohibited, required_groups=required_groups,
             list_cache=self._list_cache,
         )
-        parts = [
-            score_group(pdf) for _b, pdf in blocks.groupby("bucket", sort=False)
-        ]
-        allp = pd.concat(parts, ignore_index=True)
-        allp = allp.sort_values(
-            ["score", "doc_id"], ascending=[False, True], ignore_index=True
-        ).head(k)
-        return [
-            (int(r.doc_id), float(r.score)) for r in allp.itertuples(index=False)
-        ]
+        buckets = cols["bucket"].astype(_np.int64)
+        order = _np.argsort(buckets, kind="stable")
+        sorted_cols = {kk: v[order] for kk, v in cols.items()}
+        sb = buckets[order]
+        bounds = _np.flatnonzero(sb[1:] != sb[:-1]) + 1
+        starts = _np.concatenate(([0], bounds))
+        ends = _np.concatenate((bounds, [len(sb)]))
+        ids_parts, sc_parts = [], []
+        for s, e in zip(starts, ends):
+            sub = {kk: v[s:e] for kk, v in sorted_cols.items()}
+            ids, sc = score_group.arrays(sub)
+            if len(ids):
+                ids_parts.append(ids)
+                sc_parts.append(sc)
+        if not ids_parts:
+            return []
+        all_ids = _np.concatenate(ids_parts)
+        all_sc = _np.concatenate(sc_parts)
+        sel = _np.lexsort((all_ids, -all_sc))[:k]
+        return [(int(all_ids[i]), float(all_sc[i])) for i in sel]
 
     def search(
         self, query: str, k: int = 10, mode: str = "or"
