@@ -85,21 +85,21 @@ def main() -> None:
 
     def run_phase(ph: str) -> None:
         if ph == "tokenize_base":
-            timed(ph, lambda d: noop(tokenize(assign_dense_ids(d), cfg)))
+            timed(ph, lambda d: noop(tokenize(assign_dense_ids(d), cfg, field_codes=True)))
         elif ph == "tokenize_pos":
-            timed(ph, lambda d: noop(tokenize(assign_dense_ids(d), cfgp)))
+            timed(ph, lambda d: noop(tokenize(assign_dense_ids(d), cfgp, field_codes=True)))
         elif ph == "postings_base":
             timed(
                 ph,
                 lambda d: noop(
-                    build_postings(tokenize(assign_dense_ids(d), cfg), cfg)
+                    build_postings(tokenize(assign_dense_ids(d), cfg, field_codes=True), cfg)
                 ),
             )
         elif ph == "postings_pos":
             timed(
                 ph,
                 lambda d: noop(
-                    build_postings(tokenize(assign_dense_ids(d), cfgp), cfgp)
+                    build_postings(tokenize(assign_dense_ids(d), cfgp, field_codes=True), cfgp)
                 ),
             )
         elif ph in ("build_base", "build_pos"):

@@ -420,7 +420,11 @@ def analyze_with_tf(
     return dict(tf)
 
 
-def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
+def tokenize(
+    documents: DataFrame,
+    cfg: IndexConfig | None = None,
+    field_codes: bool = False,
+) -> DataFrame:
     """documents → (doc_id, field, term, tf, dl).
 
     Each configured field name must be a string column of
@@ -429,6 +433,13 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     token count in that field) rides along so downstream BM25 stages
     never join a separate doc-length table — one fewer wide shuffle
     in the index build.
+
+    ``field_codes=True`` (the index-build fast path): the field
+    column is emitted as ``fcode`` — the field's int position in
+    ``cfg.fields`` — instead of the field-name string. The Arrow→JVM
+    boundary then converts a constant int column instead of tens of
+    millions of UTF8 strings, and ``build_postings`` consumes the
+    code directly (its shuffle carries fcode anyway).
     """
     import pyarrow as pa
 
@@ -447,7 +458,8 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
     cols = ["doc_id"] + [f for f, _ in field_spec]
 
     out_fields = [
-        ("doc_id", pa.int64()), ("field", pa.string()),
+        ("doc_id", pa.int64()),
+        ("fcode", pa.int32()) if field_codes else ("field", pa.string()),
         ("term", pa.string()), ("tf", pa.int32()), ("dl", pa.int32()),
     ]
     if positional:
@@ -467,7 +479,8 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
             if rb.num_rows == 0:
                 continue
             doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
-            for ci, (fname, analyzer) in enumerate(field_spec, start=1):
+            for fi, (fname, analyzer) in enumerate(field_spec):
+                ci = fi + 1
                 texts = rb.column(ci).to_pandas()
                 r = _ANALYZERS[analyzer](
                     texts, positional=positional, chain=chain, raw=True
@@ -501,12 +514,17 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
                 if n == 0:
                     continue
                 vocab_arr = pa.array(vocab, type=pa.string())
-                arrays = [
-                    pa.array(doc_ids[pos], type=pa.int64()),
-                    pa.compute.take(
+                field_arr = (
+                    pa.array(np.full(n, fi, dtype=np.int32))
+                    if field_codes
+                    else pa.compute.take(
                         pa.array([fname], type=pa.string()),
                         pa.array(np.zeros(n, dtype=np.int32)),
-                    ),
+                    )
+                )
+                arrays = [
+                    pa.array(doc_ids[pos], type=pa.int64()),
+                    field_arr,
                     pa.compute.take(vocab_arr, pa.array(codes)),
                     pa.array(tf.astype(np.int32)),
                     pa.array(dl_rows),
@@ -517,4 +535,6 @@ def tokenize(documents: DataFrame, cfg: IndexConfig | None = None) -> DataFrame:
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     schema = TOKENS_SCHEMA_POS if positional else TOKENS_SCHEMA
+    if field_codes:
+        schema = schema.replace("field string", "fcode int")
     return documents.select(*cols).mapInArrow(run, schema=schema)

@@ -62,14 +62,30 @@ def _df_sums(rows) -> dict[tuple[str, str], int]:
 def _idf_table(index: InvertedIndex, terms: list[str]) -> dict[tuple[str, str], float]:
     """(term, field) → idf for the query terms (tiny driver-side lookup;
     the join-shaped analog of the reference's node-by-id point lookups,
-    GolrLoader.java:691)."""
+    GolrLoader.java:691). Per-term df results are memoized on the
+    index handle (the same contract as ``_stats_cache``: term_stats
+    is immutable for the handle's lifetime — Lucene's in-memory term
+    dictionary), so repeated query terms skip the lookup job."""
     n = index.n_docs
-    rows = (
-        index.term_stats.filter(F.col("term").isin(terms))
-        .select("term", "field", "df")
-        .collect()
-    )
-    return {k: bm25_idf(n, d) for k, d in _df_sums(rows).items()}
+    if index._df_cache is None:
+        index._df_cache = {}
+    cache = index._df_cache
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        rows = (
+            index.term_stats.filter(F.col("term").isin(missing))
+            .select("term", "field", "df")
+            .collect()
+        )
+        by_term: dict[str, dict[str, int]] = {t: {} for t in missing}
+        for (t, f), d in _df_sums(rows).items():
+            by_term.setdefault(t, {})[f] = d
+        cache.update(by_term)
+    out: dict[tuple[str, str], float] = {}
+    for t in terms:
+        for f, d in cache.get(t, {}).items():
+            out[(t, f)] = bm25_idf(n, d)
+    return out
 
 
 def _avgdl(index: InvertedIndex) -> dict[str, float]:

@@ -406,9 +406,16 @@ def build_postings(
     # exact same contiguous (term, field, bucket, doc_id-ascending)
     # runs the encoder needs.
     field_names = list(cfg.fields)
-    fcode = F.lit(None).cast("int")
-    for i in range(len(field_names) - 1, -1, -1):
-        fcode = F.when(F.col("field") == field_names[i], F.lit(i)).otherwise(fcode)
+    if "fcode" in tk.columns:
+        # tokenize(field_codes=True) already emitted the int code —
+        # no string column ever existed on this path
+        fcode = F.col("fcode")
+    else:
+        fcode = F.lit(None).cast("int")
+        for i in range(len(field_names) - 1, -1, -1):
+            fcode = F.when(F.col("field") == field_names[i], F.lit(i)).otherwise(
+                fcode
+            )
     cols = [F.col("term"), fcode.alias("_fc"), F.col("doc_id"),
             F.col("tf"), F.col("dl")]
     if positional:
@@ -461,6 +468,9 @@ class InvertedIndex:
     stats: DataFrame  # (field, avgdl, n_docs)
     cfg: IndexConfig
     _stats_cache: dict | None = None
+    # per-term df memo for _idf_table (the in-memory term-dictionary
+    # analog): term → {field: Σdf}; immutable for the handle lifetime
+    _df_cache: dict | None = None
 
     def _stats(self) -> dict:
         if self._stats_cache is None:
@@ -515,7 +525,7 @@ def build_index(
     from pyspark import StorageLevel
 
     cfg = cfg or IndexConfig()
-    tokens = tokenize(documents, cfg)
+    tokens = tokenize(documents, cfg, field_codes=True)
     postings = build_postings(tokens, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     if n_docs is None:
         n_docs = documents.count()  # ids unique by construction

@@ -73,3 +73,22 @@ def test_dense_ids_compress_better(spark, dense_docs):
     assert d["p"] == h["p"]  # same posting count
     # dense deltas: ≥3× smaller id stream than 64-bit-hash deltas
     assert d["b"] * 3 <= h["b"], (d["b"], h["b"])
+
+
+def test_broadcast_and_fallback_paths_agree(spark):
+    """The round-6 broadcast-attach plan (narrow window + broadcast
+    join, no payload shuffle) must assign exactly the ids the
+    window-over-full-rows fallback assigns."""
+    docs = flatten_documents(synth_corpus(spark, 150, seed=7))
+    fast = assign_dense_ids(docs, range_buckets=8)
+    slow = assign_dense_ids(docs, range_buckets=8, broadcast_threshold=0)
+    m_fast = {
+        r["doc_hash"]: r["doc_id"]
+        for r in fast.select("doc_hash", "doc_id").collect()
+    }
+    m_slow = {
+        r["doc_hash"]: r["doc_id"]
+        for r in slow.select("doc_hash", "doc_id").collect()
+    }
+    assert m_fast == m_slow
+    assert sorted(fast.columns) == sorted(slow.columns)

@@ -114,3 +114,20 @@ def test_decoded_list_cache_semantics(spark, tmp_path):
     ls.refresh()
     assert ls._list_cache is not old_cache
     assert victim not in {d for d, _s in ls.search("def return", k=10)}
+
+
+def test_term_block_cache_serves_identical_results(spark, roots):
+    """Round-6 per-term raw-block LRU: repeated terms skip the
+    parquet read but must return byte-identical rankings, and the
+    cache must actually be hit."""
+    docs, cfg, ix, r1, r2 = roots
+    ls = LocalSearcher(r1, cfg)
+    first = [ls.search(q, k=10) for q in QUERIES]
+    hits_before = ls._term_blocks.hits
+    second = [ls.search(q, k=10) for q in QUERIES]
+    assert second == first
+    assert ls._term_blocks.hits > hits_before
+    # refresh() rebuilds the cache (fresh searcher state)
+    ls.refresh()
+    assert ls._term_blocks.hits == 0
+    assert [ls.search(q, k=10) for q in QUERIES] == first

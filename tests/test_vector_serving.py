@@ -182,3 +182,38 @@ def test_ivf_serving_recall_gate(ivf_root):
     for i, _, c in vr.topk(q, k=10, exclude_id=int(vr.ids[8]), n_probe=4):
         if i in ex:
             assert c == ex[i]
+
+
+def test_vector_reader_skips_zero_row_parts(root, tmp_path):
+    """Spark routinely writes empty part files (shard_index's
+    repartitionByRange makes them near-certain): zero-row parts must
+    not break the vstack (round-6 fix of the (0,0)-reshape crash)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    r, _ = root
+    r2 = str(tmp_path / "vec_with_empty")
+    shutil.copytree(r, r2)
+    vr_ref = VectorReader(r)
+    d = vr_ref.mat.shape[1]
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(empty, f"{r2}/vectors/part-99999-empty.parquet")
+    vr = VectorReader(r2)
+    assert vr.mat.shape == vr_ref.mat.shape
+    q = vr_ref.mat[3]
+    assert vr.topk(q, k=5) == vr_ref.topk(q, k=5)
+    # all-empty root → empty results, no crash
+    import os
+
+    r3 = str(tmp_path / "vec_all_empty")
+    os.makedirs(f"{r3}/vectors")
+    pq.write_table(empty, f"{r3}/vectors/part-0-empty.parquet")
+    vr_e = VectorReader(r3)
+    assert vr_e.topk([1.0] * d, k=5) == []
