@@ -139,7 +139,11 @@ def _agg_flat(
         P = int(tokpos.max()) + 1 if len(tokpos) else 1
         cmax = int(combined.max()) + 1 if len(combined) else 1
         if cmax < (1 << 62) // max(P, 1):
-            order = np.argsort(combined * P + tokpos, kind="stable")
+            # introsort, not stable: the composite key is unique except
+            # for synonym-injected (doc, term, pos) collisions, where
+            # equal keys carry identical values and the dedupe pass
+            # below drops them whichever order they land in
+            order = np.argsort(combined * P + tokpos)
             combined, cpos = combined[order], tokpos[order]
         else:
             order = np.lexsort((tokpos, combined))
@@ -420,6 +424,51 @@ def analyze_with_tf(
     return dict(tf)
 
 
+def _field_arrays(
+    texts: pd.Series,
+    analyzer: str,
+    positional: bool,
+    chain,
+    min_len: int,
+):
+    """One field of one Arrow batch → the raw integer/array form
+    {pos, codes, vocab, tf, dl, cpos} AFTER the vocab-level min_len
+    filter (dl recomputed over kept rows — the Σtf invariant), or
+    None when the field yields no tokens. Shared by ``tokenize`` and
+    the packed build path (plans.build_index) so both emit
+    byte-identical token rows."""
+    r = _ANALYZERS[analyzer](texts, positional=positional, chain=chain, raw=True)
+    if r is None:
+        return None
+    pos, codes, vocab = r["pos"], r["codes"], r["vocab"]
+    tf, dl_rows, cpos = r["tf"], r["dl"], r["cpos"]
+    if min_len > 1 and len(vocab):
+        # vocab-level length filter (thousands of entries), mapped
+        # back to rows by integer indexing. INVARIANT: dl ≡ Σ tf over
+        # the KEPT rows — derived corpus stats rely on this, so dl is
+        # recomputed after the filter.
+        vlens = np.fromiter(
+            (len(t) for t in vocab), dtype=np.int64, count=len(vocab)
+        )
+        keep = (vlens >= min_len)[codes]
+        if not keep.all():
+            if cpos is not None:
+                cpos = cpos[np.repeat(keep, tf)]
+            pos, codes, tf = pos[keep], codes[keep], tf[keep]
+            if len(pos) == 0:
+                return None
+            dl_doc = np.bincount(
+                pos, weights=tf, minlength=int(pos.max()) + 1
+            )
+            dl_rows = dl_doc[pos].astype(np.int32)
+    if len(pos) == 0:
+        return None
+    return {
+        "pos": pos, "codes": codes, "vocab": vocab,
+        "tf": tf, "dl": dl_rows, "cpos": cpos,
+    }
+
+
 def tokenize(
     documents: DataFrame,
     cfg: IndexConfig | None = None,
@@ -482,37 +531,12 @@ def tokenize(
             for fi, (fname, analyzer) in enumerate(field_spec):
                 ci = fi + 1
                 texts = rb.column(ci).to_pandas()
-                r = _ANALYZERS[analyzer](
-                    texts, positional=positional, chain=chain, raw=True
-                )
+                r = _field_arrays(texts, analyzer, positional, chain, min_len)
                 if r is None:
                     continue
                 pos, codes, vocab = r["pos"], r["codes"], r["vocab"]
                 tf, dl_rows, cpos = r["tf"], r["dl"], r["cpos"]
-                if min_len > 1 and len(vocab):
-                    # vocab-level length filter (thousands of entries),
-                    # mapped back to rows by integer indexing.
-                    # INVARIANT: dl ≡ Σ tf over the KEPT rows — derived
-                    # corpus stats rely on this, so dl is recomputed
-                    # after the filter.
-                    vlens = np.fromiter(
-                        (len(t) for t in vocab), dtype=np.int64,
-                        count=len(vocab),
-                    )
-                    keep = (vlens >= min_len)[codes]
-                    if not keep.all():
-                        if cpos is not None:
-                            cpos = cpos[np.repeat(keep, tf)]
-                        pos, codes, tf = pos[keep], codes[keep], tf[keep]
-                        if len(pos) == 0:
-                            continue
-                        dl_doc = np.bincount(
-                            pos, weights=tf, minlength=int(pos.max()) + 1
-                        )
-                        dl_rows = dl_doc[pos].astype(np.int32)
                 n = len(pos)
-                if n == 0:
-                    continue
                 vocab_arr = pa.array(vocab, type=pa.string())
                 field_arr = (
                     pa.array(np.full(n, fi, dtype=np.int32))

@@ -679,23 +679,36 @@ def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     ).persist()
     dl = toks.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # one scalar-agg job for both corpus stats (every doc yields ≥1
-    # token, so count over dl == count over documents)
+    # corpus stats as a ONE-ROW broadcast dimension instead of a
+    # driver collect: the collect was a full job barrier serializing
+    # the plan into two jobs; the broadcast keeps everything in ONE
+    # action (guide §2.4 — remove the pass outright). Arithmetic is
+    # bit-identical: n_docs enters as double either way, and
+    # avgdl = sum(dl)::double / n_docs is the same IEEE division the
+    # driver-side Python float performed. (Every doc yields ≥1 token,
+    # so count over dl == count over documents.)
     st = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").cast("double").alias("s")
-    ).collect()[0]
-    n_docs = int(st["n"])
-    avgdl = st["s"] / n_docs
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
     qt = toks.filter(F.col("term").isin(terms))
-    idf = qt.groupBy("term").agg(
-        F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.count("*") + F.lit(0.5)) / (F.count("*") + F.lit(0.5))
-        ).alias("idf")
+    idf = (
+        qt.groupBy("term")
+        .agg(F.count("*").alias("dfq"))
+        .join(F.broadcast(st))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("dfq") + F.lit(0.5))
+                / (F.col("dfq") + F.lit(0.5))
+            ).alias("idf"),
+        )
     )
     scored = (
         qt.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
+        .join(F.broadcast(st))
         .withColumn(
             "contrib",
             F.col("idf")
@@ -703,7 +716,7 @@ def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             * F.col("tf")
             / (
                 F.col("tf")
-                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
             ),
         )
         .groupBy("doc_id")

@@ -349,6 +349,81 @@ class DecodedListCache:
             self._d.popitem(last=False)
 
 
+def _acc_by_doc(all_ids: list, all_contribs: list):
+    """Accumulate per-list score contributions by doc id, adding in
+    LIST ORDER (the oracle's (field, term) float-accumulation order —
+    identical arithmetic to the previous sort+searchsorted shape).
+
+    Returns ``(uniq, scores, aux)``. Dense doc-id spans — a bucket's
+    ids all live in one compact range because the bucket IS the id's
+    high bits — use a direct-indexed buffer: O(span) instead of the
+    O(n log n) unique sort + per-list searchsorted. Sparse spans
+    (64-bit hash ids) keep the sort shape. ``aux`` is
+    ``(lo, rank)`` in dense mode (rank maps id-lo → index into uniq,
+    valid for the UNFILTERED uniq) or ``None`` in sparse mode."""
+    cat = np.concatenate(all_ids) if len(all_ids) > 1 else all_ids[0]
+    if len(cat) == 0:
+        # every list empty (e.g. fully tombstone-masked decodes)
+        return (
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), None
+        )
+    lo = int(cat.min())
+    span = int(cat.max()) - lo + 1
+    if span <= max(4 * len(cat), 1 << 16):
+        buf = np.zeros(span, dtype=np.float64)
+        touched = np.zeros(span, dtype=bool)
+        for ids, contrib in zip(all_ids, all_contribs):
+            idx = ids - lo
+            buf[idx] += contrib
+            touched[idx] = True
+        pos = np.flatnonzero(touched)
+        scores = buf[pos]
+        uniq = pos + lo
+        rank = np.empty(span, dtype=np.int64)
+        rank[pos] = np.arange(len(pos), dtype=np.int64)
+        return uniq, scores, (lo, rank)
+    uniq = np.unique(cat)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    for ids, contrib in zip(all_ids, all_contribs):
+        scores[np.searchsorted(uniq, ids)] += contrib
+    return uniq, scores, None
+
+
+def _member_mask(n_uniq: int, lists: list, aux, uniq: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``uniq`` marking docs present in any of
+    ``lists`` (each a subset of uniq). Dense mode: integer gather via
+    the rank table; sparse: unique + searchsorted (the prior shape)."""
+    m = np.zeros(n_uniq, dtype=bool)
+    if not lists:
+        return m
+    if aux is not None:
+        lo, rank = aux
+        for ids in lists:
+            m[rank[ids - lo]] = True
+        return m
+    g_ids = np.unique(np.concatenate(lists)) if len(lists) > 1 else lists[0]
+    m[np.searchsorted(uniq, g_ids)] = True
+    return m
+
+
+def _topk_by_score(uniq: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by (score desc, doc_id asc). An np.partition preselect
+    keeps every candidate whose score ≥ the kth-largest score (ties
+    included — no doc below that bound can displace one above it), so
+    the final lexsort over candidates returns exactly the rows a full
+    lexsort would: same docs, same order."""
+    if k >= len(uniq):
+        return uniq, scores
+    if len(uniq) > 4 * k:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = np.flatnonzero(scores >= kth)
+        u, s = uniq[cand], scores[cand]
+    else:
+        u, s = uniq, scores
+    order = np.lexsort((u, -s))[:k]
+    return u[order], s[order]
+
+
 def query_analyzer(cfg: IndexConfig) -> str:
     """The analyzer to parse QUERIES with: when every configured field
     shares one analyzer, use it (a simple-analyzer index must not have
@@ -540,18 +615,17 @@ def _score_bucket_factory(
             all_fields.append(field)
         if not all_ids:
             return empty()
-        uniq = np.unique(np.concatenate(all_ids))
-        scores = np.zeros(len(uniq), dtype=np.float64)
         # accumulate in (field, term) list order → oracle float order
-        for ids, contrib in zip(all_ids, all_contribs):
-            scores[np.searchsorted(uniq, ids)] += contrib
+        uniq, scores, aux = _acc_by_doc(all_ids, all_contribs)
         if pruned_any and np.isfinite(theta):
             ok = scores >= theta  # complete-scored docs only (see module doc)
             uniq, scores = uniq[ok], scores[ok]
+            aux = None  # rank table no longer aligns (unused: pruning
+            # and MUST/MUST_NOT are mutually exclusive modes)
         if required:
-            # Lucene MUST: a group is satisfied if the doc matches ANY
-            # of its terms in ANY field; keep docs satisfying every
-            # group (singleton groups = plain conjunctive terms)
+            # Lucene MUST: a doc is satisfied if it matches ANY group
+            # term in ANY field; keep docs satisfying every group
+            # (singleton groups = plain conjunctive terms)
             n_match = np.zeros(len(uniq), dtype=np.int32)
             for g in groups:
                 # group members are bare terms (any field) or
@@ -563,13 +637,15 @@ def _score_bucket_factory(
                 ]
                 if not g_lists:
                     return empty()
-                g_ids = np.unique(np.concatenate(g_lists))
-                n_match[np.searchsorted(uniq, g_ids)] += 1
+                n_match += _member_mask(len(uniq), g_lists, aux, uniq)
             ok = n_match == len(groups)
             uniq, scores = uniq[ok], scores[ok]
+            aux = None
         if neg_sets:
             # Lucene MUST_NOT: membership in any prohibited term's
-            # postings (any field) disqualifies
+            # postings (any field) disqualifies. Prohibited lists may
+            # contain docs matching no scoring term, so the span mask
+            # is built over the id range, not the rank table.
             neg = np.unique(np.concatenate(neg_sets))
             ok = ~np.isin(uniq, neg, assume_unique=True)
             uniq, scores = uniq[ok], scores[ok]
@@ -577,11 +653,8 @@ def _score_bucket_factory(
         # (k >= group size — phrase-mode search_lucene, grouped_topk,
         # fq paths run with k = corpus size) skip the sort: the global
         # TakeOrdered downstream orders anyway, and the per-bucket
-        # lexsort of the full match set is pure waste
-        if k < len(uniq):
-            order = np.lexsort((uniq, -scores))[:k]
-            uniq, scores = uniq[order], scores[order]
-        return uniq, scores
+        # sort of the full match set is pure waste
+        return _topk_by_score(uniq, scores, k)
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         uniq, scores = score_arrays(pdf)
@@ -705,27 +778,23 @@ def _score_bucket_multi_factory(
                 acc_terms.append(term)
             if not acc_ids:
                 continue
-            uniq = np.unique(np.concatenate(acc_ids))
-            scores = np.zeros(len(uniq), dtype=np.float64)
-            for ids, contrib in zip(acc_ids, acc_contribs):
-                scores[np.searchsorted(uniq, ids)] += contrib
+            # list-order accumulation (oracle float order); dense-span
+            # direct indexing when the bucket's ids are compact
+            uniq, scores, aux = _acc_by_doc(acc_ids, acc_contribs)
             if pruned_any and np.isfinite(theta):
                 ok = scores >= theta
                 uniq, scores = uniq[ok], scores[ok]
+                aux = None  # pruning and MUST are mutually exclusive
             if required:
                 n_match = np.zeros(len(uniq), dtype=np.int32)
                 for t in required:
-                    t_ids = np.unique(
-                        np.concatenate(
-                            [i for i, lt in zip(acc_ids, acc_terms) if lt == t]
-                        )
-                    )
-                    n_match[np.searchsorted(uniq, t_ids)] += 1
+                    t_lists = [
+                        i for i, lt in zip(acc_ids, acc_terms) if lt == t
+                    ]
+                    n_match += _member_mask(len(uniq), t_lists, aux, uniq)
                 ok = n_match == len(required)
                 uniq, scores = uniq[ok], scores[ok]
-            if k < len(uniq):
-                order = np.lexsort((uniq, -scores))[:k]
-                uniq, scores = uniq[order], scores[order]
+            uniq, scores = _topk_by_score(uniq, scores, k)
             out = pd.DataFrame({"doc_id": uniq, "score": scores})
             out.insert(0, "query_id", np.int32(qid))
             outs.append(out)

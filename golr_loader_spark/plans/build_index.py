@@ -354,6 +354,276 @@ def _flush_pend(pend: dict, cfg: IndexConfig):
     )
 
 
+# ---------------------------------------------------------------------------
+# Packed build path (guide §2.3/§8: the boundary crossings, not the
+# kernels, dominated the build — so cross the boundary with a few
+# binary blob rows instead of tens of millions of flat token rows).
+#
+# The flat pipeline converts every token row JVM→Arrow→Python twice
+# (tokenizer out, encoder in) and Tungsten-sorts the flat rows in
+# between; stage probes at 240k docs showed those conversions + sort
+# at ~13 s of a ~21 s build while the numpy kernels cost <1 s. The
+# packed path keeps the SAME shuffle keys and the SAME encoder
+# arithmetic but moves token rows as serialized Arrow IPC batches:
+#
+#   tokenize+pack (mapInArrow over documents)
+#     → (pid int, blob binary) rows, one blob per reduce partition
+#       per input batch — the tokenizer groups its token rows by the
+#       target reduce partition (hash of (term, fcode, bucket), the
+#       exact key set of the flat exchange) and serializes each
+#       group's columnar slice;
+#   Exchange hashpartitioning(pid)
+#     → moves ~n_red blob rows per map task instead of millions of
+#       flat rows (pid values are chosen via _partition_lut so
+#       Spark's own hash routes each logical group to its own reduce
+#       partition — no balls-in-bins collision skew, guide §2.5);
+#   unpack+sort+encode (mapInArrow)
+#     → deserializes the partition's blobs, ONE numpy lexsort on
+#       (dictionary code, fcode, doc_id) replaces the Tungsten sort,
+#       then streams through the SAME `_encode_batches` kernel —
+#       block output is byte-identical to the flat path.
+#
+# Memory: the unpack stage buffers one reduce partition's token rows
+# (columnar, ~tens of MB at bench scale); partition count scales with
+# cluster parallelism (waves × defaultParallelism), so per-task
+# buffers shrink as the cluster grows — and
+# `spark.golr_loader.build.packed=false` restores the flat
+# Tungsten-sort plan (which spills) for memory-constrained clusters.
+# ---------------------------------------------------------------------------
+
+_PARTITION_LUT_CACHE: dict[int, "np.ndarray"] = {}
+
+
+def _partition_lut(spark: SparkSession, n: int) -> np.ndarray:
+    """lut[t] = an int x with pmod(murmur3_hash(x), n) == t, computed
+    BY Spark itself (one tiny driver job, memoized per n) so the pack
+    stage never re-implements Spark's hash: emitting pid=lut[t] makes
+    the DataFrame `repartition(n, "pid")` place the row in reduce
+    partition t exactly."""
+    cached = _PARTITION_LUT_CACHE.get(n)
+    if cached is not None:
+        return cached
+    lut = np.full(n, -1, dtype=np.int64)
+    lo, found = 0, 0
+    while found < n:
+        hi = lo + max(64 * n, 4096)
+        rows = (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").cast("int").alias("x"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("t"),
+            )
+            .collect()
+        )
+        for r in rows:
+            t = int(r["t"])
+            if lut[t] < 0:
+                lut[t] = int(r["x"])
+                found += 1
+        lo = hi
+    _PARTITION_LUT_CACHE[n] = lut
+    return lut
+
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants) — vectorized
+    uint64 mixing for the pack stage's group→partition spread."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_arrow_schema(cfg: IndexConfig) -> pa.schema:
+    fields = [
+        ("term", pa.string()), ("fcode", pa.int32()), ("doc_id", pa.int64()),
+        ("tf", pa.int32()), ("dl", pa.int32()),
+    ]
+    if cfg.positions:
+        fields.append(("positions", pa.binary()))
+    return pa.schema(fields)
+
+
+def _pack_batches(cfg: IndexConfig, n_red: int, lut: np.ndarray) -> "callable":
+    """mapInArrow stage: documents → (pid, blob) rows. Tokenizes with
+    the SAME `_field_arrays` kernel as `tokenize` (byte-identical
+    token rows), assigns each row its reduce partition from the
+    (term, fcode, bucket) key, and serializes per-partition columnar
+    slices as Arrow IPC record-batch messages."""
+    from zlib import crc32
+
+    from golr_loader_spark.functions.codec import (
+        binary_from_segments,
+        positions_encode,
+    )
+    from golr_loader_spark.functions.tokenize import _field_arrays
+
+    field_spec = [(f, a) for f, (a, _b) in cfg.fields.items()]
+    chain = cfg.chain
+    min_len = cfg.min_term_len if chain is None else 1
+    positional = cfg.positions
+    shift = np.int64(max(0, cfg.id_space_bits - cfg.bucket_bits))
+    schema = _token_arrow_schema(cfg)
+    out_schema = pa.schema([("pid", pa.int32()), ("blob", pa.binary())])
+    lut32 = lut.astype(np.int64)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            col_parts: list[list] = [[] for _ in schema.names]
+            tgt_parts: list[np.ndarray] = []
+            for fi, (_fname, analyzer) in enumerate(field_spec):
+                texts = rb.column(fi + 1).to_pandas()
+                r = _field_arrays(texts, analyzer, positional, chain, min_len)
+                if r is None:
+                    continue
+                pos, codes, vocab = r["pos"], r["codes"], r["vocab"]
+                tf, dl_rows, cpos = r["tf"], r["dl"], r["cpos"]
+                docs = doc_ids[pos].astype(np.int64)
+                bucket = np.right_shift(docs, shift)
+                # deterministic per-row reduce target: vocab-level
+                # crc32 of the term (vocab is thousands of entries —
+                # the per-row cost is one integer gather), mixed with
+                # fcode and bucket by splitmix64
+                vh = np.fromiter(
+                    (crc32(t.encode()) for t in vocab),
+                    dtype=np.uint64, count=len(vocab),
+                )
+                fsalt = np.uint64(
+                    ((fi + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+                )
+                key = _mix64(
+                    vh[codes]
+                    ^ fsalt
+                    ^ (bucket.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
+                )
+                tgt_parts.append((key % np.uint64(n_red)).astype(np.int64))
+                col_parts[0].append(
+                    pa.compute.take(
+                        pa.array(vocab, type=pa.string()), pa.array(codes)
+                    )
+                )
+                col_parts[1].append(pa.array(np.full(len(pos), fi, np.int32)))
+                col_parts[2].append(pa.array(docs))
+                col_parts[3].append(pa.array(tf.astype(np.int32)))
+                col_parts[4].append(pa.array(dl_rows))
+                if positional:
+                    stream, seg = positions_encode(cpos, tf)
+                    col_parts[5].append(binary_from_segments(stream, seg))
+            if not tgt_parts:
+                continue
+            tgt = np.concatenate(tgt_parts)
+            order = np.argsort(tgt, kind="stable")
+            take = pa.array(order)
+            cols = [
+                pa.compute.take(
+                    part[0] if len(part) == 1 else pa.concat_arrays(part), take
+                )
+                for part in col_parts
+            ]
+            packed = pa.RecordBatch.from_arrays(cols, schema=schema)
+            st = tgt[order]
+            bounds = np.flatnonzero(st[1:] != st[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(st)]))
+            pids = lut32[st[starts]].astype(np.int32)
+            blobs = [
+                packed.slice(int(s), int(e - s)).serialize().to_pybytes()
+                for s, e in zip(starts, ends)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pids), pa.array(blobs, type=pa.binary())],
+                schema=out_schema,
+            )
+
+    return run
+
+
+def _unpack_encode(cfg: IndexConfig) -> "callable":
+    """mapInArrow stage: (pid, blob) rows of one reduce partition →
+    postings blocks. Deserializes the blobs, ONE lexsort on
+    (term dictionary code, fcode, doc_id) — appearance-ordered codes
+    give exactly the per-(term, fcode) contiguity plus ascending
+    doc_id the encoder needs (block content never depends on ORDER of
+    distinct groups within a partition) — then streams the sorted
+    rows through the same `_encode_batches` kernel as the flat path."""
+    schema = _token_arrow_schema(cfg)
+    encode = _encode_batches(cfg)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        parts: list[pa.RecordBatch] = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            for blob in rb.column(1):
+                parts.append(
+                    pa.ipc.read_record_batch(
+                        pa.py_buffer(blob.as_py()), schema
+                    )
+                )
+        if not parts:
+            return
+        tbl = pa.Table.from_batches(parts).combine_chunks()
+        terms = tbl.column(0).chunk(0) if tbl.column(0).num_chunks else None
+        if terms is None or len(terms) == 0:
+            return
+        tcodes = pa.compute.dictionary_encode(terms).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        fcodes = tbl.column(1).chunk(0).to_numpy(zero_copy_only=False)
+        docs = tbl.column(2).chunk(0).to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, fcodes, tcodes))
+        take = pa.array(order)
+        sorted_rb = pa.RecordBatch.from_arrays(
+            [pa.compute.take(tbl.column(i).chunk(0), take)
+             for i in range(tbl.num_columns)],
+            schema=schema,
+        )
+        yield from encode(iter([sorted_rb]))
+
+    return run
+
+
+def build_postings_packed(
+    documents: DataFrame,
+    cfg: IndexConfig | None = None,
+) -> DataFrame:
+    """documents → postings via the packed boundary (see the section
+    comment above). Same reduce-key set, same encoder, byte-identical
+    blocks; the exchange moves ~n_red blob rows per map task instead
+    of every token row, and the Tungsten sort disappears into one
+    numpy lexsort per reduce task."""
+    cfg = cfg or IndexConfig()
+    spark = documents.sparkSession
+    waves = int(spark.conf.get("spark.golr_loader.build.waves", "4"))
+    n_red = max(
+        spark.sparkContext.defaultParallelism * waves,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    lut = _partition_lut(spark, n_red)
+    cols = ["doc_id"] + [f for f in cfg.fields]
+    packed = documents.select(*cols).mapInArrow(
+        _pack_batches(cfg, n_red, lut), "pid int, blob binary"
+    )
+    spark_schema = (
+        "term string, field string, bucket int, block_id int, n int, "
+        "doc_id_first long, doc_ids binary, tfs binary, dls binary, "
+        "max_tf int, min_dl int, tf_sum long"
+    )
+    if cfg.positions:
+        spark_schema += ", poss binary"
+    return (
+        packed.repartition(n_red, F.col("pid"))
+        .mapInArrow(_unpack_encode(cfg), spark_schema)
+        .withColumn("segment", F.lit(0))
+    )
+
+
 def build_postings(
     tokens: DataFrame,
     cfg: IndexConfig | None = None,
@@ -525,8 +795,20 @@ def build_index(
     from pyspark import StorageLevel
 
     cfg = cfg or IndexConfig()
-    tokens = tokenize(documents, cfg, field_codes=True)
-    postings = build_postings(tokens, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = documents.sparkSession
+    packed = (
+        spark.conf.get("spark.golr_loader.build.packed", "true").lower()
+        == "true"
+    )
+    if packed:
+        # default: the packed-boundary plan (blob exchange + in-encoder
+        # sort — see build_postings_packed); flat Tungsten-sort plan
+        # stays available for memory-constrained clusters
+        postings = build_postings_packed(documents, cfg)
+    else:
+        tokens = tokenize(documents, cfg, field_codes=True)
+        postings = build_postings(tokens, cfg)
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     if n_docs is None:
         n_docs = documents.count()  # ids unique by construction
     return InvertedIndex(

@@ -59,6 +59,15 @@ def main() -> None:
     dump("index_build_postings", build_postings(tokenize(dd, cfg), cfg))
     dump("index_build_postings_positional",
          build_postings(tokenize(dd, cfgp), cfgp))
+    # packed-boundary build (round-6 second batch): present only in
+    # trees that carry build_postings_packed
+    try:
+        from golr_loader_spark.plans.build_index import build_postings_packed
+    except ImportError:
+        build_postings_packed = None
+    if build_postings_packed is not None:
+        dump("index_build_packed", build_postings_packed(dd, cfg))
+        dump("index_build_packed_positional", build_postings_packed(dd, cfgp))
     spark.stop()
 
 
