@@ -518,7 +518,10 @@ def _pack_batches(cfg: IndexConfig, n_red: int, lut: np.ndarray) -> "callable":
             if not tgt_parts:
                 continue
             tgt = np.concatenate(tgt_parts)
-            order = np.argsort(tgt, kind="stable")
+            # introsort: within-blob row order is irrelevant — the
+            # encoder side re-sorts the whole partition by
+            # (term, fcode, doc_id) before encoding
+            order = np.argsort(tgt)
             take = pa.array(order)
             cols = [
                 pa.compute.take(
@@ -600,7 +603,18 @@ def build_postings_packed(
     numpy lexsort per reduce task."""
     cfg = cfg or IndexConfig()
     spark = documents.sparkSession
-    waves = int(spark.conf.get("spark.golr_loader.build.waves", "4"))
+    # packed reduce tasks are light (numpy sort, no Tungsten sort
+    # memory pressure), so the knee is 2 waves, not the flat path's 4
+    # (measured at 240k/local[32]: builds 7.4 s @2 vs 8.2 s @4, and
+    # every later query over the persisted block table schedules half
+    # the scan tasks). Same scale-adaptive form: waves ×
+    # defaultParallelism, floored by spark.sql.shuffle.partitions.
+    waves = int(
+        spark.conf.get(
+            "spark.golr_loader.build.packed_waves",
+            spark.conf.get("spark.golr_loader.build.waves", "2"),
+        )
+    )
     n_red = max(
         spark.sparkContext.defaultParallelism * waves,
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
