@@ -659,83 +659,105 @@ FROM documents d LEFT JOIN (SELECT id, lang_guess FROM best WHERE rn = 1) b
 """
 
 
+def _eq_term(term: str):
+    """Single-arg HOF predicate for F.filter (a 2-param function would
+    be called with (element, index) by the higher-order-function API)."""
+    return lambda t: t == F.lit(term)
+
+
+def _q24_scored(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """(base, scored) internals of q24 — the pre-collect distributed
+    plan, exposed so plan dumps can show the real shape (the public
+    function returns a driver-built LocalTableScan of ≤50 rows)."""
+    d = load(spark, sf, "documents")
+    terms = ["data", "query", "spark"]  # sorted: replay fold order
+    toks = F.split(F.lower(F.col("text")), " ")
+    # materialize the split once per row (the q17 codegen trap:
+    # inlining it into each filter would re-split per term)
+    base = (
+        d.select(F.col("doc_id"), toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            *[
+                F.size(F.filter("_toks", _eq_term(t))).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .persist()
+    )
+    st = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    idf_row = st.select(
+        "avgdl",
+        *[
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                / (F.col(f"df_{i}") + F.lit(0.5))
+            ).alias(f"idf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}")
+        return (
+            F.col(f"idf_{i}")
+            * F.lit(2.2)
+            * tf
+            / (
+                tf
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.when(
+            F.col(f"tf_{i}") > 0, contrib(i)
+        ).otherwise(F.lit(0.0))
+    scored = (
+        base.filter(sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0)
+        .join(F.broadcast(idf_row))
+        .select("doc_id", F.round(score, 4).alias("score"))
+    )
+    return base, scored
+
+
 def q24_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship relational restatement of the fulltext engine: BM25
     (k1=1.2, b=0.75) top-50 over documents.text with the simple
     analyzer — the oracle-checkable twin of the compressed-index path
-    (scores rounded to 4, ranked by the rounded value)."""
-    d = load(spark, sf, "documents")
-    terms = ["data", "query", "spark"]
-    # toks is read by THREE consumers (corpus stats, qt, dl) across
-    # two jobs — persist it so the corpus is exploded + aggregated
-    # once, not once per job (guide §5: reuse > recompute here; the
-    # table is (doc, distinct term) — far smaller than the raw
-    # explode). Unpersisted after the top-k collect below.
-    toks = (
-        d.select(
-            F.col("doc_id"), F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    ).persist()
-    dl = toks.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # corpus stats as a ONE-ROW broadcast dimension instead of a
-    # driver collect: the collect was a full job barrier serializing
-    # the plan into two jobs; the broadcast keeps everything in ONE
-    # action (guide §2.4 — remove the pass outright). Arithmetic is
-    # bit-identical: n_docs enters as double either way, and
-    # avgdl = sum(dl)::double / n_docs is the same IEEE division the
-    # driver-side Python float performed. (Every doc yields ≥1 token,
-    # so count over dl == count over documents.)
-    st = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    qt = toks.filter(F.col("term").isin(terms))
-    idf = (
-        qt.groupBy("term")
-        .agg(F.count("*").alias("dfq"))
-        .join(F.broadcast(st))
-        .select(
-            "term",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("dfq") + F.lit(0.5))
-                / (F.col("dfq") + F.lit(0.5))
-            ).alias("idf"),
-        )
-    )
-    scored = (
-        qt.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .join(F.broadcast(st))
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * F.lit(2.2)
-            * F.col("tf")
-            / (
-                F.col("tf")
-                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["contrib"],
-                ),
-                4,
-            ).alias("score")
-        )
-    )
+    (scores rounded to 4, ranked by the rounded value).
+
+    Plan shape (guide §2.4: remove the shuffle outright): with a FIXED
+    3-term query, per-doc term frequencies are array expressions over
+    one `split` — `tf_i = size(filter(toks, t = term_i))`, `dl =
+    size(toks)` — so the corpus is never exploded and the former
+    groupBy(doc_id, term) exchange of every token row does not exist.
+    One narrow per-doc projection feeds (a) a single-row global agg
+    (n_docs, avgdl, per-term df via count_if) that broadcast-joins
+    back, and (b) the scored TakeOrdered. Arithmetic is bit-identical
+    to the explode form: tf/df/dl are the same integers, idf/contrib
+    use the same expression tree, and the score sum replays the
+    sort_array(term) fold order — contributions added in term-sorted
+    order from 0.0, absent terms adding exactly +0.0 (IEEE x+0.0 == x
+    for the non-negative partial sums here). Verified row-identical
+    against SQL_Q24 in DuckDB at sf0.01 AND sf0.1."""
+    base, scored = _q24_scored(spark, sf)
     # Distributed top-k: TakeOrderedAndProject (no single-partition
     # WindowExec — every scored doc stayed in its partition); rank then
     # attaches to the ≤50 surviving rows driver-side.
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50).collect()
-    toks.unpersist()
+    base.unpersist()
     return spark.createDataFrame(
         [(i + 1, r["doc_id"], r["score"]) for i, r in enumerate(top)],
         "rank int, doc_id long, score double",
