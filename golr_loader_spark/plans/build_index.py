@@ -547,47 +547,144 @@ def _pack_batches(cfg: IndexConfig, n_red: int, lut: np.ndarray) -> "callable":
     return run
 
 
-def _unpack_encode(cfg: IndexConfig) -> "callable":
+def _sort_token_batches(
+    parts: list[pa.RecordBatch], schema: pa.Schema
+) -> pa.RecordBatch | None:
+    """Combine token batches and lexsort on (term dictionary code,
+    fcode, doc_id) — appearance-ordered codes give exactly the
+    per-(term, fcode) contiguity plus ascending doc_id the encoder
+    needs (block content never depends on ORDER of distinct groups
+    within a partition)."""
+    if not parts:
+        return None
+    tbl = pa.Table.from_batches(parts).combine_chunks()
+    terms = tbl.column(0).chunk(0) if tbl.column(0).num_chunks else None
+    if terms is None or len(terms) == 0:
+        return None
+    tcodes = pa.compute.dictionary_encode(terms).indices.to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    fcodes = tbl.column(1).chunk(0).to_numpy(zero_copy_only=False)
+    docs = tbl.column(2).chunk(0).to_numpy(zero_copy_only=False)
+    order = np.lexsort((docs, fcodes, tcodes))
+    take = pa.array(order)
+    return pa.RecordBatch.from_arrays(
+        [pa.compute.take(tbl.column(i).chunk(0), take)
+         for i in range(tbl.num_columns)],
+        schema=schema,
+    )
+
+
+_SPILL_BUCKETS = 16
+
+
+def _unpack_encode(cfg: IndexConfig, spill_bytes: int = 0) -> "callable":
     """mapInArrow stage: (pid, blob) rows of one reduce partition →
-    postings blocks. Deserializes the blobs, ONE lexsort on
-    (term dictionary code, fcode, doc_id) — appearance-ordered codes
-    give exactly the per-(term, fcode) contiguity plus ascending
-    doc_id the encoder needs (block content never depends on ORDER of
-    distinct groups within a partition) — then streams the sorted
-    rows through the same `_encode_batches` kernel as the flat path."""
+    postings blocks. Deserializes the blobs, sorts with ONE numpy
+    lexsort (`_sort_token_batches`), then streams the sorted rows
+    through the same `_encode_batches` kernel as the flat path.
+
+    **Bounded memory (external-bucket spill).** When the partition's
+    buffered token bytes exceed ``spill_bytes`` (>0), rows are routed
+    into ``_SPILL_BUCKETS`` term-hash sub-bucket files on local disk
+    (Arrow IPC streams). A term's rows always share a sub-bucket, so
+    sub-buckets partition the (term, fcode, bucket) group space —
+    and since block content never depends on the order of distinct
+    groups within a reduce partition, sorting + encoding the
+    sub-buckets ONE AT A TIME yields the byte-identical block table
+    with peak memory ~ partition/``_SPILL_BUCKETS`` instead of the
+    whole partition (the packed analog of the flat path's Tungsten
+    spill; parity gated by tests/test_packed_spill.py)."""
     schema = _token_arrow_schema(cfg)
     encode = _encode_batches(cfg)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os
+        import shutil
+        import tempfile
+        from zlib import crc32
+
         parts: list[pa.RecordBatch] = []
-        for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            for blob in rb.column(1):
-                parts.append(
-                    pa.ipc.read_record_batch(
+        nbytes = 0
+        spill_dir: str | None = None
+        writers: list = []
+        files: list = []
+
+        def _route(b: pa.RecordBatch) -> None:
+            # vocab-level term hashing (same pattern as _pack_batches):
+            # per-row cost is one integer gather, not a per-row crc32
+            d = pa.compute.dictionary_encode(b.column(0))
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = d.dictionary.to_pylist()
+            vh = np.fromiter(
+                (crc32(t.encode()) % _SPILL_BUCKETS for t in vocab),
+                dtype=np.int64, count=len(vocab),
+            )
+            tgt = vh[codes]
+            order = np.argsort(tgt)
+            take = pa.array(order)
+            srb = pa.RecordBatch.from_arrays(
+                [pa.compute.take(b.column(i), take)
+                 for i in range(b.num_columns)],
+                schema=schema,
+            )
+            st = tgt[order]
+            bounds = np.flatnonzero(st[1:] != st[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(st)]))
+            for s, e in zip(starts, ends):
+                writers[int(st[s])].write_batch(srb.slice(int(s), int(e - s)))
+
+        try:
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                for blob in rb.column(1):
+                    b = pa.ipc.read_record_batch(
                         pa.py_buffer(blob.as_py()), schema
                     )
-                )
-        if not parts:
-            return
-        tbl = pa.Table.from_batches(parts).combine_chunks()
-        terms = tbl.column(0).chunk(0) if tbl.column(0).num_chunks else None
-        if terms is None or len(terms) == 0:
-            return
-        tcodes = pa.compute.dictionary_encode(terms).indices.to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        fcodes = tbl.column(1).chunk(0).to_numpy(zero_copy_only=False)
-        docs = tbl.column(2).chunk(0).to_numpy(zero_copy_only=False)
-        order = np.lexsort((docs, fcodes, tcodes))
-        take = pa.array(order)
-        sorted_rb = pa.RecordBatch.from_arrays(
-            [pa.compute.take(tbl.column(i).chunk(0), take)
-             for i in range(tbl.num_columns)],
-            schema=schema,
-        )
-        yield from encode(iter([sorted_rb]))
+                    if spill_dir is None:
+                        parts.append(b)
+                        nbytes += b.nbytes
+                        if spill_bytes and nbytes >= spill_bytes:
+                            spill_dir = tempfile.mkdtemp(prefix="golr_spill_")
+                            for i in range(_SPILL_BUCKETS):
+                                fh = open(
+                                    os.path.join(spill_dir, f"b{i}.arrow"), "wb"
+                                )
+                                files.append(fh)
+                                writers.append(pa.ipc.new_stream(fh, schema))
+                            for p in parts:
+                                _route(p)
+                            parts = []
+                    else:
+                        _route(b)
+            if spill_dir is None:
+                srb = _sort_token_batches(parts, schema)
+                if srb is not None:
+                    yield from encode(iter([srb]))
+                return
+            for w in writers:
+                w.close()
+            for fh in files:
+                fh.close()
+
+            def _sorted_subbuckets() -> Iterator[pa.RecordBatch]:
+                for i in range(_SPILL_BUCKETS):
+                    path = os.path.join(spill_dir, f"b{i}.arrow")
+                    with pa.ipc.open_stream(path) as rd:
+                        sub = list(rd)
+                    srb = _sort_token_batches(sub, schema)
+                    if srb is not None:
+                        # sub-buckets never share a (term, fcode)
+                        # group, so the encoder's pending-group
+                        # carryover flushes naturally at boundaries
+                        yield srb
+
+            yield from encode(_sorted_subbuckets())
+        finally:
+            if spill_dir is not None:
+                shutil.rmtree(spill_dir, ignore_errors=True)
 
     return run
 
@@ -620,6 +717,16 @@ def build_postings_packed(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
     lut = _partition_lut(spark, n_red)
+    # external-bucket spill threshold for the unpack stage (MB; 0
+    # disables). Default 1024: never trips at bench scale (~25 MB per
+    # reduce partition at 240k docs / 64 partitions) but bounds a
+    # pathological partition's memory to ~1/16th of its token bytes
+    # on memory-constrained deployments without falling all the way
+    # back to the flat Tungsten plan.
+    spill_mb = float(
+        spark.conf.get("spark.golr_loader.build.packed_spill_mb", "1024")
+    )
+    spill_bytes = int(spill_mb * (1 << 20)) if spill_mb > 0 else 0
     cols = ["doc_id"] + [f for f in cfg.fields]
     packed = documents.select(*cols).mapInArrow(
         _pack_batches(cfg, n_red, lut), "pid int, blob binary"
@@ -633,7 +740,7 @@ def build_postings_packed(
         spark_schema += ", poss binary"
     return (
         packed.repartition(n_red, F.col("pid"))
-        .mapInArrow(_unpack_encode(cfg), spark_schema)
+        .mapInArrow(_unpack_encode(cfg, spill_bytes), spark_schema)
         .withColumn("segment", F.lit(0))
     )
 
