@@ -647,7 +647,16 @@ def _unpack_encode(cfg: IndexConfig, spill_bytes: int = 0) -> "callable":
                         parts.append(b)
                         nbytes += b.nbytes
                         if spill_bytes and nbytes >= spill_bytes:
-                            spill_dir = tempfile.mkdtemp(prefix="golr_spill_")
+                            # spill beside Spark's own shuffle files
+                            # when local dirs are configured
+                            base = (
+                                os.environ.get("SPARK_LOCAL_DIRS", "")
+                                .split(",")[0]
+                                or None
+                            )
+                            spill_dir = tempfile.mkdtemp(
+                                prefix="golr_spill_", dir=base
+                            )
                             for i in range(_SPILL_BUCKETS):
                                 fh = open(
                                     os.path.join(spill_dir, f"b{i}.arrow"), "wb"
