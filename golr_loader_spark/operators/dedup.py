@@ -225,65 +225,115 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     )
 
 
+# diagnostic contract counter (the LAST_COLLECTED_* pattern): number
+# of large-star+small-star alternations the last call executed —
+# pytest asserts the logarithmic round count on chain graphs
+LAST_CC_ROUNDS = 0
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., Connected Components in MapReduce
+    and Beyond): every neighbor LARGER than the center re-attaches to
+    min(Γ(center) ∪ {center}). Input/output edges are canonical
+    (u > v); the emitted (v_larger, m) keeps that invariant because
+    m ≤ center < v_larger."""
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mt = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mt, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every SMALLER neighbor of a center (plus the center
+    itself) attaches to the center's minimum smaller neighbor. With
+    canonical (u > v) edges, a center's smaller neighbors are exactly
+    its rows as ``u``."""
+    mt = edges.groupBy("u").agg(F.min("v").alias("m"))
+    e1 = edges.join(mt, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    e2 = mt.select(F.col("u"), F.col("m").alias("v"))
+    return e1.unionAll(e2).filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected pair graph →
     (id, cluster_id = min id reachable). The step AFTER candidate
     generation in a dedup pipeline: LSH/Jaccard pairs → duplicate
     CLUSTERS → keep one doc per cluster.
 
-    Algorithm: min-label propagation to fixpoint — each round joins
-    the current labels across the symmetrized edge list and keeps the
-    per-node min; rounds = graph diameter (near-dup clusters are
-    shallow, typically 2-4). Every round is one equi-join + one
-    groupBy, both partitioned by node id — no driver-side graph state,
-    which is what makes this the 100-TB shape (the large-star/
-    small-star optimization halves rounds on adversarial chains but
-    identical per-round plan). Labels are cut from lineage every
-    round via localCheckpoint, the standard guard against iterative-
-    plan blowup.
+    Algorithm: alternating large-star / small-star (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond") — each
+    alternation is two groupBy-min + two equi-joins over the CANONICAL
+    (u > v) edge list, no driver-side graph state, and the edge set
+    converges to min-rooted stars in O(log²) alternations (in practice
+    2-3) instead of the graph-DIAMETER rounds min-label propagation
+    needs: an adversarial 10⁴-node chain converges in ~5 alternations
+    where label propagation would need 10⁴ rounds. Near-dup clusters
+    are shallow, so typical inputs converge just as fast as before —
+    this closes the adversarial tail, not the common case. Edges are
+    cut from lineage every round via localCheckpoint (the iterative-
+    plan-blowup guard), and a silent non-fixpoint still raises — split
+    clusters would make a downstream dedup silently keep duplicates.
+    Same fixpoint labels as min-label propagation (the pinned
+    chain/island/cycle pytest fixtures and the q28 DuckDB oracle are
+    unchanged); ``LAST_CC_ROUNDS`` records the alternation count.
     """
-    both = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    nodes = both.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("cluster_id", F.col("id")).localCheckpoint()
+    global LAST_CC_ROUNDS
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("u"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    LAST_CC_ROUNDS = 0
     for _ in range(max_iter):
-        # neighbor labels: for each edge src→dst, dst's current label
-        nbr = (
-            both.join(
-                labels.select(F.col("id").alias("dst"), F.col("cluster_id")), "dst"
-            )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if n_edges == 0:
             break
+        new_edges = _cc_small_star(_cc_large_star(edges)).localCheckpoint()
+        LAST_CC_ROUNDS += 1
+        n_new = new_edges.count()
+        # set equality: both sides are distinct, so equal counts plus
+        # an empty one-sided difference means identical edge sets
+        if n_new == n_edges and (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, n_new
     else:
-        # a silent non-fixpoint would return SPLIT clusters — a
-        # dedup pass downstream would then silently keep duplicates
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            "rounds (graph diameter exceeds max_iter) — raise max_iter"
+            "alternations — raise max_iter"
         )
-    return labels
+    # at the fixpoint the edge set is min-rooted stars: every non-root
+    # node carries exactly one (node, root) edge; roots and isolated
+    # nodes label themselves
+    attach = edges.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("_root")
+    )
+    return nodes.join(attach, "id", "left").select(
+        "id", F.coalesce("_root", F.col("id")).alias("cluster_id")
+    )
 
 
 def keep_canonical(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -856,9 +856,11 @@ SELECT id_a, id_b FROM cand_pairs
 
 def q28_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate CLUSTERS from the LSH candidate pairs — connected
-    components by min-label propagation (the step a real dedup
-    pipeline runs after q26's candidate generation; every round one
-    equi-join + one groupBy, no driver-side graph state)."""
+    components by alternating large-star/small-star (the step a real
+    dedup pipeline runs after q26's candidate generation; every
+    alternation is equi-joins + groupBy-mins over the canonical edge
+    list, no driver-side graph state, O(log) rounds even on
+    adversarial chains)."""
     d = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
     sigs = dd.minhash_signatures(d, "doc_id", "text")
     pairs = dd.lsh_candidate_pairs(sigs, band_size=2)

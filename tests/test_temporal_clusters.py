@@ -56,3 +56,31 @@ def test_asof_join_tiebreak_picks_larger(spark):
         left, right, keys=["k"], ts="ts", payload=["rid", "v"], right_tiebreak="rid"
     ).collect()[0]
     assert (out["asof_rid"], out["asof_v"]) == (12, 2.0)
+
+
+def test_connected_components_chain_logarithmic_rounds(spark):
+    # adversarial 100-node chain: min-label propagation needs ~100
+    # rounds (and would blow past max_iter=50); the alternating
+    # large-star/small-star algorithm must converge in O(log n)
+    # alternations with the same min-id labels
+    from golr_loader_spark.operators import dedup as dd
+
+    n = 100
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dd.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert dd.LAST_CC_ROUNDS <= 10
+
+
+def test_connected_components_pair_order_and_selfloop(spark):
+    # reversed/duplicated/self pairs: canonicalization must not change
+    # the fixpoint
+    from golr_loader_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(9, 3), (3, 9), (3, 1), (7, 7)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 3: 1, 9: 1, 7: 7}
